@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Core
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table. All are per-row scalar pipelines (no shuffle), built
+  * from codegen'd built-ins — they scale linearly and survive 100 TB: the
+  * only wide stages downstream are the dedup groupBys/joins.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (shingle set for 1-gram MinHash / Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles: sliding windows of n tokens joined by space.
+    * Empty (not [1,0]-descending — Spark sequence() flips direction when
+    * start > stop) for texts shorter than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash value for one seeded hash family member over a token array:
+    * min over tokens of portable_hash64(seed || '|' || token).
+    */
+  def minhash(tokenArr: Column, seed: Int): Column =
+    array_min(transform(tokenArr, t => Core.md5Hash64(concat(lit(s"$seed|"), t))))
+
+  /** SimHash over a token array with `bits` output bits: for each bit b the
+    * sign of Σ_tokens (bit b of hash(token) ? +1 : -1), packed into a long.
+    */
+  def simhash(tokenArr: Column, bits: Int): Column = {
+    val hashes = transform(tokenArr, t => Core.md5Hash64(t))
+    val bitCols = (0 until bits).map { b =>
+      val vote = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+      )
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

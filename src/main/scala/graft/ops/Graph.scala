@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational graph ops: the reference models its PPI network as an edge-list
+  * DataFrame undirected via union+distinct (sc:53-54) and collapsed to an
+  * adjacency-list lookup table via groupBy+collect_set (sc:72-74); 1-hop
+  * propagation is explode(neighbours)+join (sc:146-147, 450, 464).
+  *
+  * We keep exactly that relational encoding — for 1-hop semantics a graph
+  * engine buys nothing, and edge tables shuffle/partition like any other
+  * relation at 100 TB (hash-partition on the source vertex).
+  */
+object Graph {
+
+  /** Undirect a directed edge list: union the reversed pairs, dedupe.
+    * Columns must be (src, dst). One shuffle (the distinct).
+    */
+  def undirect(edges: DataFrame): DataFrame = {
+    val Array(a, b) = edges.columns
+    edges.union(edges.select(col(b).as(a), col(a).as(b))).distinct()
+  }
+
+  /** Adjacency-list LUT: (src, neighbours sorted, degree exact).
+    * Reference kept neighbours exact but degree approximate (HLL++, sc:73-74);
+    * we expose both — `degree` exact (consistent with the array) and
+    * `degree_approx` for the HLL++ capability.
+    */
+  def adjacency(edges: DataFrame): DataFrame = {
+    val Array(a, b) = edges.columns
+    edges
+      .groupBy(col(a).as("src"))
+      .agg(
+        sort_array(collect_set(col(b))).as("neighbours"),
+        approx_count_distinct(col(b)).as("degree_approx")
+      )
+      .withColumn("degree", size(col("neighbours")).cast("long"))
+  }
+
+  /** Reflexive 1-hop expansion: each src row fans out to itself plus every
+    * neighbour (array_union(neighbours,[self]) → explode; sc:450, 464).
+    * Output: (src, hop).
+    */
+  def oneHopReflexive(adjacencyLut: DataFrame): DataFrame =
+    adjacencyLut
+      .select(col("src"), explode(array_union(col("neighbours"), array(col("src")))).as("hop"))
+
+  /** Invert a node→ancestors array table into ancestor→descendants
+    * (ontology inversion, sc:178-184): explode, swap, re-collect.
+    */
+  def invertClosure(df: DataFrame, id: String, ancestors: String): DataFrame =
+    df.select(col(id), explode(col(ancestors)).as("ancestor"))
+      .groupBy(col("ancestor"))
+      .agg(sort_array(collect_set(col(id))).as("descendants"))
+}

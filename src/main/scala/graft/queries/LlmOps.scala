@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Core
+import graft.llm.TextOps
+
+/** LLM training-data pipeline operators (builder-prompt extension set):
+  * deduplication, text analysis, similarity search over `documents` /
+  * `embeddings`. Oracle SQL is generated from the same constants (seeds,
+  * stopword lists) as the Spark code so the two can never drift.
+  */
+object LlmOps {
+  import Core.table
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash seeds — the hash family is md5-based so DuckDB reproduces it. */
+  val MinhashSeeds: Seq[Int] = 0 until 8
+
+  /** DuckDB rendition of Core.md5Hash64. */
+  def sqlHash64(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash groupBy, keep lowest doc_id. One shuffle on
+    // the 128-bit digest — the canonical 100 TB exact-dedup plan.
+    "q_dedup_exact" -> ((s, d) => {
+      table(s, d, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash signatures (8 hashes over distinct 3-gram shingles — unigram
+    // sets over a small vocab collide into one bucket; trigrams are
+    // discriminative). Narrow per-row compute; the signatures are all the
+    // LSH band-join ever shuffles, so this is the 100 TB-safe shape.
+    "q_dedup_minhash_sig" -> ((s, d) => {
+      val sh = array_distinct(TextOps.shingles(col("text"), 3))
+      val sigCols = MinhashSeeds.map(i => TextOps.minhash(sh, i).as(s"mh$i"))
+      table(s, d, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id") +: sigCols: _*)
+    }),
+
+    // LSH candidate pairs: 4 bands × 2 rows; docs sharing any band bucket
+    // become a candidate pair; est_jaccard = matching minhashes / 8.
+    "q_dedup_minhash_pairs" -> ((s, d) => {
+      val sh = array_distinct(TextOps.shingles(col("text"), 3))
+      val sigCols = MinhashSeeds.map(i => TextOps.minhash(sh, i).as(s"mh$i"))
+      val sigs = table(s, d, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id") +: sigCols: _*)
+      val bands = (0 until 4).map { b =>
+        sigs.select(
+          col("doc_id"),
+          lit(b).as("band"),
+          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")
+        )
+      }.reduce(_.union(_))
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct()
+      val matches = MinhashSeeds
+        .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sigs.as("x"), col("doc1") === col("x.doc_id"))
+        .join(sigs.as("y"), col("doc2") === col("y.doc_id"))
+        .select(col("doc1"), col("doc2"),
+          round(matches.cast("double") / lit(MinhashSeeds.size), 4).as("est_jaccard"))
+    }),
+
+    // SimHash fingerprint (16-bit) — near-dup families share fingerprints.
+    "q_dedup_simhash" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), TextOps.simhash(TextOps.tokenSet(col("text")), 16).as("simhash16"))
+    }),
+
+    // Text quality stats: token counts, mean token length, stopword ratio.
+    "q_text_stats" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      table(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        round(
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks), 4
+        ).as("avg_token_len"),
+        round(
+          size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / size(toks), 6
+        ).as("stopword_ratio")
+      )
+    }),
+
+    // Regex token counting (whitespace + BPE-ish word/digit/punct pieces).
+    "q_text_tokens" -> ((s, d) => {
+      table(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("re_tokens")
+      )
+    }),
+
+    // Brute-force cosine top-10 vs the vec_id=0 query vector — the exact
+    // baseline an IVF/LSH variant must agree with. Query side is a broadcast
+    // (1 row); the scan side is embarrassingly parallel.
+    "q_sim_cosine_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val dot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+      val n1 = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+      val n2 = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x))
+      val w = Window.orderBy(col("cos").desc, col("vec_id"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(dot / (n1 * n2), 6).as("cos"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+    })
+  )
+
+  private val tokSetSql =
+    "unnest(list_distinct(string_split(text, ' ')))"
+
+  /** DuckDB rendition of distinct 3-gram shingles, exploded. */
+  private val shingleSql =
+    """unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |  i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS w""".stripMargin
+
+  private val minDocSql = "len(string_split(text, ' ')) >= 3"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_minhash_sig" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${sqlHash64(s"'$i|' || w")}) AS mh$i").mkString(",\n  ")
+      s"""SELECT doc_id, $mins
+         |FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    "q_dedup_minhash_pairs" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${sqlHash64(s"'$i|' || w")}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matches = MinhashSeeds.map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT doc1, doc2,
+         |  round(CAST($matches AS DOUBLE) / ${MinhashSeeds.size}, 4) AS est_jaccard
+         |FROM pairs
+         |JOIN sigs x ON doc1 = x.doc_id
+         |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 16).map { b =>
+        s"""CASE WHEN sum(CASE WHEN ((${sqlHash64("w")} >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+           | THEN CAST(${1L << b} AS BIGINT) ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash16
+         |FROM (SELECT doc_id, $tokSetSql AS w FROM documents)
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT e.vec_id,
+        |    sum(e.x * q.qx) AS dot,
+        |    sqrt(sum(e.x * e.x)) AS n1,
+        |    sqrt(sum(q.qx * q.qx)) AS n2
+        |  FROM e JOIN q USING (i) WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+        |scored AS (
+        |  SELECT vec_id, round(dot / (n1 * n2), 6) AS cos,
+        |    CAST(row_number() OVER (ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id) AS BIGINT) AS rn
+        |  FROM dots)
+        |SELECT vec_id, cos, rn FROM scored WHERE rn <= 10""".stripMargin
+  )
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Core, Graph, Scoring}
+
+/** Relational operator coverage (SURVEY.md §2.2-2.7) as named driver-verified
+  * queries over the TESTDATA tables. Every query here has a DuckDB oracle with
+  * IDENTICAL column names and types (numerics cast explicitly: DuckDB
+  * sum(int)→HUGEINT, year()→BIGINT, row_number()→BIGINT differ from Spark).
+  * Double aggregates are rounded in BOTH engines so FP summation order cannot
+  * flip the hash compare.
+  */
+object Relational {
+  import Core.table
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P1/P2/F2: projection + rename + filter; pushes filter & pruning to scan.
+    "q_project_filter" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .where(col("l_quantity") > 45)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_extendedprice").as("price"),
+          col("l_returnflag")
+        )
+    }),
+
+    // A1-style hash aggregation (TPC-H Q1 shape): map-side partial aggs.
+    "q_agg_groupby" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    // F5: post-aggregation filter (HAVING).
+    "q_agg_having" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .where(col("sum_qty") > 500)
+    }),
+
+    // J1/J6: inner equi-join (fact x fact) + aggregation.
+    "q_join_inner" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    // J7: left outer join — keep customers without orders; count(null)=0.
+    "q_join_left" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    // J8: the reference's lone right-outer (sc:387).
+    "q_join_right" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val c = table(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    // Semi/anti: relational form of the reference's array_except semantics (U6).
+    "q_join_semi" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders").where(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    "q_join_anti" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Broadcast join chain over the small dims (nation, region are tiny: the
+    // 100 TB plan is fact-shuffle-free on these — explicit broadcast hint).
+    "q_join_broadcast_dims" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+    }),
+
+    // A9/A10: pivot with explicit value list + na.fill(0).
+    "q_pivot_fill" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .na.fill(0.0)
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }),
+
+    // W1 (relational form): per-group top-K via row_number, deterministic
+    // tie-break on the unique key.
+    "q_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      table(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("l_returnflag"), col("l_linestatus"), col("rn"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // W2: running (cumulative) sum — a true window frame.
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "orders")
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+    }),
+
+    // W1+W2 array form: the reference's harmonic association core (sc:293-338)
+    // — collect, top-100 desc, Σ sᵢ/i² — on (suppkey → extendedprice scores).
+    "q_harmonic_topk" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(collect_list(col("l_extendedprice")).as("scores"))
+        .select(
+          col("l_suppkey"),
+          round(Scoring.harmonicTopK(col("scores"), 100), 4).as("harmonic")
+        )
+    }),
+
+    // U1+U3: undirected edge list via union+distinct (sc:53-54).
+    "q_union_distinct" -> ((s, d) => {
+      val e = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("a"), col("l_partkey").as("b"))
+      Graph.undirect(e)
+    }),
+
+    // U8: relational intersect/except (capability parity beyond the ref).
+    "q_intersect" -> ((s, d) => {
+      val a = table(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val b = table(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      a.intersect(b)
+    }),
+    "q_except" -> ((s, d) => {
+      val a = table(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val b = table(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      a.except(b)
+    }),
+
+    // A1/A2: adjacency LUT (collect_set + degree) on the supplier→part
+    // bipartite edge set; arrays sorted for canonical compare.
+    "q_graph_adjacency" -> ((s, d) => {
+      val e = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      Graph.adjacency(e).select(col("src"), col("neighbours"), col("degree"))
+    }),
+
+    // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
+    "q_graph_onehop" -> ((s, d) => {
+      val e = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      Graph.oneHopReflexive(Graph.adjacency(e))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_hops"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45""".stripMargin,
+
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey HAVING round(sum(l_quantity), 2) > 500""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_nationkey, count(o_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_pivot_fill" ->
+      """SELECT l_returnflag,
+        |  coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2), 0.0) AS qty_f,
+        |  coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2), 0.0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT l_returnflag, l_linestatus, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q_harmonic_topk" ->
+      """SELECT l_suppkey, round(sum(score / pow(rn, 2)), 4) AS harmonic
+        |FROM (
+        |  SELECT l_suppkey, l_extendedprice AS score,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 100 GROUP BY l_suppkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT a, b FROM (
+        |  SELECT l_suppkey AS a, l_partkey AS b FROM lineitem
+        |  UNION ALL
+        |  SELECT l_partkey AS a, l_suppkey AS b FROM lineitem)""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_graph_adjacency" ->
+      """SELECT l_suppkey AS src,
+        |  list_sort(list(DISTINCT l_partkey)) AS neighbours,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_graph_onehop" ->
+      """SELECT src, CAST(count(*) AS BIGINT) AS n_hops FROM (
+        |  SELECT l_suppkey AS src, l_partkey AS hop FROM lineitem
+        |  UNION
+        |  SELECT l_suppkey AS src, l_suppkey AS hop FROM lineitem)
+        |GROUP BY src""".stripMargin
+  )
+}
