@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Core
+
+/** Near-duplicate detection: MinHash + LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale shape (the 100 TB plan):
+  *  - signatures: one explode over shingles + one hash-agg with map-side
+  *    partial mins — the shuffle carries 8 longs per (doc, partition), never
+  *    the shingles themselves;
+  *  - LSH: bucket self-join on (band, bucket) only — candidate pairs are a
+  *    tiny fraction of n²; hot buckets (boilerplate docs) are the skew risk,
+  *    handled by AQE skew-join splitting (on by default in Spark 4).
+  */
+object Dedup {
+
+  /** Exploded distinct-shingle table: (id, w). The shared input of MinHash
+    * signatures and exact Jaccard.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("w")
+    )
+
+  /** MinHash signature table: (doc_id, mh0..mh{k-1}) over distinct word
+    * n-gram shingles. Hash family is the portable md5-based hash64 so an
+    * external SQL engine can reproduce signatures bit-for-bit.
+    */
+  def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, seeds: Seq[Int]): DataFrame = {
+    val mins = seeds.map(i =>
+      min(Core.md5Hash64(concat(lit(s"$i|"), col("w")))).as(s"mh$i"))
+    shingleTable(docs, idCol, textCol, n).groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature table: `bands` bands of
+    * `rowsPerBand` signature rows; docs sharing any band bucket pair up.
+    * Output: (doc1, doc2, est_jaccard) with doc1 < doc2; est_jaccard is the
+    * fraction of matching signature rows.
+    *
+    * Signatures are carried through the band explode so the pair join needs
+    * no re-join back to the signature table (one shuffle on the bucket key,
+    * one distinct).
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val bandStructs = array((0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bucket"))
+    }: _*)
+    val banded = sigs
+      .withColumn("bb", explode(bandStructs))
+      .select(col(idCol) +: (0 until k).map(i => col(s"mh$i")) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("doc1"),
+        col(s"y.$idCol").as("doc2"),
+        round(matches.cast("double") / lit(k), 4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a given candidate-pair table (the scale path:
+    * LSH candidates → exact verify). `sh` is a shingleTable.
+    * J = |∩| / (|A| + |B| − |∩|).
+    */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("x"), col("doc1") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("doc2") === col(s"y.$idCol") && col("x.w") === col("y.w"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("s1"), col("doc1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("doc2") === col(s"s2.$idCol"))
+      .select(col("doc1"), col("doc2"),
+        round(col("common").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("common")), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over ALL co-shingled pairs: self-join on shingle.
+    * Quadratic in co-shingled docs — at scale, use lshCandidatePairs +
+    * jaccardForPairs instead; this exists for small inputs and as the
+    * oracle-checkable ground truth.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.w") === col("y.w") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("s1"), col("doc1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("doc2") === col(s"s2.$idCol"))
+      .select(col("doc1"), col("doc2"),
+        round(col("common").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("common")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

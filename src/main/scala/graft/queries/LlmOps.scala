@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Core
-import graft.llm.TextOps
+import graft.llm.{Dedup, TextOps}
 
 /** LLM training-data pipeline operators (builder-prompt extension set):
   * deduplication, text analysis, similarity search over `documents` /
@@ -33,47 +33,30 @@ object LlmOps {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
     }),
 
-    // MinHash signatures (8 hashes over distinct 3-gram shingles — unigram
+    // MinHash signatures: 8 hashes over distinct 3-gram shingles (unigram
     // sets over a small vocab collide into one bucket; trigrams are
-    // discriminative). Narrow per-row compute; the signatures are all the
-    // LSH band-join ever shuffles, so this is the 100 TB-safe shape.
-    "q_dedup_minhash_sig" -> ((s, d) => {
-      val sh = array_distinct(TextOps.shingles(col("text"), 3))
-      val sigCols = MinhashSeeds.map(i => TextOps.minhash(sh, i).as(s"mh$i"))
-      table(s, d, "documents")
-        .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id") +: sigCols: _*)
-    }),
+    // discriminative). One explode + one partial-aggregated groupBy: the
+    // shuffle carries 8 longs per (doc, partition), never the shingles.
+    "q_dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)),
 
     // LSH candidate pairs: 4 bands × 2 rows; docs sharing any band bucket
     // become a candidate pair; est_jaccard = matching minhashes / 8.
     "q_dedup_minhash_pairs" -> ((s, d) => {
-      val sh = array_distinct(TextOps.shingles(col("text"), 3))
-      val sigCols = MinhashSeeds.map(i => TextOps.minhash(sh, i).as(s"mh$i"))
-      val sigs = table(s, d, "documents")
-        .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id") +: sigCols: _*)
-      val bands = (0 until 4).map { b =>
-        sigs.select(
-          col("doc_id"),
-          lit(b).as("band"),
-          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")
-        )
-      }.reduce(_.union(_))
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-        .distinct()
-      val matches = MinhashSeeds
-        .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      pairs
-        .join(sigs.as("x"), col("doc1") === col("x.doc_id"))
-        .join(sigs.as("y"), col("doc2") === col("y.doc_id"))
-        .select(col("doc1"), col("doc2"),
-          round(matches.cast("double") / lit(MinhashSeeds.size), 4).as("est_jaccard"))
+      val sigs = Dedup
+        .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
+        .cache()
+      Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+    }),
+
+    // Full near-dup pipeline: LSH candidates → exact trigram Jaccard.
+    "q_dedup_jaccard_verify" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sigs = Dedup.minhashSigs(docs, "doc_id", "text", 3, MinhashSeeds).cache()
+      val pairs = Dedup
+        .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("doc1"), col("doc2"))
+      Dedup.jaccardForPairs(pairs, Dedup.shingleTable(docs, "doc_id", "text", 3), "doc_id")
     }),
 
     // SimHash fingerprint (16-bit) — near-dup families share fingerprints.
@@ -175,6 +158,36 @@ object LlmOps {
          |FROM pairs
          |JOIN sigs x ON doc1 = x.doc_id
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
+    },
+
+    "q_dedup_jaccard_verify" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${sqlHash64(s"'$i|' || w")}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql),
+         |sigs AS (
+         |  SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc1, p.doc2, count(*) AS common
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc1
+         |  JOIN sh y ON y.doc_id = p.doc2 AND y.w = x.w
+         |  GROUP BY p.doc1, p.doc2)
+         |SELECT doc1, doc2,
+         |  round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON doc1 = s1.doc_id
+         |JOIN sizes s2 ON doc2 = s2.doc_id""".stripMargin
     },
 
     "q_dedup_simhash" -> {

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Core, Graph, Scoring}
+
+/** Reference-pipeline semantics (SURVEY.md §2.4-2.8, §3) re-expressed over
+  * the TESTDATA star schema: lineitem/orders play evidences, supplier plays
+  * target, o_orderpriority plays disease, nation/region play the ontology.
+  */
+object Reference {
+  import Core.table
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // THE flagship: the reference's association scoring (sc:293-338,433-437)
+    // — per-evidence source scores (pivot+fill-0 shape), groupBy association
+    // keys, per-source top-100 harmonic folds, weighted cross-source combine
+    // (literature ×0.2, re-ranked), threshold filter. One shuffle to the
+    // association keys; collect_list bounded by the top-K slice.
+    "q_ref_associations" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      val evs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(
+          col("l_suppkey").as("target_id"),
+          col("o_orderpriority").as("disease_id"),
+          when(col("l_returnflag") === "R", col("l_discount")).otherwise(lit(0.0))
+            .as("genetics"),
+          when(col("l_returnflag") =!= "R", col("l_discount")).otherwise(lit(0.0))
+            .as("europepmc")
+        )
+      evs.groupBy(col("target_id"), col("disease_id"))
+        .agg(
+          count(lit(1)).as("evidence_count"),
+          collect_list(col("genetics")).as("g_scores"),
+          collect_list(col("europepmc")).as("l_scores")
+        )
+        .select(
+          col("target_id"), col("disease_id"), col("evidence_count"),
+          round(
+            Scoring.harmonicCombine(
+              Scoring.harmonicTopK(col("g_scores"), 100),
+              Scoring.harmonicTopK(col("l_scores"), 100)
+            ), 6).as("harmonic")
+        )
+        .where(col("harmonic") > 0.1)
+    }),
+
+    // U2: unionByName across differently-ordered projections.
+    "q_union_byname" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val a = o.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val b = o.where(col("o_orderstatus") =!= "F")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      a.unionByName(b)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // U6 array form: per-customer "new parts" = parts in F-orders minus
+    // parts in O-orders (array_except ≡ anti-join, sc:457/470).
+    "q_array_except_newparts" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      def custParts(status: String) =
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .where(col("o_orderstatus") === status)
+          .groupBy(col("o_custkey"))
+          .agg(collect_set(col("l_partkey")).as(s"parts_$status"))
+      custParts("F").join(custParts("O"), Seq("o_custkey"), "left_outer")
+        .select(
+          col("o_custkey"),
+          explode(array_except(col("parts_F"),
+            coalesce(col("parts_O"), array().cast("array<bigint>")))).as("new_part"))
+    }),
+
+    // U6 relational form: identical semantics via left_anti — the
+    // equivalence pair for the array version above (same oracle).
+    "q_left_anti_newparts" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      def custParts(status: String) =
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .where(col("o_orderstatus") === status)
+          .select(col("o_custkey"), col("l_partkey")).distinct()
+      custParts("F")
+        .join(custParts("O"), Seq("o_custkey", "l_partkey"), "left_anti")
+        .select(col("o_custkey"), col("l_partkey").as("new_part"))
+    }),
+
+    // A3: ontology transitive-closure inversion (ancestors → descendants,
+    // sc:178-184) on the nation→region hierarchy (self is its own ancestor).
+    "q_ontology_descendants" -> ((s, d) => {
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      val withAncestors = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_name").as("id"), array(col("n_name"), col("r_name")).as("ancestors"))
+      Graph.invertClosure(withAncestors, "id", "ancestors")
+    }),
+
+    // A4/F6: struct-valued collect_list ordered by a field, plus a lambda
+    // filter over the struct array (sc:248-254, 84-86).
+    "q_struct_collect" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+          .as("items"))
+        .select(
+          col("l_orderkey"),
+          transform(col("items"),
+            t => concat_ws(":", t.getField("l_linenumber"), t.getField("l_quantity")))
+            .as("item_strs"),
+          size(filter(col("items"), t => t.getField("l_quantity") > 25))
+            .cast("long").as("n_big_items")
+        )
+    }),
+
+    // A7 "any value per key" made deterministic: min_by / max_by.
+    "q_min_by" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price")
+        )
+    }),
+
+    // O3: global top-N (TakeOrderedAndProject — no full sort at scale).
+    "q_limit_topn" -> ((s, d) => {
+      table(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(20)
+    }),
+
+    // A1: HLL++ approximate distinct next to the exact count — driver gets
+    // a rows-only check (no oracle: estimator values are engine-specific).
+    "q_approx_distinct" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")
+        )
+    }),
+
+    // sc:218: deterministic synthetic evidence id sha1(concat(...)) —
+    // rows-only (DuckDB 1.0 lacks sha1); md5 variant is oracle-checked in
+    // q_scalar_hash.
+    "q_evidence_sha1" -> ((s, d) => {
+      table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        sha1(concat_ws("_",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+          .as("evs_id")
+      )
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ref_associations" ->
+      """WITH evs AS (
+        |  SELECT l_suppkey AS target_id, o_orderpriority AS disease_id,
+        |    CASE WHEN l_returnflag = 'R' THEN l_discount ELSE 0.0 END AS genetics,
+        |    CASE WHEN l_returnflag <> 'R' THEN l_discount ELSE 0.0 END AS europepmc
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ranked AS (
+        |  SELECT target_id, disease_id, genetics, europepmc,
+        |    row_number() OVER (PARTITION BY target_id, disease_id
+        |      ORDER BY genetics DESC) AS rg,
+        |    row_number() OVER (PARTITION BY target_id, disease_id
+        |      ORDER BY europepmc DESC) AS rl
+        |  FROM evs),
+        |h AS (
+        |  SELECT target_id, disease_id,
+        |    count(*) AS evidence_count,
+        |    sum(CASE WHEN rg <= 100 THEN genetics / pow(rg, 2) ELSE 0 END) AS hg,
+        |    sum(CASE WHEN rl <= 100 THEN europepmc / pow(rl, 2) ELSE 0 END) AS hl
+        |  FROM ranked GROUP BY target_id, disease_id)
+        |SELECT target_id, disease_id, evidence_count,
+        |  round(greatest(hg, hl * 0.2) + least(hg, hl * 0.2) / 4, 6) AS harmonic
+        |FROM h
+        |WHERE round(greatest(hg, hl * 0.2) + least(hg, hl * 0.2) / 4, 6) > 0.1""".stripMargin,
+
+    "q_union_byname" ->
+      """SELECT o_orderstatus, count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_array_except_newparts" ->
+      """SELECT DISTINCT o_custkey, l_partkey AS new_part
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+        |  WHERE o2.o_orderstatus = 'O' AND o2.o_custkey = orders.o_custkey
+        |    AND l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q_left_anti_newparts" ->
+      """SELECT DISTINCT o_custkey, l_partkey AS new_part
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+        |  WHERE o2.o_orderstatus = 'O' AND o2.o_custkey = orders.o_custkey
+        |    AND l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q_ontology_descendants" ->
+      """SELECT ancestor, list_sort(list(DISTINCT id)) AS descendants FROM (
+        |  SELECT n_name AS id, n_name AS ancestor
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT n_name AS id, r_name AS ancestor
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY ancestor""".stripMargin,
+
+    "q_struct_collect" ->
+      """SELECT l_orderkey,
+        |  list(concat_ws(':', l_linenumber, l_quantity) ORDER BY l_linenumber, l_quantity) AS item_strs,
+        |  CAST(count(*) FILTER (l_quantity > 25) AS BIGINT) AS n_big_items
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q_min_by" ->
+      """SELECT o_custkey,
+        |  arg_min(o_orderstatus, o_orderkey) AS first_status,
+        |  arg_max(o_totalprice, o_orderkey) AS latest_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q_limit_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+    // q_approx_distinct, q_evidence_sha1: intentionally no oracle
+    // (engine-specific HLL estimate / DuckDB lacks sha1) → rows-only check.
+  )
+}

@@ -40,7 +40,7 @@ object Scalars {
     "q_scalar_datetime" -> ((s, d) => {
       table(s, d, "events")
         .select(
-          to_date(col("ts")).as("day"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
           year(col("ts")).cast("long").as("yr"),
           month(col("ts")).cast("long").as("mo"),
           col("value")
@@ -109,7 +109,7 @@ object Scalars {
         |FROM customer""".stripMargin,
 
     "q_scalar_datetime" ->
-      """SELECT CAST(ts AS DATE) AS day,
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  CAST(year(ts) AS BIGINT) AS yr,
         |  CAST(month(ts) AS BIGINT) AS mo,
         |  count(*) AS n_events,
