@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.LlmOps.queries ++
+      graft.queries.SimSearch.queries ++
       graft.queries.Reference.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Scalars.oracle ++
       graft.queries.LlmOps.oracle ++
+      graft.queries.SimSearch.oracle ++
       graft.queries.Reference.oracle
 }

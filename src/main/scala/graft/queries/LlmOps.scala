@@ -24,6 +24,14 @@ object LlmOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** Marker-word profiles for the language-ID heuristic. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keep lowest doc_id. One shuffle on
     // the 128-bit digest — the canonical 100 TB exact-dedup plan.
@@ -92,6 +100,41 @@ object LlmOps {
       )
     }),
 
+    // Language-ID: marker-word-profile argmax (n-gram heuristic at the word
+    // level). Narrow per-row scoring against 5 fixed profiles; ties broken
+    // deterministically (lexicographically greatest lang wins, mirroring
+    // array_max over struct(score, lang)).
+    "q_text_langid" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val scored = array(LangProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+        struct(
+          size(filter(toks, t => t.isInCollection(ws))).cast("long").as("score"),
+          lit(l).as("lang"))
+      }: _*)
+      table(s, d, "documents").select(
+        col("doc_id"),
+        array_max(scored).getField("lang").as("pred_lang"),
+        array_max(scored).getField("score").as("score"))
+    }),
+
+    // Document fingerprint (winnowing-style): hash every word 5-gram,
+    // keep the min hash plus the 1/16-sampled selection (h % 16 == 0) as
+    // an xor-folded signature. Per-row compute only; near-dup docs share
+    // fp_min / fp_xor. A Karp-Rabin rolling hash is the constant-factor
+    // variant of the same operator (same selection semantics).
+    "q_text_fingerprint" -> ((s, d) => {
+      val hashes = transform(TextOps.shingles(col("text"), 5),
+        w => Core.md5Hash64(w))
+      val selected = filter(hashes, h => h % 16 === 0)
+      table(s, d, "documents")
+        .where(size(split(col("text"), " ")) >= 5)
+        .select(
+          col("doc_id"),
+          array_min(hashes).as("fp_min"),
+          size(selected).cast("long").as("n_sel"),
+          aggregate(selected, lit(0L), (a, h) => a.bitwiseXOR(h)).as("fp_xor"))
+    }),
+
     // Brute-force cosine top-10 vs the vec_id=0 query vector — the exact
     // baseline an IVF/LSH variant must agree with. Query side is a broadcast
     // (1 row); the scan side is embarrassingly parallel.
@@ -115,11 +158,18 @@ object LlmOps {
   private val tokSetSql =
     "unnest(list_distinct(string_split(text, ' ')))"
 
+  /** DuckDB rendition of word n-gram shingles, exploded. */
+  private def shingleSqlN(n: Int, distinct: Boolean): String = {
+    val lst =
+      s"""list_transform(
+         |  generate_series(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 0)),
+         |  i -> array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' '))""".stripMargin
+    val dl = if (distinct) s"list_distinct($lst)" else lst
+    s"unnest($dl) AS w"
+  }
+
   /** DuckDB rendition of distinct 3-gram shingles, exploded. */
-  private val shingleSql =
-    """unnest(list_distinct(list_transform(
-      |  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-      |  i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS w""".stripMargin
+  private val shingleSql = shingleSqlN(3, distinct = true)
 
   private val minDocSql = "len(string_split(text, ' ')) >= 3"
 
@@ -217,6 +267,33 @@ object LlmOps {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens
         |FROM documents""".stripMargin,
+
+    "q_text_langid" -> {
+      // CASE evaluated in descending lang order so equal scores pick the
+      // lexicographically greatest lang — same tiebreak as array_max over
+      // struct(score, lang) on the Spark side.
+      val langs = LangProfiles.toSeq.sortBy(_._1)
+      def scoreSql(ws: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      val scoreCols = langs.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+      val m = s"greatest(${langs.map(l => s"s_${l._1}").mkString(", ")})"
+      val pick = langs.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, $scoreCols FROM documents)
+         |SELECT doc_id, CASE $pick END AS pred_lang, CAST($m AS BIGINT) AS score
+         |FROM scored""".stripMargin
+    },
+
+    "q_text_fingerprint" -> {
+      val h = sqlHash64("w")
+      s"""SELECT doc_id,
+         |  min($h) AS fp_min,
+         |  CAST(count(*) FILTER ($h % 16 = 0) AS BIGINT) AS n_sel,
+         |  CAST(coalesce(bit_xor($h) FILTER ($h % 16 = 0), 0) AS BIGINT) AS fp_xor
+         |FROM (SELECT doc_id, ${shingleSqlN(5, distinct = false)} FROM documents
+         |      WHERE len(string_split(text, ' ')) >= 5)
+         |GROUP BY doc_id""".stripMargin
+    },
 
     "q_sim_cosine_topk" ->
       """WITH e AS (

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Core
+import graft.llm.Vectors
+
+/** Similarity search over the `embeddings` table (`array<float>` column):
+  * brute-force cosine as ground truth, sign-LSH banding and IVF bucketing as
+  * the 100 TB paths. All constants (hyperplanes, centroid choice) are
+  * deterministic and hash-derived, so the DuckDB oracle reproduces every
+  * result bit-for-bit — the same literals are embedded in both plans.
+  */
+object SimSearch {
+  import Core.table
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  val NPlanes = 16
+  val Bands = 4 // 4 bands x 4 sign bits
+  val NearDupThreshold = 0.4
+  val NCentroids = 8
+
+  /** Deterministic sign-LSH hyperplanes, shared by plan and oracle. */
+  val Planes: Seq[Seq[Int]] = Vectors.hyperplanes(NPlanes, Dim)
+
+  private def embeds(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), Vectors.vecD(col("embedding")).as("v"))
+
+  val queries: Map[String, Q] = Map(
+    // Embedding-cosine near-dup, brute force: all pairs >= threshold. The
+    // O(n^2) ground truth the LSH variant must approximate — small-input /
+    // verification path only; at scale use q_sim_ann_lsh.
+    "q_dedup_embed_cosine" -> ((s, d) => {
+      val e = embeds(s, d)
+      e.as("x")
+        .join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(
+          col("x.vec_id").as("v1"),
+          col("y.vec_id").as("v2"),
+          round(Vectors.cosine(col("x.v"), col("y.v")), 6).as("cos"))
+        .where(col("cos") >= NearDupThreshold)
+    }),
+
+    // Sign-LSH near-dup: 16 hash-derived hyperplanes -> 16 sign bits ->
+    // 4 bands x 4 bits; vectors sharing any band bucket become candidates;
+    // exact cosine re-check on candidates only. The pair join touches
+    // buckets, never n^2; candidate vectors are re-fetched by id, so the
+    // band shuffle carries (id, band, bucket) rows only.
+    "q_sim_ann_lsh" -> ((s, d) => {
+      val e = embeds(s, d)
+      val bits = Planes.zipWithIndex.map { case (p, i) =>
+        (Vectors.dotConst(col("v"), p) >= 0).cast("long").as(s"b$i")
+      }
+      val sig = e.select(col("vec_id") +: bits: _*)
+      val bandStructs = array((0 until Bands).map { b =>
+        val bucket = (0 until NPlanes / Bands)
+          .map(r => col(s"b${b * (NPlanes / Bands) + r}") *
+            lit(1L << (NPlanes / Bands - 1 - r)))
+          .reduce(_ + _)
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }: _*)
+      val banded = sig
+        .select(col("vec_id"), explode(bandStructs).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val pairs = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+        .distinct()
+      pairs
+        .join(e.as("a"), col("v1") === col("a.vec_id"))
+        .join(e.as("b"), col("v2") === col("b.vec_id"))
+        .select(col("v1"), col("v2"),
+          round(Vectors.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        .where(col("cos") >= NearDupThreshold)
+    }),
+
+    // IVF top-10: centroids = vec_id 0..7 (deterministic stand-ins for
+    // k-means centers — the plumbing, assignment, and probe are the real
+    // thing); every vector is assigned to its max-cosine centroid; the
+    // query (vec_id=0) probes only its own bucket. Centroid list is a
+    // broadcast; assignment is a narrow per-row argmax over 8 structs.
+    "q_sim_ann_ivf" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"),
+          array_max(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("bucket"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      assigned
+        .where(col("vec_id") >= NCentroids && col("bucket") === 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rn") <= 10)
+    })
+  )
+
+  /** Unnested (vec_id, i, x) view of embeddings — DuckDB side. */
+  private val eSql =
+    """e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)""".stripMargin
+
+  private def cosSql(a: String, b: String) =
+    s"round(sum($a.x * $b.x) / (sqrt(sum($a.x * $a.x)) * sqrt(sum($b.x * $b.x))), 6)"
+
+  /** Hyperplane components as a VALUES relation (p, i 1-based, h). */
+  private val hpSql: String = {
+    val rows = for {
+      (plane, p) <- Planes.zipWithIndex
+      (h, i) <- plane.zipWithIndex
+    } yield s"($p,${i + 1},$h)"
+    s"hp AS (SELECT * FROM (VALUES ${rows.mkString(",")}) v(p, i, h))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_embed_cosine" ->
+      s"""WITH $eSql
+         |SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosSql("a", "b")} AS cos
+         |FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+         |GROUP BY 1, 2
+         |HAVING ${cosSql("a", "b")} >= $NearDupThreshold""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      s"""WITH $eSql,
+         |$hpSql,
+         |bits AS (
+         |  SELECT vec_id, p, CASE WHEN sum(x * h) >= 0 THEN 1 ELSE 0 END AS b
+         |  FROM e JOIN hp USING (i) GROUP BY vec_id, p),
+         |bks AS (
+         |  SELECT vec_id, p // ${NPlanes / Bands} AS band,
+         |    sum(b * (1 << (${NPlanes / Bands - 1} - (p % ${NPlanes / Bands})))) AS bucket
+         |  FROM bits GROUP BY vec_id, p // ${NPlanes / Bands}),
+         |pairs AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bks x JOIN bks y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosSql("a", "b")} AS cos
+         |FROM e a JOIN e b ON a.i = b.i
+         |JOIN pairs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |GROUP BY 1, 2
+         |HAVING ${cosSql("a", "b")} >= $NearDupThreshold""".stripMargin,
+
+    "q_sim_ann_ivf" ->
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |q AS (SELECT i, x FROM e WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos
+         |  FROM e JOIN q USING (i)
+         |  JOIN bucket bk ON bk.vec_id = e.vec_id AND bk.bucket = 0
+         |  WHERE e.vec_id >= $NCentroids GROUP BY 1)
+         |SELECT vec_id, cos, rn FROM (
+         |  SELECT vec_id, cos,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin
+  )
+}
