@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.LlmOps.queries ++
       graft.queries.SimSearch.queries ++
+      graft.queries.Media.queries ++
       graft.queries.Reference.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Scalars.oracle ++
       graft.queries.LlmOps.oracle ++
       graft.queries.SimSearch.oracle ++
+      graft.queries.Media.oracle ++
       graft.queries.Reference.oracle
 }

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns: opaque `binary` payloads with
+  * typed metadata, processed through typed `Dataset[T]` stages.
+  *
+  * The decode step is a STUB — this container ships no codec libraries, so
+  * `decodeStub` fabricates deterministic metadata from the payload bytes.
+  * Everything around it is the real 100 TB plumbing: case-class encoders,
+  * per-partition batch iteration (`mapPartitions` — one codec context per
+  * partition, not per row), generator fan-out for frame sampling, and
+  * hash-derived feature vectors. A production build swaps `decodeStub` for a
+  * JNI/codec call without touching any plan shape.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
+                          width: Int, height: Int, checksum: Long)
+  case class Frame(media_id: Long, frame_no: Int, byte_offset: Long)
+
+  /** STUB decode (the ??? of this container): deterministic pseudo-metadata
+    * from the first payload bytes. Replace with a real codec at deploy time.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    (64 + b0 % 64, 64 + b1 % 64)
+  }
+
+  /** Decode a media Dataset: per-partition batch loop so a real codec pays
+    * its init cost once per partition. Output stays a typed Dataset —
+    * downstream relational ops get a full schema.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open codec context here, close after the iterator drains
+      rows.map { m =>
+        val (w, h) = decodeStub(m.bytes)
+        DecodedMedia(m.media_id, m.kind, m.bytes.length.toLong, w, h,
+          Vectors.md5Long(new String(m.bytes, "UTF-8")))
+      }
+    }
+  }
+
+  /** Frame sampling: one row per 256-byte "frame" (stub granularity) —
+    * generator semantics (flatMap ≡ explode) with bounded fan-out.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = (m.bytes.length + frameBytes - 1) / frameBytes
+      (0 until n).map(i => Frame(m.media_id, i, i.toLong * frameBytes))
+    }
+  }
+
+  /** Hash-derived feature vector (stub for a learned embedding): `dim`
+    * md5-hash floats in [0,1) from the payload. Pure Column expressions —
+    * codegen-friendly, no UDF.
+    */
+  def features(bytesCol: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column =
+    array((0 until dim).map { i =>
+      (graft.ops.Core.md5Hash64(concat(lit(s"f$i|"), bytesCol.cast("string"))) % 1000000L)
+        .cast("double") / 1000000.0
+    }: _*)
+
+  /** Documents → media table adapter: UTF-8 payloads standing in for real
+    * image/audio bytes (the fixtures ship no binary media), typed via the
+    * MediaRow encoder.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("bytes")
+    ).as[MediaRow]
+  }
+}

@@ -21,13 +21,17 @@ object Scoring {
   def topK(scores: Column, k: Int): Column =
     slice(sort_array(scores, asc = false), 1, k)
 
-  /** Harmonic fold Σ sᵢ/i² over an already rank-ordered array. */
+  /** Harmonic fold Σ sᵢ/i² over an already rank-ordered array.
+    * Empty/null guard: sequence(1, 0) would flip to a DESCENDING [1,0] and
+    * zip_with would null-pad, poisoning the fold — so empty folds to 0.
+    */
   def harmonicFold(sorted: Column): Column =
-    aggregate(
-      zip_with(sorted, sequence(lit(1), size(sorted)), (e, i) => e / pow(i, lit(2))),
-      lit(0.0),
-      (acc, el) => acc + el
-    )
+    when(size(sorted) > 0,
+      aggregate(
+        zip_with(sorted, sequence(lit(1), size(sorted)), (e, i) => e / pow(i, lit(2))),
+        lit(0.0),
+        (acc, el) => acc + el
+      )).otherwise(lit(0.0))
 
   /** Full reference scoring of a collected score array: top-K then fold. */
   def harmonicTopK(scores: Column, k: Int = 100): Column =

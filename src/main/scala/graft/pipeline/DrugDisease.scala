@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Scoring}
+
+/** The reference engine's full pipeline (SURVEY.md §3; sc:341-516),
+  * re-expressed as named, unit-testable `DataFrame => DataFrame` stages.
+  *
+  * Input column contracts are the reference's loader projections
+  * (platformDataBackendDrugDiseaseSimilarity.sc:15-289); every stage is pure
+  * plan composition — nothing executes until a sink action. Caches are placed
+  * at exactly the multi-consumer nodes (the reference missed two: `evs` and
+  * `associations`, re-computed per sink — SURVEY §3.2).
+  *
+  * Scale notes per stage are inline; the pipeline's wide stages are the
+  * adjacency groupBy, the association groupBy (bounded by top-K slice), the
+  * pivot (explicit value list — no distinct-values driver job), and the
+  * bundle joins (dimension sides broadcast-eligible).
+  */
+object DrugDisease {
+
+  /** Network LUT build (sc:44-74): undirect edge list, translate accession →
+    * gene id on both endpoints, collapse to adjacency.
+    *
+    * edges: (A, B) accession pairs; genes: (accession, id).
+    * Output: (target_id, neighbours array<id>, degree, degree_approx).
+    * genes is small → broadcast both joins (the reference relied on .cache +
+    * whatever join Spark 2.4 picked; we pin broadcast).
+    */
+  def networkLut(edges: DataFrame, genes: DataFrame): DataFrame = {
+    val und = Graph.undirect(edges.select(col("A"), col("B")))
+    val g = broadcast(genes.select(col("accession"), col("id")))
+    val translated = und
+      .join(g, und("A") === g("accession"))
+      .select(col("id").as("A_id"), col("B"))
+      .join(g, col("B") === g("accession"))
+      .select(col("A_id"), col("id").as("B_id"))
+    Graph.adjacency(translated.toDF("src", "dst"))
+      .withColumnRenamed("src", "target_id")
+  }
+
+  /** Disease ontology (sc:169-187): ancestors = flatten of path_codes
+    * (array_distinct replaces the reference's flatten+toSet UDF, sc:171-176 —
+    * built-in, codegen-friendly), descendants = explode-invert-collect.
+    *
+    * diseases: (id, path_codes array<array<string>>).
+    * Output: (id, ancestors, descendants) — every disease is its own
+    * ancestor/descendant (inner join is safe, sc:181).
+    */
+  def diseaseOntology(diseases: DataFrame): DataFrame = {
+    val withAnc = diseases
+      .select(col("id"), array_distinct(flatten(col("path_codes"))).as("ancestors"))
+      .where(size(col("ancestors")) > 0)
+    val desc = Graph.invertClosure(withAnc, "id", "ancestors")
+      .withColumnRenamed("ancestor", "id")
+    withAnc.join(desc, Seq("id"))
+  }
+
+  /** Per-evidence source scores (sc:433-437): pivot datasource → one column
+    * per source, missing → 0. Explicit value list skips the distinct-values
+    * driver job the reference paid for.
+    *
+    * evidences: (evs_id, datasource, score). Output: (evs_id, <src>...).
+    */
+  def evidenceScores(evidences: DataFrame, datasources: Seq[String]): DataFrame =
+    evidences
+      .groupBy(col("evs_id"))
+      .pivot("datasource", datasources)
+      .agg(first(col("score")))
+      .na.fill(0.0)
+
+  /** 1-hop reflexive propagation (sc:448-450, 462-464): each evidence row
+    * fans out to the target's neighbourhood ∪ {itself}. neighbours side comes
+    * from networkLut.
+    */
+  def propagate(evs: DataFrame, lut: DataFrame): DataFrame =
+    evs
+      .join(lut.select(col("target_id"), col("neighbours")), Seq("target_id"))
+      .withColumn("propagated_id",
+        explode(array_union(col("neighbours"), array(col("target_id")))))
+      .drop("neighbours")
+
+  /** Association scoring (sc:293-338): group by the association keys,
+    * per-source top-100 harmonic folds, literature ×0.2 cross-source combine,
+    * threshold. The collect_list is bounded by the top-K slice — at scale the
+    * shuffle carries at most K scores per (keys, source).
+    *
+    * Input needs columns: keys..., evs_id, genetics, europepmc.
+    */
+  def makeAssociations(evs: DataFrame, keys: Seq[Column],
+                       threshold: Double = 0.1): DataFrame =
+    evs
+      .groupBy(keys: _*)
+      .agg(
+        count(col("evs_id")).as("evidence_count"),
+        Scoring.topK(collect_list(col("genetics")), 100).as("genetics_topk"),
+        Scoring.topK(collect_list(col("europepmc")), 100).as("europepmc_topk"))
+      .withColumn("harmonic_genetics", Scoring.harmonicFold(col("genetics_topk")))
+      .withColumn("harmonic_europepmc", Scoring.harmonicFold(col("europepmc_topk")))
+      .withColumn("harmonic",
+        Scoring.harmonicCombine(col("harmonic_genetics"), col("harmonic_europepmc")))
+      .where(col("harmonic") > threshold)
+      .drop("genetics_topk", "europepmc_topk")
+
+  /** Drugs-for-disease bundle (sc:385-400): drugs ⟕ AE profiles ⟖
+    * aggregations (right outer keeps aggregation rows without a drug record —
+    * the reference's one right join, J8), nested per disease.
+    *
+    * drugs: (drug_id, drug_name, max_clinical_trial_phase, indication_ids
+    * array); aesByDrug: (drug_id, aes array<struct>); aggregations:
+    * (drug_id, disease_id).
+    * Output: (disease_id, drugs_for_disease array<struct>).
+    */
+  def drugsForDisease(drugs: DataFrame, aesByDrug: DataFrame,
+                      aggregations: DataFrame): DataFrame =
+    drugs
+      .join(aesByDrug, Seq("drug_id"), "left_outer")
+      .join(aggregations, Seq("drug_id"), "right_outer")
+      .groupBy(col("disease_id"))
+      .agg(collect_list(struct(
+        col("drug_id"), col("drug_name"),
+        col("max_clinical_trial_phase"), col("aes"))).as("drugs_for_disease"))
+
+  /** Drugs-by-mechanism-of-action bundle (sc:407-421): explode each drug's
+    * MoA target list, nest per target, decorate with target-level AE
+    * profiles.
+    *
+    * drugs: (drug_id, drug_name, target_ids array<string>, ...);
+    * aesByTarget: (target_id, aes array<struct>).
+    * Output: (target_id, drugs_for_target array<struct>, target_aes).
+    */
+  def drugsForTarget(drugs: DataFrame, aesByTarget: DataFrame): DataFrame =
+    drugs
+      .where(size(col("target_ids")) > 0)
+      .withColumn("target_id", explode(col("target_ids")))
+      .groupBy(col("target_id"))
+      .agg(collect_list(struct(col("drug_id"), col("drug_name"))).as("drugs_for_target"))
+      .join(aesByTarget.withColumnRenamed("aes", "target_aes"),
+        Seq("target_id"), "left_outer")
+
+  /** New-drug hypotheses (sc:457-472): drugs reaching the target minus drugs
+    * already used for the disease — array_except ≡ anti-join at the array
+    * level (U6).
+    *
+    * associations decorated with drugs_for_disease / drugs_for_target structs.
+    */
+  def newDrugs(assoc: DataFrame): DataFrame =
+    assoc
+      .withColumn("new_drugs",
+        array_except(
+          col("drugs_for_target.drug_id"),
+          coalesce(col("drugs_for_disease.drug_id"), array().cast("array<string>"))))
+      .withColumn("new_drugs_size", size(col("new_drugs")).cast("long"))
+      .where(col("new_drugs_size") > 0)
+
+  /** AE-profile containment score (sc:499-509): per hypothesis drug,
+    * asymmetric differences vs the disease AE profile, blend 0.4/0.6.
+    * Null/empty guards follow the reference: division by zero → null →
+    * dropped by the final filter.
+    */
+  def aeSimilarity(drugAes: Column, diseaseAes: Column): Column = {
+    val d1 = size(array_except(drugAes, diseaseAes)).cast("double")
+    val d2 = size(array_except(diseaseAes, drugAes)).cast("double")
+    val s1 = lit(1.0) - d1 / size(drugAes).cast("double")
+    val s2 = lit(1.0) - d2 / size(diseaseAes).cast("double")
+    lit(0.4) * s1 + lit(0.6) * s2
+  }
+
+  /** Hypothesis scoring (sc:478-511): explode new_drugs, join each candidate
+    * drug's AE profile (cached LUT — broadcast-eligible), score containment
+    * vs the disease profile, keep > 0.
+    *
+    * hyp: (disease_id, target_id, new_drugs array<string>, disease_aes);
+    * drugAeLut: (drug_id, aes).
+    */
+  def scoreHypotheses(hyp: DataFrame, drugAeLut: DataFrame): DataFrame = {
+    val lut = broadcast(drugAeLut.select(col("drug_id"), col("aes")))
+    hyp
+      .withColumn("drug_hypothesis", explode(col("new_drugs")))
+      .join(lut, col("drug_hypothesis") === lut("drug_id"), "left_outer")
+      .withColumn("drug_hypothesis_disease_aes_score",
+        aeSimilarity(col("aes"), col("disease_aes")))
+      .where(col("drug_hypothesis_disease_aes_score") > 0.0)
+      .drop("drug_id")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Core
+import graft.llm.Multimodal
+
+/** Multimodal-column queries: binary payloads + typed metadata through the
+  * Dataset stages in graft.llm.Multimodal. Payloads are UTF-8 document text
+  * standing in for real media bytes (see Multimodal scaladoc — the decode is
+  * a deterministic stub, the plumbing is real), which is what lets DuckDB
+  * oracle-check the whole path.
+  */
+object Media {
+  import Core.table
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Typed mapPartitions decode: media_id/kind/bytes -> full metadata row.
+    "q_media_decode" -> ((s, d) =>
+      Multimodal.decode(Multimodal.mediaFromDocuments(s, table(s, d, "documents")))
+        .toDF()),
+
+    // Generator fan-out: one row per 256-byte frame.
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, table(s, d, "documents")))
+        .toDF()),
+
+    // Hash-derived feature vector (stub embedding), exploded to columns.
+    "q_media_features" -> ((s, d) => {
+      val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
+      table(s, d, "documents").select(
+        col("doc_id").as("media_id") +:
+          (0 until 4).map(i => round(f.getItem(i), 6).as(s"f$i")): _*)
+    })
+  )
+
+  private def h(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_media_decode" ->
+      s"""SELECT doc_id AS media_id, 'image' AS kind,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+         |  CAST(64 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+         |  ${h("text")} AS checksum
+         |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT media_id, frame_no, CAST(frame_no * 256 AS BIGINT) AS byte_offset
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    CAST(unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) - 1)) AS INTEGER) AS frame_no
+        |  FROM documents)""".stripMargin,
+
+    "q_media_features" -> {
+      val cols = (0 until 4)
+        .map(i => s"round((${h(s"'f$i|' || text")} % 1000000) / 1000000.0, 6) AS f$i")
+        .mkString(",\n  ")
+      s"""SELECT doc_id AS media_id,
+         |  $cols
+         |FROM documents""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (SURVEY §2.1, S1-S7).
+  *
+  * The reference inferred every JSON schema (12 call sites, sc:15-378) —
+  * a full extra pass over each input. We require an explicit StructType:
+  * deterministic types, no inference job, and corrupt-record capture become
+  * possible. Parquet keeps footer-driven schema (vectorized reader).
+  */
+object Sources {
+
+  /** S1 — newline-delimited JSON scan with explicit schema. Malformed rows
+    * land in `_corrupt_record` (PERMISSIVE) instead of poisoning the job.
+    */
+  def json(spark: SparkSession, path: String, schema: StructType,
+           columnNameOfCorruptRecord: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", columnNameOfCorruptRecord)
+      .json(path)
+
+  /** S2/S3 — parquet scan; Hadoop glob patterns in `path` expand natively. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S6 — optional source: presence of the path switches pipeline mode
+    * (whitelist pattern, sc:377-378).
+    */
+  def optionalJson(spark: SparkSession, path: Option[String],
+                   schema: StructType): Option[DataFrame] =
+    path.filter(_.nonEmpty).map(p => json(spark, p, schema))
+
+  /** S4 — parquet sink; `partitionBy` buys partition pruning for downstream
+    * readers (the reference wrote a single unpartitioned directory, sc:476).
+    */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S5 — JSON-lines sink (nested arrays/structs serialize to JSON, sc:511). */
+  def writeJson(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming capability layer (an extension over the reference,
+  * which is batch-only — SURVEY §2.10): the batch operators' streaming twins.
+  *
+  * Scale notes: windowed aggs shuffle on (window, key) exactly like a batch
+  * groupBy; the watermark bounds state size — without it the window state
+  * grows forever at 100 TB/day. Stateful sessionization keys state by user —
+  * state store partitions follow the shuffle partitioning.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregation over an event stream
+    * (ts timestamp, event_type string, value double). Append-mode safe:
+    * windows finalize once the watermark passes.
+    */
+  def windowedCounts(events: DataFrame,
+                     delay: String = "10 minutes",
+                     win: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, value: Double)
+  case class RunningState(n: Long, total: Double)
+  case class RunningSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via flatMapGroupsWithState: running event count +
+    * value total per user, emitted once per micro-batch per updated key.
+    * State survives across micro-batches (and restarts, via checkpoint).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[RunningSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RunningState]) =>
+          val s0 = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var n = s0.n
+          var total = s0.total
+          batch.foreach { e => n += 1; total += e.value }
+          state.update(RunningState(n, total))
+          Iterator(RunningSnapshot(userId, n, total))
+      }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH/Jaccard near-dup semantics over tiny literal corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seeds = 0 until 8
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words appear in this one here"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("identical docs share identical minhash signatures") {
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text", 3, seeds)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("LSH pairs up exact duplicates with est_jaccard 1.0") {
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text", 3, seeds)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("exact trigram jaccard for verified pairs") {
+    // doc1/doc2 trigram sets: 7 shingles each, 6 shared -> 6 / 8 = 0.75
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L)).toDF("doc1", "doc2")
+    val j = Dedup.jaccardForPairs(pairs, sh, "doc_id").as[(Long, Long, Double)].head()
+    assert(j == ((1L, 2L, 0.75)))
+  }
+
+  test("all-pairs jaccard agrees with the pairwise path and filters by threshold") {
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(all((1L, 2L)) == 0.75)
+    assert(all((1L, 4L)) == 1.0)
+    assert(!all.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+}

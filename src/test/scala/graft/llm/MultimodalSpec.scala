@@ -1,0 +1,39 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Typed-Dataset multimodal plumbing: decode batch shape, frame fan-out,
+  * deterministic stub metadata.
+  */
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  private def mediaDs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      MediaRow(1L, "image", Array.fill(300)('a'.toByte)),
+      MediaRow(2L, "image", "hello".getBytes("UTF-8")),
+      MediaRow(3L, "image", Array.emptyByteArray)
+    ).toDS()
+  }
+
+  test("decode yields deterministic stub metadata per row") {
+    val out = decode(mediaDs).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).n_bytes == 300L)
+    assert(out(1L).width == 64 + ('a'.toInt % 64))
+    assert(out(2L).height == 64 + ('e'.toInt % 64))
+    assert(out(3L).width == 64 && out(3L).height == 64 && out(3L).n_bytes == 0L)
+    // determinism: same payload -> same checksum
+    assert(decode(mediaDs).collect().map(_.checksum).toSeq ==
+      out.values.toSeq.sortBy(_.media_id).map(_.checksum))
+  }
+
+  test("frame sampling fans out ceil(n/256) rows with byte offsets") {
+    val frames = sampleFrames(mediaDs).collect().groupBy(_.media_id)
+    assert(frames(1L).map(f => (f.frame_no, f.byte_offset)).sorted.toSeq ==
+      Seq((0, 0L), (1, 256L)))
+    assert(frames(2L).length == 1)
+    assert(!frames.contains(3L)) // empty payload -> no frames
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming semantics through MemoryStream micro-batches: watermarked
+  * window finalization and cross-batch state retention.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates tumbling windows per event_type") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"), delay = "10 minutes", win = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(7), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(5), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("runningTotals keeps per-user state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Streams.Event(1L, 2.0), Streams.Event(1L, 3.0), Streams.Event(2L, 10.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(1L, 5.0)) // second micro-batch: state must carry
+      q.processAllAvailable()
+      val latest = spark.table("running_totals")
+        .as[Streams.RunningSnapshot].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+      assert(latest(1L) == Streams.RunningSnapshot(1L, 3L, 10.0))
+      assert(latest(2L) == Streams.RunningSnapshot(2L, 1L, 10.0))
+    } finally q.stop()
+  }
+}
