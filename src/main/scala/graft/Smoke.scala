@@ -7,11 +7,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.headOption match {
@@ -22,7 +24,11 @@ object Smoke {
       case Some(name) =>
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
         val df = SparkEntry.queries(name)(spark, sfDir)
-        println(s"QUERY=$name ROWS=${df.count()}")
+        for (run <- 1 to args.lift(2).map(_.toInt).getOrElse(1)) {
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(s"QUERY=$name RUN=$run ROWS=$n SEC=${(System.nanoTime() - t0) / 1e9}")
+        }
         df.show(10, truncate = false)
         df.explain("formatted")
     }

@@ -30,10 +30,17 @@ object Dedup {
     * external SQL engine can reproduce signatures bit-for-bit.
     */
   def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, seeds: Seq[Int]): DataFrame = {
+                  n: Int, seeds: Seq[Int]): DataFrame =
+    minhashSigsFromShingles(shingleTable(docs, idCol, textCol, n), idCol, seeds)
+
+  /** Signature aggregation over an existing (id, w) shingle table — lets a
+    * pipeline share one (possibly cached) shingle explode between the
+    * signature build and the exact-Jaccard verify.
+    */
+  def minhashSigsFromShingles(sh: DataFrame, idCol: String, seeds: Seq[Int]): DataFrame = {
     val mins = seeds.map(i =>
       min(Core.md5Hash64(concat(lit(s"$i|"), col("w")))).as(s"mh$i"))
-    shingleTable(docs, idCol, textCol, n).groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs from a signature table: `bands` bands of

@@ -28,7 +28,21 @@ object Vectors {
 
   /** Dot product against a constant integer vector (an LSH hyperplane). */
   def dotConst(v: Column, c: Seq[Int]): Column =
-    aggregate(zip_with(v, typedLit(c), (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
+    dotFast(v, typedLit(c.map(_.toDouble)))
+
+  /** Codegen'd dot product via the native graft.functions.DotProduct
+    * expression — a tight primitive loop, no per-element lambda dispatch and
+    * no intermediate array. Use on hot paths (all-pairs cosine, LSH plane
+    * signatures); the HOF `dot` stays as the pure-builtin form.
+    */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.dotFast(a, b)
+
+  /** Unit-normalize a double vector; pair with dotFast for cheap cosine. */
+  def normalize(v: Column): Column = {
+    val n = norm(v)
+    transform(v, x => x / n)
+  }
 
   /** First 15 hex chars of md5 as a non-negative long — the Scala-side twin
     * of graft.ops.Core.md5Hash64, used to precompute constants that both the

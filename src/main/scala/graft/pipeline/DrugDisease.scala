@@ -83,8 +83,10 @@ object DrugDisease {
 
   /** Association scoring (sc:293-338): group by the association keys,
     * per-source top-100 harmonic folds, literature ×0.2 cross-source combine,
-    * threshold. The collect_list is bounded by the top-K slice — at scale the
-    * shuffle carries at most K scores per (keys, source).
+    * threshold. graft.functions.TopKAgg bounds the aggregation buffer to K
+    * scores on the map side — the shuffle carries at most K doubles per
+    * (group, partition), where collect_list+slice would ship every evidence
+    * row before truncating.
     *
     * Input needs columns: keys..., evs_id, genetics, europepmc.
     */
@@ -94,8 +96,8 @@ object DrugDisease {
       .groupBy(keys: _*)
       .agg(
         count(col("evs_id")).as("evidence_count"),
-        Scoring.topK(collect_list(col("genetics")), 100).as("genetics_topk"),
-        Scoring.topK(collect_list(col("europepmc")), 100).as("europepmc_topk"))
+        graft.functions.TopKAgg.topK(col("genetics"), 100).as("genetics_topk"),
+        graft.functions.TopKAgg.topK(col("europepmc"), 100).as("europepmc_topk"))
       .withColumn("harmonic_genetics", Scoring.harmonicFold(col("genetics_topk")))
       .withColumn("harmonic_europepmc", Scoring.harmonicFold(col("europepmc_topk")))
       .withColumn("harmonic",

@@ -57,14 +57,17 @@ object LlmOps {
       Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
     }),
 
-    // Full near-dup pipeline: LSH candidates → exact trigram Jaccard.
+    // Full near-dup pipeline: LSH candidates → exact trigram Jaccard. The
+    // shingle explode is computed once and cached — signatures, sizes, and
+    // the intersection join all reuse it (5 consumers otherwise).
     "q_dedup_jaccard_verify" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val sigs = Dedup.minhashSigs(docs, "doc_id", "text", 3, MinhashSeeds).cache()
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
+      val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", MinhashSeeds)
       val pairs = Dedup
         .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
         .select(col("doc1"), col("doc2"))
-      Dedup.jaccardForPairs(pairs, Dedup.shingleTable(docs, "doc_id", "text", 3), "doc_id")
+      Dedup.jaccardForPairs(pairs, sh, "doc_id")
     }),
 
     // SimHash fingerprint (16-bit) — near-dup families share fingerprints.

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
 import graft.ops.{Core, Graph, Scoring}
 
 /** Reference-pipeline semantics (SURVEY.md §2.4-2.8, §3) re-expressed over
@@ -17,8 +18,10 @@ object Reference {
     // THE flagship: the reference's association scoring (sc:293-338,433-437)
     // — per-evidence source scores (pivot+fill-0 shape), groupBy association
     // keys, per-source top-100 harmonic folds, weighted cross-source combine
-    // (literature ×0.2, re-ranked), threshold filter. One shuffle to the
-    // association keys; collect_list bounded by the top-K slice.
+    // (literature ×0.2, re-ranked), threshold filter. The bounded TopKAgg
+    // keeps at most 100 scores in the map-side buffer, so the association
+    // shuffle carries K doubles per (group, partition) — not every evidence
+    // row (collect_list+slice would truncate only AFTER the exchange).
     "q_ref_associations" -> ((s, d) => {
       val li = table(s, d, "lineitem")
       val o = table(s, d, "orders")
@@ -34,15 +37,15 @@ object Reference {
       evs.groupBy(col("target_id"), col("disease_id"))
         .agg(
           count(lit(1)).as("evidence_count"),
-          collect_list(col("genetics")).as("g_scores"),
-          collect_list(col("europepmc")).as("l_scores")
+          TopKAgg.topK(col("genetics"), 100).as("g_topk"),
+          TopKAgg.topK(col("europepmc"), 100).as("l_topk")
         )
         .select(
           col("target_id"), col("disease_id"), col("evidence_count"),
           round(
             Scoring.harmonicCombine(
-              Scoring.harmonicTopK(col("g_scores"), 100),
-              Scoring.harmonicTopK(col("l_scores"), 100)
+              Scoring.harmonicFold(col("g_topk")),
+              Scoring.harmonicFold(col("l_topk"))
             ), 6).as("harmonic")
         )
         .where(col("harmonic") > 0.1)

@@ -30,18 +30,26 @@ object SimSearch {
     table(s, d, "embeddings")
       .select(col("vec_id"), Vectors.vecD(col("embedding")).as("v"))
 
+  /** (vec_id, vn) with vn unit-normalized ONCE — the n² pair loop then pays
+    * one codegen'd dot per pair instead of dot + two norms.
+    */
+  private def normEmbeds(s: SparkSession, d: String): DataFrame =
+    embeds(s, d)
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-dup, brute force: all pairs >= threshold. The
     // O(n^2) ground truth the LSH variant must approximate — small-input /
-    // verification path only; at scale use q_sim_ann_lsh.
+    // verification path only; at scale use q_sim_ann_lsh. Native DotProduct
+    // expression keeps the 12.5M-pair loop inside whole-stage codegen.
     "q_dedup_embed_cosine" -> ((s, d) => {
-      val e = embeds(s, d)
-      e.as("x")
-        .join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .select(
-          col("x.vec_id").as("v1"),
-          col("y.vec_id").as("v2"),
-          round(Vectors.cosine(col("x.v"), col("y.v")), 6).as("cos"))
+      val e = normEmbeds(s, d)
+      e.select(col("vec_id").as("v1"), col("vn").as("a"))
+        .join(e.select(col("vec_id").as("v2"), col("vn").as("b")),
+          col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
         .where(col("cos") >= NearDupThreshold)
     }),
 
@@ -72,11 +80,12 @@ object SimSearch {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
         .distinct()
+      val en = normEmbeds(s, d)
       pairs
-        .join(e.as("a"), col("v1") === col("a.vec_id"))
-        .join(e.as("b"), col("v2") === col("b.vec_id"))
+        .join(en.select(col("vec_id").as("v1"), col("vn").as("a")), Seq("v1"))
+        .join(en.select(col("vec_id").as("v2"), col("vn").as("b")), Seq("v2"))
         .select(col("v1"), col("v2"),
-          round(Vectors.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
         .where(col("cos") >= NearDupThreshold)
     }),
 
