@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session/codegen/scheduler init otherwise lands on
+    // whichever query happens to run first.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     // noop sink: forces full materialization of every output column (count()
     // would let Catalyst prune unused projections and under-measure).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -25,9 +25,20 @@ object Dedup {
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("w")
     )
 
+  /** Universal-hash MinHash family: member i maps a base 31-bit hash h to
+    * (Ai·h + Bi) mod P, P = 2³¹−1. One md5 per shingle feeds every family
+    * member (a per-seed md5 would multiply the dominant hashing cost by the
+    * signature width); constants are hash-derived so any engine reproduces
+    * the family. All arithmetic stays under 2⁶² — no 64-bit overflow on
+    * either engine.
+    */
+  val P: Long = 2147483647L
+  def hashA(i: Int): Long = Vectors.md5Long(s"mha|$i") % (P - 1) + 1
+  def hashB(i: Int): Long = Vectors.md5Long(s"mhb|$i") % P
+
   /** MinHash signature table: (doc_id, mh0..mh{k-1}) over distinct word
-    * n-gram shingles. Hash family is the portable md5-based hash64 so an
-    * external SQL engine can reproduce signatures bit-for-bit.
+    * n-gram shingles. Portable md5-based base hash so an external SQL
+    * engine can reproduce signatures bit-for-bit.
     */
   def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, seeds: Seq[Int]): DataFrame =
@@ -35,12 +46,15 @@ object Dedup {
 
   /** Signature aggregation over an existing (id, w) shingle table — lets a
     * pipeline share one (possibly cached) shingle explode between the
-    * signature build and the exact-Jaccard verify.
+    * signature build and the exact-Jaccard verify. The base hash is
+    * materialized as its own column so it is computed once per shingle, not
+    * once per family member.
     */
   def minhashSigsFromShingles(sh: DataFrame, idCol: String, seeds: Seq[Int]): DataFrame = {
     val mins = seeds.map(i =>
-      min(Core.md5Hash64(concat(lit(s"$i|"), col("w")))).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min((lit(hashA(i)) * col("hw") + lit(hashB(i))) % P).as(s"mh$i"))
+    sh.select(col(idCol), (Core.md5Hash64(col("w")) % P).as("hw"))
+      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs from a signature table: `bands` bands of

@@ -37,19 +37,25 @@ object TextOps {
   def minhash(tokenArr: Column, seed: Int): Column =
     array_min(transform(tokenArr, t => Core.md5Hash64(concat(lit(s"$seed|"), t))))
 
-  /** SimHash over a token array with `bits` output bits: for each bit b the
-    * sign of Σ_tokens (bit b of hash(token) ? +1 : -1), packed into a long.
+  /** Token hash array — materialize this as its own column (projection
+    * boundary) before fanning out to many consumers: Catalyst re-evaluates a
+    * repeated non-attribute subexpression per reference, so 16 simhash bit
+    * votes over an inline `transform` would do 16× the md5 work.
     */
-  def simhash(tokenArr: Column, bits: Int): Column = {
-    val hashes = transform(tokenArr, t => Core.md5Hash64(t))
-    val bitCols = (0 until bits).map { b =>
+  def tokenHashes(tokenArr: Column): Column =
+    transform(tokenArr, t => Core.md5Hash64(t))
+
+  /** SimHash with `bits` output bits over a materialized hash-array column:
+    * for each bit b the sign of Σ_tokens (bit b of hash ? +1 : -1), packed
+    * into a long.
+    */
+  def simhashOfHashes(hashes: Column, bits: Int): Column =
+    (0 until bits).map { b =>
       val vote = aggregate(
         hashes,
         lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
       )
       when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 }

@@ -22,6 +22,12 @@ object LlmOps {
   def sqlHash64(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** DuckDB rendition of Dedup's universal-hash MinHash member i over the
+    * exploded shingle column w — same constants as the Spark side.
+    */
+  def mhSql(i: Int): String =
+    s"(${Dedup.hashA(i)} * (${sqlHash64("w")} % ${Dedup.P}) + ${Dedup.hashB(i)}) % ${Dedup.P}"
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Marker-word profiles for the language-ID heuristic. */
@@ -71,9 +77,12 @@ object LlmOps {
     }),
 
     // SimHash fingerprint (16-bit) — near-dup families share fingerprints.
+    // Hash array materialized once; 16 bit votes read the attribute.
     "q_dedup_simhash" -> ((s, d) => {
       table(s, d, "documents")
-        .select(col("doc_id"), TextOps.simhash(TextOps.tokenSet(col("text")), 16).as("simhash16"))
+        .select(col("doc_id"),
+          TextOps.tokenHashes(TextOps.tokenSet(col("text"))).as("hashes"))
+        .select(col("doc_id"), TextOps.simhashOfHashes(col("hashes"), 16).as("simhash16"))
     }),
 
     // Text quality stats: token counts, mean token length, stopword ratio.
@@ -126,16 +135,19 @@ object LlmOps {
     // fp_min / fp_xor. A Karp-Rabin rolling hash is the constant-factor
     // variant of the same operator (same selection semantics).
     "q_text_fingerprint" -> ((s, d) => {
-      val hashes = transform(TextOps.shingles(col("text"), 5),
-        w => Core.md5Hash64(w))
-      val selected = filter(hashes, h => h % 16 === 0)
+      // hashes and the sampled selection materialize as columns so the
+      // md5-per-shingle work runs once, not once per consuming aggregate
       table(s, d, "documents")
         .where(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"),
+          transform(TextOps.shingles(col("text"), 5), w => Core.md5Hash64(w)).as("hashes"))
+        .select(col("doc_id"), col("hashes"),
+          filter(col("hashes"), h => h % 16 === 0).as("selected"))
         .select(
           col("doc_id"),
-          array_min(hashes).as("fp_min"),
-          size(selected).cast("long").as("n_sel"),
-          aggregate(selected, lit(0L), (a, h) => a.bitwiseXOR(h)).as("fp_xor"))
+          array_min(col("hashes")).as("fp_min"),
+          size(col("selected")).cast("long").as("n_sel"),
+          aggregate(col("selected"), lit(0L), (a, h) => a.bitwiseXOR(h)).as("fp_xor"))
     }),
 
     // Brute-force cosine top-10 vs the vec_id=0 query vector — the exact
@@ -183,7 +195,7 @@ object LlmOps {
 
     "q_dedup_minhash_sig" -> {
       val mins = MinhashSeeds
-        .map(i => s"min(${sqlHash64(s"'$i|' || w")}) AS mh$i").mkString(",\n  ")
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(",\n  ")
       s"""SELECT doc_id, $mins
          |FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
          |GROUP BY doc_id""".stripMargin
@@ -191,7 +203,7 @@ object LlmOps {
 
     "q_dedup_minhash_pairs" -> {
       val mins = MinhashSeeds
-        .map(i => s"min(${sqlHash64(s"'$i|' || w")}) AS mh$i").mkString(", ")
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
       val bandRows = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
         .mkString("\n  UNION ALL\n  ")
@@ -215,7 +227,7 @@ object LlmOps {
 
     "q_dedup_jaccard_verify" -> {
       val mins = MinhashSeeds
-        .map(i => s"min(${sqlHash64(s"'$i|' || w")}) AS mh$i").mkString(", ")
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
       val bandRows = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
         .mkString("\n  UNION ALL\n  ")

@@ -19,7 +19,8 @@ class TextOpsSpec extends SparkSpec {
   test("simhash is deterministic and separates unrelated token sets") {
     val df = Seq("alpha beta gamma", "alpha beta gamma", "zeta eta theta iota")
       .toDF("text")
-      .select(TextOps.simhash(TextOps.tokenSet(col("text")), 16).as("h"))
+      .select(TextOps.tokenHashes(TextOps.tokenSet(col("text"))).as("hs"))
+      .select(TextOps.simhashOfHashes(col("hs"), 16).as("h"))
     val Array(h1, h2, h3) = df.as[Long].collect()
     assert(h1 == h2)
     assert(h1 != h3)

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Source/sink contracts (SURVEY §2.1): explicit-schema JSON with corrupt-
+  * record capture, optional-source mode switch, partitioned parquet with
+  * partition pruning, nested JSON sink roundtrip.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("score", DoubleType),
+    StructField("_corrupt_record", StringType)))
+
+  test("json reads with explicit schema and captures malformed rows") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(dir, "in.json")
+    Files.writeString(f.toPath,
+      """{"id":"a","score":0.5}
+        |not json at all
+        |{"id":"b","score":1.5}
+        |""".stripMargin)
+    // cache: Spark disallows querying ONLY the corrupt-record column of a
+    // raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val df = Sources.json(spark, f.getPath, schema).cache()
+    val good = df.where(col("_corrupt_record").isNull)
+      .select(col("id"), col("score")).as[(String, Double)].collect().toSet
+    assert(good == Set(("a", 0.5), ("b", 1.5)))
+    assert(df.where(col("_corrupt_record").isNotNull).count() == 1)
+  }
+
+  test("optionalJson switches pipeline mode on presence") {
+    assert(Sources.optionalJson(spark, None, schema).isEmpty)
+    assert(Sources.optionalJson(spark, Some(""), schema).isEmpty)
+  }
+
+  test("partitioned parquet sink enables partition pruning") {
+    val dir = Files.createTempDirectory("graft-parquet").toFile.getPath + "/out"
+    val df = Seq(("a", "2024", 1.0), ("b", "2025", 2.0), ("c", "2025", 3.0))
+      .toDF("id", "year", "v")
+    Sources.writeParquet(df, dir, partitionBy = Seq("year"))
+    val back = Sources.parquet(spark, dir).where(col("year") === "2025")
+    assert(back.select(col("id")).as[String].collect().toSet == Set("b", "c"))
+    // pruning visible in the plan: the scan carries a partition filter
+    assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("nested structs survive a JSON sink/scan roundtrip") {
+    val dir = Files.createTempDirectory("graft-jsonsink").toFile.getPath + "/out"
+    val df = Seq((1L, Seq(("e1", 2L), ("e2", 3L))))
+      .toDF("id", "events")
+      .withColumn("events", transform(col("events"),
+        s => struct(s.getField("_1").as("name"), s.getField("_2").as("n"))))
+    Sources.writeJson(df, dir)
+    val backSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("events", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("n", LongType)))))))
+    val back = Sources.json(spark, dir, backSchema)
+    val row = back.select(col("id"), col("events.name").as("names")).head()
+    assert(row.getLong(0) == 1L)
+    assert(row.getSeq[String](1) == Seq("e1", "e2"))
+  }
+}
