@@ -51,6 +51,54 @@ object Reference {
         .where(col("harmonic") > 0.1)
     }),
 
+    // The composed second half of the reference pipeline (sc:478-509) over
+    // the star schema: customer=disease, supplier=target, part=drug.
+    // "New drugs" = parts the supplier ships minus parts the customer
+    // already ordered (array_except), top-5 hypotheses per pair; AE-profile
+    // containment scores between part and customer priority profiles,
+    // 0.4/0.6 blend, threshold. Candidate generation is bounded BEFORE the
+    // pair join — 20 smallest part ids per supplier — so the (pair ×
+    // part-set) blowup ships 20 longs per pair, not the full set (the
+    // unbounded form moved ~75M candidate rows at sf0.1 and took 35s).
+    "q_pipeline_drug_disease" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      val lines = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"), col("l_partkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      val custParts = lines.where(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey"))
+        .agg(collect_set(col("l_partkey")).as("parts_dis"))
+      val suppParts = lines.where(col("o_orderstatus") === "F")
+        .groupBy(col("l_suppkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 20).as("parts_tgt"))
+      val pairs = lines.where(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+      val partAes = lines.groupBy(col("l_partkey"))
+        .agg(collect_set(col("o_orderpriority")).as("part_aes"))
+      val custAes = lines.groupBy(col("o_custkey"))
+        .agg(collect_set(col("o_orderpriority")).as("cust_aes"))
+      val s1 = lit(1.0) -
+        size(array_except(col("part_aes"), col("cust_aes"))).cast("double") /
+          size(col("part_aes"))
+      val s2 = lit(1.0) -
+        size(array_except(col("cust_aes"), col("part_aes"))).cast("double") /
+          size(col("cust_aes"))
+      pairs
+        .join(suppParts, Seq("l_suppkey"))
+        .join(custParts, Seq("o_custkey"), "left_outer")
+        .withColumn("new_parts",
+          slice(array_except(col("parts_tgt"),
+            coalesce(col("parts_dis"), array().cast("array<bigint>"))), 1, 5))
+        .where(size(col("new_parts")) > 0)
+        .withColumn("part_hypothesis", explode(col("new_parts")))
+        .join(partAes, col("part_hypothesis") === partAes("l_partkey"))
+        .join(custAes, Seq("o_custkey"))
+        .select(col("o_custkey"), col("l_suppkey"), col("part_hypothesis"),
+          round(lit(0.4) * s1 + lit(0.6) * s2, 6).as("ae_score"))
+        .where(col("ae_score") > 0.5)
+    }),
+
     // U2: unionByName across differently-ordered projections.
     "q_union_byname" -> ((s, d) => {
       val o = table(s, d, "orders")
@@ -164,6 +212,48 @@ object Reference {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_drug_disease" ->
+      """WITH lines AS (
+        |  SELECT o_custkey, l_suppkey, l_partkey, o_orderstatus, o_orderpriority
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cust_parts AS (
+        |  SELECT DISTINCT o_custkey, l_partkey FROM lines WHERE o_orderstatus = 'O'),
+        |supp_parts AS (
+        |  SELECT l_suppkey, l_partkey FROM (
+        |    SELECT l_suppkey, l_partkey,
+        |      row_number() OVER (PARTITION BY l_suppkey ORDER BY l_partkey) AS prn
+        |    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lines
+        |          WHERE o_orderstatus = 'F'))
+        |  WHERE prn <= 20),
+        |pairs AS (
+        |  SELECT DISTINCT o_custkey, l_suppkey FROM lines WHERE o_orderstatus = 'F'),
+        |new_parts AS (
+        |  SELECT p.o_custkey, p.l_suppkey, sp.l_partkey,
+        |    row_number() OVER (PARTITION BY p.o_custkey, p.l_suppkey
+        |      ORDER BY sp.l_partkey) AS rn
+        |  FROM pairs p JOIN supp_parts sp ON sp.l_suppkey = p.l_suppkey
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cust_parts cp
+        |    WHERE cp.o_custkey = p.o_custkey AND cp.l_partkey = sp.l_partkey)),
+        |part_aes AS (SELECT DISTINCT l_partkey, o_orderpriority FROM lines),
+        |cust_aes AS (SELECT DISTINCT o_custkey, o_orderpriority FROM lines),
+        |pa_sz AS (SELECT l_partkey, count(*) AS pa FROM part_aes GROUP BY 1),
+        |ca_sz AS (SELECT o_custkey, count(*) AS ca FROM cust_aes GROUP BY 1),
+        |common AS (
+        |  SELECT h.o_custkey, h.l_suppkey, h.l_partkey,
+        |    (SELECT count(*) FROM part_aes x JOIN cust_aes y
+        |       ON y.o_orderpriority = x.o_orderpriority
+        |     WHERE x.l_partkey = h.l_partkey AND y.o_custkey = h.o_custkey) AS c
+        |  FROM (SELECT * FROM new_parts WHERE rn <= 5) h)
+        |SELECT cm.o_custkey, cm.l_suppkey, cm.l_partkey AS part_hypothesis,
+        |  round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
+        |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) AS ae_score
+        |FROM common cm
+        |JOIN pa_sz ON pa_sz.l_partkey = cm.l_partkey
+        |JOIN ca_sz ON ca_sz.o_custkey = cm.o_custkey
+        |WHERE round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
+        |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) > 0.5""".stripMargin,
+
     "q_ref_associations" ->
       """WITH evs AS (
         |  SELECT l_suppkey AS target_id, o_orderpriority AS disease_id,

@@ -29,6 +29,30 @@ object Relational {
         )
     }),
 
+    // Grouping sets beyond the reference (U8-style parity plus): rollup with
+    // subtotal rows; null group keys mark the subtotal levels in both engines.
+    "q_agg_rollup" -> ((s, d) => {
+      table(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // Window frames: per-supplier moving sum over the last 3 rows + lag.
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures; l_quantity
+    // joins the sort key so any remaining ties carry equal values and the
+    // frame results are engine-order-invariant.
+    "q_window_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      table(s, d, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w.rowsBetween(-2, 0)), 2).as("qty_ma3"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty")
+      )
+    }),
+
     // A1-style hash aggregation (TPC-H Q1 shape): map-side partial aggs.
     "q_agg_groupby" -> ((s, d) => {
       table(s, d, "lineitem")
@@ -202,6 +226,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS qty_ma3,
+        |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity) AS prev_qty
+        |FROM lineitem""".stripMargin,
+
     "q_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag
         |FROM lineitem WHERE l_quantity > 45""".stripMargin,
