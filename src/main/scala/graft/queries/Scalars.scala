@@ -49,6 +49,18 @@ object Scalars {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // Schema'd JSON column parse (from_json → typed struct, dot-path access)
+    // — the scan-level explicit-schema discipline applied to a JSON column.
+    "q_scalar_from_json" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      table(s, d, "events")
+        .select(col("user_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("p"))
+        .where(col("p.k") >= 50)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_high"), sum(col("p.k")).as("sum_k"))
+    }),
+
     // JSON scalar extraction from the events.props payload.
     "q_scalar_json" -> ((s, d) => {
       table(s, d, "events")
@@ -115,6 +127,13 @@ object Scalars {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_scalar_from_json" ->
+      """SELECT user_id, count(*) AS n_high,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY user_id""".stripMargin,
 
     "q_scalar_json" ->
       """SELECT event_type,

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Scoring
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule must swap collect-then-slice for the bounded
+  * aggregator without changing a single output value.
+  */
+class RewriteTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, 0.3), (1, 0.9), (1, 0.1), (1, 0.8), (1, 0.5), (2, 0.7)
+  ).toDF("g", "s")
+
+  test("slice(sort_array(collect_list)) aggregates rewrite to TopKAgg") {
+    val q = df.groupBy(col("g"))
+      .agg(Scoring.topK(collect_list(col("s")), 3).as("t"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("TopKAgg"),
+      s"expected rewrite in:\n${q.queryExecution.optimizedPlan}")
+    val out = q.as[(Int, Seq[Double])].collect().toMap
+    assert(out(1) == Seq(0.9, 0.8, 0.5))
+    assert(out(2) == Seq(0.7))
+  }
+
+  test("rewrite fires inside composed scoring expressions") {
+    val q = df.groupBy(col("g"))
+      .agg(Scoring.harmonicTopK(collect_list(col("s")), 100).as("h"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("TopKAgg"))
+    val out = q.as[(Int, Double)].collect().toMap
+    // g=1 sorted desc [0.9,0.8,0.5,0.3,0.1] -> sum s_i/i^2
+    val expected = Seq(0.9, 0.8, 0.5, 0.3, 0.1).zipWithIndex
+      .map { case (v, i) => v / math.pow(i + 1.0, 2) }.sum
+    assert(math.abs(out(1) - expected) < 1e-9)
+  }
+
+  test("ascending sort_array slices are NOT rewritten") {
+    val q = df.groupBy(col("g"))
+      .agg(slice(sort_array(collect_list(col("s"))), 1, 2).as("bottom"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("TopKAgg"))
+    assert(q.where(col("g") === 1).select(col("bottom"))
+      .as[Seq[Double]].head() == Seq(0.1, 0.3))
+  }
+}
