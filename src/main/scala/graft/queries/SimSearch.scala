@@ -89,6 +89,19 @@ object SimSearch {
         .where(col("cos") >= NearDupThreshold)
     }),
 
+    // Real IVF training: 2 deterministic Lloyd iterations (driver-held
+    // centroids as broadcast literals, per-dimension mean via posexplode),
+    // then the cluster profile of the final assignment. The full ANN build
+    // path: fit -> assign -> per-bucket search (probe as in q_sim_ann_ivf).
+    "q_sim_ann_kmeans" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = graft.llm.KMeans.fit(e, NCentroids, updates = 2)
+      e.select(graft.llm.KMeans.assignment(col("v"), cents).as("cid"),
+          round(Vectors.norm(col("v")), 6).as("nrm"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), round(sum(col("nrm")), 4).as("sum_nrm"))
+    }),
+
     // IVF top-10: centroids = vec_id 0..7 (deterministic stand-ins for
     // k-means centers — the plumbing, assignment, and probe are the real
     // thing); every vector is assigned to its max-cosine centroid; the
@@ -162,6 +175,34 @@ object SimSearch {
          |JOIN pairs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
          |GROUP BY 1, 2
          |HAVING ${cosSql("a", "b")} >= $NearDupThreshold""".stripMargin,
+
+    "q_sim_ann_kmeans" -> {
+      def dStep(cIn: String, dOut: String, aOut: String) =
+        s"""$dOut AS (
+           |  SELECT e.vec_id, c.cid, round(sum((e.x - c.cx) * (e.x - c.cx)), 9) AS dd
+           |  FROM e JOIN $cIn c ON c.i = e.i GROUP BY 1, 2),
+           |$aOut AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+           |    FROM $dOut) WHERE rn = 1)""".stripMargin
+      def cStep(aIn: String, cOut: String) =
+        s"""$cOut AS (
+           |  SELECT a.cid, e.i, round(avg(e.x), 6) AS cx
+           |  FROM $aIn a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+      s"""WITH $eSql,
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS cx
+         |       FROM e WHERE vec_id < $NCentroids),
+         |${dStep("c0", "d1", "a1")},
+         |${cStep("a1", "c1")},
+         |${dStep("c1", "d2", "a2")},
+         |${cStep("a2", "c2")},
+         |${dStep("c2", "d3", "a3")},
+         |nrm AS (SELECT vec_id, round(sqrt(sum(x * x)), 6) AS nrm FROM e GROUP BY 1)
+         |SELECT a3.cid, count(*) AS n_members, round(sum(nrm.nrm), 4) AS sum_nrm
+         |FROM a3 JOIN nrm ON nrm.vec_id = a3.vec_id
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_sim_ann_ivf" ->
       s"""WITH $eSql,
