@@ -20,6 +20,68 @@ import graft.ops.{Graph, Scoring}
   */
 object DrugDisease {
 
+  /** Normalized inputs — the output contracts of graft.sources.Loaders. */
+  case class Inputs(
+      drugs: DataFrame,          // Loaders.drugs
+      genesLut: DataFrame,       // Loaders.genesLut (accession, id)
+      diseases: DataFrame,       // Loaders.diseases (disease_id, ancestors, descendants)
+      evidences: DataFrame,      // literature ∪ genetics, unionByName-compatible
+      ppiEdges: DataFrame,       // Loaders.ppiEdges (A, B)
+      aesByDrug: DataFrame,      // Loaders.faersByDrug (drug_id, aes)
+      aesByTarget: DataFrame,    // Loaders.faersByTarget (target_id, aes)
+      aggregations: DataFrame,   // Loaders.aggregations (drug_id, disease_id, …)
+      whitelist: Option[DataFrame] = None) // Loaders.whitelist (whitelist_id, disease_id)
+
+  /** The full reference pipeline (SURVEY §3.1 + §3.2): returns
+    * (associations, drugDisease hypotheses) — the two frames the reference
+    * writes to its parquet and JSON sinks (sc:476, 511). Whitelist presence
+    * switches association keys to (target, whitelist_id) (sc:439-474).
+    *
+    * Both outputs share one cached associations plan — the reference
+    * recomputed the whole DAG for its second sink (SURVEY §3.2).
+    */
+  def run(in: Inputs): (DataFrame, DataFrame) = {
+    val lut = networkLut(in.ppiEdges, in.genesLut)
+    val scores = evidenceScores(
+      in.evidences.select(col("evs_id"), col("datasource"), col("score")),
+      Seq("genetics", "europepmc"))
+    val evs = in.evidences
+      .select(col("evs_id"), col("target_id"), col("disease_id"))
+      .join(scores, Seq("evs_id"))
+    val keyed = in.whitelist match {
+      case Some(wl) =>
+        evs.join(broadcast(wl), Seq("disease_id"))
+          .withColumnRenamed("whitelist_id", "assoc_disease_id")
+      case None => evs.withColumn("assoc_disease_id", col("disease_id"))
+    }
+    val propagated = propagate(keyed, lut)
+      .drop("target_id").withColumnRenamed("propagated_id", "target_id")
+    val assoc = makeAssociations(
+      propagated, Seq(col("target_id"), col("assoc_disease_id").as("disease_id")))
+      .cache()
+
+    val forDisease = drugsForDisease(in.drugs, in.aesByDrug, in.aggregations)
+    val forTarget = drugsForTarget(in.drugs, in.aesByTarget)
+    val decorated = assoc
+      .join(forDisease, Seq("disease_id"), "left_outer")
+      .join(forTarget, Seq("target_id"), "left_outer")
+      .where(col("drugs_for_target").isNotNull)
+    // disease AE profile = distinct events of the disease's existing drugs
+    // (nested double-transform, sc:487-488); null-safe at both array levels
+    val hyp = newDrugs(decorated)
+      .withColumn("disease_aes",
+        when(col("drugs_for_disease").isNotNull,
+          array_distinct(flatten(transform(col("drugs_for_disease"),
+            d => coalesce(
+              transform(d.getField("aes"), a => a.getField("event")),
+              array().cast("array<string>"))))))
+          .otherwise(array().cast("array<string>")))
+    val scored = scoreHypotheses(
+      hyp.select(col("disease_id"), col("target_id"), col("new_drugs"), col("disease_aes")),
+      in.aesByDrug.select(col("drug_id"), col("aes.event").as("aes")))
+    (assoc, scored)
+  }
+
   /** Network LUT build (sc:44-74): undirect edge list, translate accession →
     * gene id on both endpoints, collapse to adjacency.
     *

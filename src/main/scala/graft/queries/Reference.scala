@@ -63,6 +63,9 @@ object Reference {
     "q_pipeline_drug_disease" -> ((s, d) => {
       val li = table(s, d, "lineitem")
       val o = table(s, d, "orders")
+      // 5 consumers re-derive this fact join; measured CHEAPER than caching
+      // (columnar cache fill blocks pipelining and cost 5x the recompute at
+      // sf0.1 — the broadcast join + pruned scans are nearly free)
       val lines = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"), col("l_partkey"),
           col("o_orderstatus"), col("o_orderpriority"))
