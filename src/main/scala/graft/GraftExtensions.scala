@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{DotProduct, RollingHash}
 
 /** Engine extension point: registers the custom Catalyst expressions with
   * the session so they resolve from SQL and `expr(...)` strings.
@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(k: Int, _) => RollingHash(children.head, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_rolling_hash(arr, k): k must be an integer literal, got $other")
+      }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTopK)
   }
 }

@@ -34,4 +34,21 @@ object Skew {
       .join(saltedSmall, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Two-phase EXACT distinct count for a skewed groupBy. Algebraic
+    * aggregates get map-side partials from Spark already; the resistant ones
+    * (count distinct via collect_set) funnel every value of a hot key into
+    * one reducer. Salting by hash(value) mod F splits each key's values into
+    * F DISJOINT buckets — phase 1 dedupes per (key, salt) across F reducers,
+    * phase 2 just sums the per-bucket cardinalities (disjointness makes the
+    * sum exact).
+    */
+  def skewedDistinctCount(df: DataFrame, key: String, valueCol: String,
+                          saltFactor: Int): DataFrame =
+    df
+      .withColumn("__salt", pmod(hash(col(valueCol)), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count_distinct(col(valueCol)).as("__bucket_distinct"))
+      .groupBy(col(key))
+      .agg(sum(col("__bucket_distinct")).cast("long").as("n_distinct"))
 }

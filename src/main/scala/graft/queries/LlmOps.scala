@@ -150,6 +150,24 @@ object LlmOps {
           aggregate(col("selected"), lit(0L), (a, h) => a.bitwiseXOR(h)).as("fp_xor"))
     }),
 
+    // Karp-Rabin rolling hash (native O(n) expression) over word 5-grams:
+    // the constant-factor upgrade of q_text_fingerprint's hash-per-shingle
+    // form — one pass, no per-window string building.
+    "q_text_rollhash" -> ((s, d) => {
+      import org.apache.spark.sql.graft.RollingHash
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          transform(TextOps.tokens(col("text")),
+            t => Core.md5Hash64(t) % RollingHash.P).as("th"))
+        .select(col("doc_id"), RollingHash.rollingHash(col("th"), 5).as("rh"))
+        .where(size(col("rh")) > 0)
+        .select(
+          col("doc_id"),
+          size(col("rh")).cast("long").as("n_windows"),
+          array_min(col("rh")).as("rh_min"),
+          array_max(col("rh")).as("rh_max"))
+    }),
+
     // Brute-force cosine top-10 vs the vec_id=0 query vector — the exact
     // baseline an IVF/LSH variant must agree with. Query side is a broadcast
     // (1 row); the scan side is embarrassingly parallel.
@@ -308,6 +326,29 @@ object LlmOps {
          |FROM (SELECT doc_id, ${shingleSqlN(5, distinct = false)} FROM documents
          |      WHERE len(string_split(text, ' ')) >= 5)
          |GROUP BY doc_id""".stripMargin
+    },
+
+    "q_text_rollhash" -> {
+      import org.apache.spark.sql.graft.RollingHash.{B, P}
+      val k = 5
+      // direct polynomial formula — identical residues to the rolling form
+      val coefs = (0 until k).map { j =>
+        var c = 1L; for (_ <- 1 until k - j) c = c * B % P; c
+      }
+      val terms = (0 until k).map(j => s"(th[i + $j] * ${coefs(j)} % $P)").mkString(" + ")
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${sqlHash64("t")} % $P) AS th
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(th) - ${k - 1}, 0)),
+         |      i -> ($terms) % $P) AS rh
+         |  FROM th)
+         |SELECT doc_id, CAST(len(rh) AS BIGINT) AS n_windows,
+         |  list_min(rh) AS rh_min, list_max(rh) AS rh_max
+         |FROM w WHERE len(rh) > 0""".stripMargin
     },
 
     "q_sim_cosine_topk" ->

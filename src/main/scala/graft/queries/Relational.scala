@@ -29,6 +29,18 @@ object Relational {
         )
     }),
 
+    // Exact percentiles (engine extension): median + p90 per group. Spark's
+    // `percentile` is exact (sort-based) — approx_percentile exists for the
+    // sketch path but is estimator-specific, so the oracle pins the exact one.
+    "q_agg_percentile" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Grouping sets beyond the reference (U8-style parity plus): rollup with
     // subtotal rows; null group keys mark the subtotal levels in both engines.
     "q_agg_rollup" -> ((s, d) => {
@@ -226,6 +238,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price

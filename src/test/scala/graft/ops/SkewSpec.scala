@@ -20,4 +20,17 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.count(_._1 == "x") == 500)
   }
+
+  test("skewedDistinctCount equals plain countDistinct") {
+    val rnd = new scala.util.Random(3)
+    // hot key "h" with many duplicated values
+    val rows = Seq.fill(800)(("h", rnd.nextInt(50))) ++
+      Seq.fill(100)(("k", rnd.nextInt(80)))
+    val df = rows.toDF("key", "v")
+    val plain = df.groupBy(col("key")).agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val skewed = Skew.skewedDistinctCount(df, "key", "v", saltFactor = 8)
+      .as[(String, Long)].collect().toMap
+    assert(skewed == plain)
+  }
 }

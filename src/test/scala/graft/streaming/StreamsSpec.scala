@@ -32,6 +32,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    val inputDir = Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Streams.RunningSnapshot]
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, value DOUBLE")
+        .json(inputDir)
+        .as[Streams.Event]
+      val q = Streams.runningTotals(stream).writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streams.RunningSnapshot], _: Long) =>
+          snapshots.synchronized { snapshots ++= ds.collect() }; ()
+        }
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.writeString(java.nio.file.Path.of(inputDir, "b1.json"),
+      """{"user_id":1,"value":2.0}
+        |{"user_id":1,"value":3.0}""".stripMargin)
+    runOnce() // first process: user 1 -> (2 events, 5.0)
+    Files.writeString(java.nio.file.Path.of(inputDir, "b2.json"),
+      """{"user_id":1,"value":5.0}""")
+    runOnce() // restart: state must come back from the checkpoint
+
+    val last = snapshots.synchronized { snapshots.filter(_.user_id == 1L).maxBy(_.n_events) }
+    assert(last == Streams.RunningSnapshot(1L, 3L, 10.0))
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     val s = spark
     import s.implicits._
