@@ -49,6 +49,19 @@ object Scalars {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // Batch/stream unification: the SAME graft.streaming.Streams function
+    // that serves the watermarked streaming job runs here as a batch window
+    // aggregation (withWatermark is a no-op on batch inputs).
+    "q_stream_window_batch" -> ((s, d) => {
+      graft.streaming.Streams.windowedCounts(
+        table(s, d, "events").select(col("ts"), col("event_type"), col("value")),
+        delay = "10 minutes", win = "5 minutes")
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }),
+
     // Schema'd JSON column parse (from_json → typed struct, dot-path access)
     // — the scan-level explicit-schema discipline applied to a JSON column.
     "q_scalar_from_json" -> ((s, d) => {
@@ -127,6 +140,12 @@ object Scalars {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_window_batch" ->
+      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_scalar_from_json" ->
       """SELECT user_id, count(*) AS n_high,
