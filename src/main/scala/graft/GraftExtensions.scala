@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_rolling_hash(arr, k): k must be an integer literal, got $other")
       }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTopK)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }

@@ -102,6 +102,23 @@ object Reference {
         .where(col("ae_score") > 0.5)
     }),
 
+    // Custom whole-operator extension: backward AS-OF join (the classic
+    // operator Spark's built-ins lack) — every event picks the latest
+    // signup at-or-before its timestamp per user. Runs through the
+    // graft AsOfJoinPlan/Strategy/Exec (one merge pass over co-partitioned
+    // sorted sides); DuckDB verifies with its native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.graft.AsOf
+      val ev = table(s, d, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val right = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+        .agg(round(max(col("value")), 4).as("r_value"))
+      AsOf.join(left, right, "user_id", "r_user", "ts", "r_ts")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"), col("r_value"))
+    }),
+
     // U2: unionByName across differently-ordered projections.
     "q_union_byname" -> ((s, d) => {
       val o = table(s, d, "orders")
@@ -215,6 +232,17 @@ object Reference {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |r AS (
+        |  SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS r_ts,
+        |    round(max(value), 4) AS r_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, round(e.value, 4) AS value, r.r_value
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.user_id = r.r_user AND e.ts >= r.r_ts""".stripMargin,
+
     "q_pipeline_drug_disease" ->
       """WITH lines AS (
         |  SELECT o_custkey, l_suppkey, l_partkey, o_orderstatus, o_orderpriority
