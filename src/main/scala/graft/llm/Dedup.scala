@@ -110,6 +110,32 @@ object Dedup {
           (col("s1.sz") + col("s2.sz") - col("common")), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation — every doc converges to the smallest doc_id reachable
+    * through the pair graph, giving the canonical keeper per duplicate
+    * cluster. Fixed iteration count keeps the computation deterministic and
+    * oracle-reproducible; `iters` bounds the cluster DIAMETER handled (near-
+    * dup clusters are shallow — at 100 TB run until-fixpoint with
+    * localCheckpoint every few rounds to cut the growing lineage).
+    * Returns (doc_id, cluster).
+    */
+  def components(pairs: DataFrame, iters: Int): DataFrame = {
+    val vertices = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+    // undirected edges + self-loops: one join+groupBy per iteration
+    val edges = pairs.select(col("doc1").as("s"), col("doc2").as("t"))
+      .union(pairs.select(col("doc2").as("s"), col("doc1").as("t")))
+      .union(vertices.select(col("doc_id").as("s"), col("doc_id").as("t")))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.withColumnRenamed("doc_id", "t"), Seq("t"))
+        .groupBy(col("s").as("doc_id"))
+        .agg(min(col("label")).as("label"))
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Exact n-gram Jaccard over ALL co-shingled pairs: self-join on shingle.
     * Quadratic in co-shingled docs — at scale, use lshCandidatePairs +
     * jaccardForPairs instead; this exists for small inputs and as the

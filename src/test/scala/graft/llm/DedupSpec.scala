@@ -39,6 +39,14 @@ class DedupSpec extends SparkSpec {
     assert(j == ((1L, 2L, 0.75)))
   }
 
+  test("components collapses pair chains to the min doc id") {
+    // chain 1-2-3 plus isolated pair 7-8: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
+    val out = Dedup.components(pairs, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("all-pairs jaccard agrees with the pairwise path and filters by threshold") {
     val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
