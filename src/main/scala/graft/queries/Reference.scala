@@ -102,6 +102,41 @@ object Reference {
         .where(col("ae_score") > 0.5)
     }),
 
+    // Whitelist pipeline mode (sc:439-459): evidences restricted to
+    // whitelisted diseases and RE-KEYED by whitelist id — associations
+    // aggregate per (target, whitelist group) instead of per disease. The
+    // whitelist is a broadcast dimension, exactly as in DrugDisease.run.
+    "q_ref_assoc_whitelist" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      val evs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(
+          col("l_suppkey").as("target_id"),
+          col("o_orderpriority").as("disease_id"),
+          when(col("l_returnflag") === "R", col("l_discount")).otherwise(lit(0.0))
+            .as("genetics"),
+          when(col("l_returnflag") =!= "R", col("l_discount")).otherwise(lit(0.0))
+            .as("europepmc"))
+      // whitelist: urgent-ish priorities collapse into W1/W2 groups
+      val wl = o.select(col("o_orderpriority").as("disease_id")).distinct()
+        .where(substring(col("disease_id"), 1, 1).isin("1", "2", "3"))
+        .select(col("disease_id"),
+          concat(lit("W"), substring(col("disease_id"), 1, 1)).as("whitelist_id"))
+      evs.join(broadcast(wl), Seq("disease_id"))
+        .groupBy(col("target_id"), col("whitelist_id"))
+        .agg(
+          count(lit(1)).as("evidence_count"),
+          TopKAgg.topK(col("genetics"), 100).as("g_topk"),
+          TopKAgg.topK(col("europepmc"), 100).as("l_topk"))
+        .select(
+          col("target_id"), col("whitelist_id"), col("evidence_count"),
+          round(
+            Scoring.harmonicCombine(
+              Scoring.harmonicFold(col("g_topk")),
+              Scoring.harmonicFold(col("l_topk"))), 6).as("harmonic"))
+        .where(col("harmonic") > 0.1)
+    }),
+
     // Custom whole-operator extension: backward AS-OF join (the classic
     // operator Spark's built-ins lack) — every event picks the latest
     // signup at-or-before its timestamp per user. Runs through the
@@ -284,6 +319,37 @@ object Reference {
         |JOIN ca_sz ON ca_sz.o_custkey = cm.o_custkey
         |WHERE round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
         |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) > 0.5""".stripMargin,
+
+    "q_ref_assoc_whitelist" ->
+      """WITH evs AS (
+        |  SELECT l_suppkey AS target_id, o_orderpriority AS disease_id,
+        |    CASE WHEN l_returnflag = 'R' THEN l_discount ELSE 0.0 END AS genetics,
+        |    CASE WHEN l_returnflag <> 'R' THEN l_discount ELSE 0.0 END AS europepmc
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |wl AS (
+        |  SELECT DISTINCT o_orderpriority AS disease_id,
+        |    'W' || substr(o_orderpriority, 1, 1) AS whitelist_id
+        |  FROM orders WHERE substr(o_orderpriority, 1, 1) IN ('1', '2', '3')),
+        |keyed AS (
+        |  SELECT e.target_id, w.whitelist_id, e.genetics, e.europepmc
+        |  FROM evs e JOIN wl w ON w.disease_id = e.disease_id),
+        |ranked AS (
+        |  SELECT target_id, whitelist_id, genetics, europepmc,
+        |    row_number() OVER (PARTITION BY target_id, whitelist_id
+        |      ORDER BY genetics DESC) AS rg,
+        |    row_number() OVER (PARTITION BY target_id, whitelist_id
+        |      ORDER BY europepmc DESC) AS rl
+        |  FROM keyed),
+        |h AS (
+        |  SELECT target_id, whitelist_id,
+        |    count(*) AS evidence_count,
+        |    sum(CASE WHEN rg <= 100 THEN genetics / pow(rg, 2) ELSE 0 END) AS hg,
+        |    sum(CASE WHEN rl <= 100 THEN europepmc / pow(rl, 2) ELSE 0 END) AS hl
+        |  FROM ranked GROUP BY target_id, whitelist_id)
+        |SELECT target_id, whitelist_id, evidence_count,
+        |  round(greatest(hg, hl * 0.2) + least(hg, hl * 0.2) / 4, 6) AS harmonic
+        |FROM h
+        |WHERE round(greatest(hg, hl * 0.2) + least(hg, hl * 0.2) / 4, 6) > 0.1""".stripMargin,
 
     "q_ref_associations" ->
       """WITH evs AS (
