@@ -167,6 +167,22 @@ object LlmOps {
           aggregate(col("selected"), lit(0L), (a, h) => a.bitwiseXOR(h)).as("fp_xor"))
     }),
 
+    // Fuzzy matching: Levenshtein edit distance on LSH candidate pairs'
+    // text prefixes — the string-level verification tier of the dedup
+    // stack (exact-Jaccard catches token edits; edit distance catches
+    // character-level noise). Bounded to prefixes: O(len²) per pair.
+    "q_text_levenshtein" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sigs = Dedup.minhashSigs(docs, "doc_id", "text", 3, MinhashSeeds).cache()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("doc1"), col("doc2"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc1"), substring(col("text"), 1, 40).as("t1")), Seq("doc1"))
+        .join(docs.select(col("doc_id").as("doc2"), substring(col("text"), 1, 40).as("t2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
+    }),
+
     // Karp-Rabin rolling hash (native O(n) expression) over word 5-grams:
     // the constant-factor upgrade of q_text_fingerprint's hash-per-shingle
     // form — one pass, no per-window string building.
@@ -380,6 +396,29 @@ object LlmOps {
          |FROM (SELECT doc_id, ${shingleSqlN(5, distinct = false)} FROM documents
          |      WHERE len(string_split(text, ' ')) >= 5)
          |GROUP BY doc_id""".stripMargin
+    },
+
+    "q_text_levenshtein" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT p.doc1, p.doc2,
+         |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+         |FROM pairs p
+         |JOIN documents a ON a.doc_id = p.doc1
+         |JOIN documents b ON b.doc_id = p.doc2""".stripMargin
     },
 
     "q_text_rollhash" -> {

@@ -29,6 +29,37 @@ object Relational {
         )
     }),
 
+    // Ranking/analytic window family: rank, dense_rank, ntile, percent_rank,
+    // cume_dist over a deterministic per-group ordering.
+    "q_window_rankfns" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+
+    // MapType ops: build a per-status map priority -> order count, then
+    // extract/inspect it (map_from_entries, element_at, map_keys).
+    "q_scalar_map" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderpriority"), col("n"))))).as("m"))
+        .select(
+          col("o_orderstatus"),
+          size(map_keys(col("m"))).cast("long").as("n_priorities"),
+          coalesce(element_at(col("m"), "1-URGENT"), lit(0L)).as("n_urgent"),
+          aggregate(map_values(col("m")), lit(0L), (a, v) => a + v).as("n_total"))
+    }),
+
     // Exact percentiles (engine extension): median + p90 per group. Spark's
     // `percentile` is exact (sort-based) — approx_percentile exists for the
     // sketch path but is estimator-specific, so the oracle pins the exact one.
@@ -238,6 +269,27 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_rankfns" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q_scalar_map" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_priorities,
+        |  CAST(coalesce(sum(n) FILTER (o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS n_urgent,
+        |  CAST(sum(n) AS BIGINT) AS n_total
+        |FROM c GROUP BY o_orderstatus""".stripMargin,
+
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,

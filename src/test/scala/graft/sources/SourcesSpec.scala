@@ -50,6 +50,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("csv and orc roundtrip with explicit schemas") {
+    val csvSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Seq((1L, "a", 0.5), (2L, "b,with,commas", 1.5)).toDF("id", "name", "score")
+    val csvDir = Files.createTempDirectory("graft-csv").toFile.getPath + "/out"
+    Sources.writeCsv(df, csvDir)
+    val backCsv = Sources.csv(spark, csvDir, csvSchema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(backCsv == Set((1L, "a", 0.5), (2L, "b,with,commas", 1.5)))
+
+    val orcDir = Files.createTempDirectory("graft-orc").toFile.getPath + "/out"
+    Sources.writeOrc(df, orcDir)
+    val backOrc = Sources.orc(spark, orcDir).as[(Long, String, Double)].collect().toSet
+    assert(backOrc == backCsv)
+  }
+
   test("nested structs survive a JSON sink/scan roundtrip") {
     val dir = Files.createTempDirectory("graft-jsonsink").toFile.getPath + "/out"
     val df = Seq((1L, Seq(("e1", 2L), ("e2", 3L))))
