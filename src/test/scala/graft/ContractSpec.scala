@@ -1,0 +1,31 @@
+package graft
+
+/** Driver-contract integrity: the queries/oracle maps must stay in lockstep
+  * — an oracle without a query is dead weight; a query without an oracle
+  * silently downgrades to a rows-only check and must be an explicit,
+  * documented exception.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("rows-only queries are exactly the documented exceptions") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q_approx_distinct: HLL estimates are engine-specific;
+    // q_evidence_sha1: DuckDB has no sha1
+    assert(rowsOnly == Set("q_approx_distinct", "q_evidence_sha1"),
+      s"undocumented rows-only queries: $rowsOnly")
+  }
+
+  test("query names follow the q_ snake_case convention") {
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-conforming names: $bad")
+  }
+
+  test("the flagship entry query is oracle-checked") {
+    assert(SparkEntry.oracleSql.contains("q_harmonic_topk"))
+  }
+}
