@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/codegen/scheduler init otherwise lands on
@@ -27,10 +28,18 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail goes to a file + an EARLIER stdout line; the FINAL
+    // stdout line is deliberately short (<200 bytes) because the driver's
+    // tail capture clips long lines (r1's 2.5 KB one-liner parsed as null).
+    val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
+    println(detail)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,13 +16,15 @@ object Core {
     * Parquet footer supplies the schema — no inference pass (SURVEY §1.3).
     *
     * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default: read nanos as long (legacy conf) and convert with integer
-    * division — ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 mantissa, so
-    * a floating-point path would corrupt the microseconds.
+    * default: the SESSION must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (all graft mains and TestSpark do, in their builders — a query function
+    * mutating session conf would be a hidden global and a race under
+    * concurrent execution). The long nanos convert with integer division —
+    * ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 mantissa, so a
+    * floating-point path would corrupt the microseconds.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

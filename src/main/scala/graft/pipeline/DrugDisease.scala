@@ -48,6 +48,7 @@ object DrugDisease {
     val evs = in.evidences
       .select(col("evs_id"), col("target_id"), col("disease_id"))
       .join(scores, Seq("evs_id"))
+    val whitelistMode = in.whitelist.isDefined
     val keyed = in.whitelist match {
       case Some(wl) =>
         evs.join(broadcast(wl), Seq("disease_id"))
@@ -56,19 +57,32 @@ object DrugDisease {
     }
     val propagated = propagate(keyed, lut)
       .drop("target_id").withColumnRenamed("propagated_id", "target_id")
+    // Whitelist mode keeps every association — "everything but not filtering
+    // by score" (sc:441-445); open mode applies harmonic > 0.1 (sc:467).
     val assoc = makeAssociations(
-      propagated, Seq(col("target_id"), col("assoc_disease_id").as("disease_id")))
+      propagated, Seq(col("target_id"), col("assoc_disease_id").as("disease_id")),
+      threshold = if (whitelistMode) None else Some(0.1))
       .cache()
 
     val forDisease = drugsForDisease(in.drugs, in.aesByDrug, in.aggregations)
     val forTarget = drugsForTarget(in.drugs, in.aesByTarget)
-    val decorated = assoc
+    // Whitelist associations are keyed by whitelist id, but the drug bundles
+    // are keyed by real disease ids — recover the member diseases first, as
+    // the reference re-joins selectedDiseases on whitelist_id (sc:454).
+    val assocByDisease = in.whitelist match {
+      case Some(wl) =>
+        assoc.withColumnRenamed("disease_id", "whitelist_id")
+          .join(broadcast(wl), Seq("whitelist_id"))
+      case None => assoc
+    }
+    val decorated = assocByDisease
       .join(forDisease, Seq("disease_id"), "left_outer")
       .join(forTarget, Seq("target_id"), "left_outer")
       .where(col("drugs_for_target").isNotNull)
     // disease AE profile = distinct events of the disease's existing drugs
-    // (nested double-transform, sc:487-488); null-safe at both array levels
-    val hyp = newDrugs(decorated)
+    // (nested double-transform, sc:487-488); null-safe at both array levels.
+    // Whitelist mode also skips the new_drugs_size > 0 gate (sc:458 vs 472).
+    val hyp = newDrugs(decorated, dropEmpty = !whitelistMode)
       .withColumn("disease_aes",
         when(col("drugs_for_disease").isNotNull,
           array_distinct(flatten(transform(col("drugs_for_disease"),
@@ -153,8 +167,8 @@ object DrugDisease {
     * Input needs columns: keys..., evs_id, genetics, europepmc.
     */
   def makeAssociations(evs: DataFrame, keys: Seq[Column],
-                       threshold: Double = 0.1): DataFrame =
-    evs
+                       threshold: Option[Double] = Some(0.1)): DataFrame = {
+    val scored = evs
       .groupBy(keys: _*)
       .agg(
         count(col("evs_id")).as("evidence_count"),
@@ -164,8 +178,10 @@ object DrugDisease {
       .withColumn("harmonic_europepmc", Scoring.harmonicFold(col("europepmc_topk")))
       .withColumn("harmonic",
         Scoring.harmonicCombine(col("harmonic_genetics"), col("harmonic_europepmc")))
-      .where(col("harmonic") > threshold)
       .drop("genetics_topk", "europepmc_topk")
+    // None = whitelist mode: the reference keeps every association (sc:441-445).
+    threshold.fold(scored)(t => scored.where(col("harmonic") > t))
+  }
 
   /** Drugs-for-disease bundle (sc:385-400): drugs ⟕ AE profiles ⟖
     * aggregations (right outer keeps aggregation rows without a drug record —
@@ -207,27 +223,40 @@ object DrugDisease {
     * already used for the disease — array_except ≡ anti-join at the array
     * level (U6).
     *
+    * Faithful to the reference: a null drugs_for_disease bundle makes
+    * array_except (and hence new_drugs / new_drugs_size) null, so those rows
+    * are DROPPED by the size gate in open mode — a disease with no existing
+    * drugs yields no hypotheses (sc:457, 470-472). Whitelist mode skips the
+    * gate (`dropEmpty = false`, sc:458) and keeps them with null new_drugs;
+    * the downstream explode drops them from scoring.
+    *
     * associations decorated with drugs_for_disease / drugs_for_target structs.
     */
-  def newDrugs(assoc: DataFrame): DataFrame =
-    assoc
+  def newDrugs(assoc: DataFrame, dropEmpty: Boolean = true): DataFrame = {
+    val withNew = assoc
       .withColumn("new_drugs",
-        array_except(
-          col("drugs_for_target.drug_id"),
-          coalesce(col("drugs_for_disease.drug_id"), array().cast("array<string>"))))
+        array_except(col("drugs_for_target.drug_id"), col("drugs_for_disease.drug_id")))
       .withColumn("new_drugs_size", size(col("new_drugs")).cast("long"))
-      .where(col("new_drugs_size") > 0)
+    if (dropEmpty) withNew.where(col("new_drugs_size") > 0) else withNew
+  }
 
   /** AE-profile containment score (sc:499-509): per hypothesis drug,
     * asymmetric differences vs the disease AE profile, blend 0.4/0.6.
-    * Null/empty guards follow the reference: division by zero → null →
-    * dropped by the final filter.
+    *
+    * The reference ran Spark 2.4 non-ANSI, where x/0 → null → dropped by the
+    * final filter. Spark 4 defaults to ANSI mode, where double division by
+    * zero THROWS — so the empty-profile case (size == 0) is guarded with
+    * `when`, producing the same null-then-dropped outcome under both modes.
+    * Null profiles (missing AE data) propagate null through size() the same
+    * way in both versions.
     */
   def aeSimilarity(drugAes: Column, diseaseAes: Column): Column = {
     val d1 = size(array_except(drugAes, diseaseAes)).cast("double")
     val d2 = size(array_except(diseaseAes, drugAes)).cast("double")
-    val s1 = lit(1.0) - d1 / size(drugAes).cast("double")
-    val s2 = lit(1.0) - d2 / size(diseaseAes).cast("double")
+    val s1 = when(size(drugAes) > 0,
+      lit(1.0) - d1 / size(drugAes).cast("double"))
+    val s2 = when(size(diseaseAes) > 0,
+      lit(1.0) - d2 / size(diseaseAes).cast("double"))
     lit(0.4) * s1 + lit(0.6) * s2
   }
 

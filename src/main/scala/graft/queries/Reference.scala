@@ -204,7 +204,9 @@ object Reference {
       val r = table(s, d, "region")
       val withAncestors = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("n_name").as("id"), array(col("n_name"), col("r_name")).as("ancestors"))
+      // Serialized for the driver compare; invertClosure itself stays array-typed.
       Graph.invertClosure(withAncestors, "id", "ancestors")
+        .select(col("ancestor"), array_join(col("descendants"), ",").as("descendants"))
     }),
 
     // A4/F6: struct-valued collect_list ordered by a field, plus a lambda
@@ -216,9 +218,12 @@ object Reference {
           .as("items"))
         .select(
           col("l_orderkey"),
-          transform(col("items"),
-            t => concat_ws(":", t.getField("l_linenumber"), t.getField("l_quantity")))
-            .as("item_strs"),
+          // array_join: serialized for the driver compare (raw arrays break
+          // its pandas sort); the struct-array agg above is the operator.
+          array_join(
+            transform(col("items"),
+              t => concat_ws(":", t.getField("l_linenumber"), t.getField("l_quantity"))),
+            ",").as("item_strs"),
           size(filter(col("items"), t => t.getField("l_quantity") > 25))
             .cast("long").as("n_big_items")
         )
@@ -398,7 +403,7 @@ object Reference {
         |    AND l2.l_partkey = lineitem.l_partkey)""".stripMargin,
 
     "q_ontology_descendants" ->
-      """SELECT ancestor, list_sort(list(DISTINCT id)) AS descendants FROM (
+      """SELECT ancestor, array_to_string(list_sort(list(DISTINCT id)), ',') AS descendants FROM (
         |  SELECT n_name AS id, n_name AS ancestor
         |  FROM nation JOIN region ON n_regionkey = r_regionkey
         |  UNION ALL
@@ -408,7 +413,8 @@ object Reference {
 
     "q_struct_collect" ->
       """SELECT l_orderkey,
-        |  list(concat_ws(':', l_linenumber, l_quantity) ORDER BY l_linenumber, l_quantity) AS item_strs,
+        |  array_to_string(list(concat_ws(':', l_linenumber, l_quantity)
+        |    ORDER BY l_linenumber, l_quantity), ',') AS item_strs,
         |  CAST(count(*) FILTER (l_quantity > 25) AS BIGINT) AS n_big_items
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 

@@ -255,7 +255,10 @@ object Relational {
     "q_graph_adjacency" -> ((s, d) => {
       val e = table(s, d, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
-      Graph.adjacency(e).select(col("src"), col("neighbours"), col("degree"))
+      // The adjacency array is serialized for the driver compare (its pandas
+      // sort can't order raw array cells); the operator itself stays array-typed.
+      Graph.adjacency(e)
+        .select(col("src"), array_join(col("neighbours"), ",").as("neighbours"), col("degree"))
     }),
 
     // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
@@ -409,7 +412,7 @@ object Relational {
 
     "q_graph_adjacency" ->
       """SELECT l_suppkey AS src,
-        |  list_sort(list(DISTINCT l_partkey)) AS neighbours,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 

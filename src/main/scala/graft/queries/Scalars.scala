@@ -111,7 +111,8 @@ object Scalars {
         .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
         .select(
           col("l_orderkey"),
-          col("qtys"),
+          // Serialized for the driver compare; the HOFs below consume the array.
+          array_join(col("qtys"), ",").as("qtys"),
           size(filter(col("qtys"), x => x >= 25)).cast("long").as("n_big"),
           round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 2).as("total_qty")
         )
@@ -172,7 +173,7 @@ object Scalars {
 
     "q_scalar_array_hof" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_quantity)) AS qtys,
+        |  array_to_string(list_sort(list(l_quantity)), ',') AS qtys,
         |  CAST(count(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_big,
         |  round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem GROUP BY l_orderkey""".stripMargin

@@ -96,8 +96,11 @@ object SimSearch {
     "q_sim_ann_kmeans" -> ((s, d) => {
       val e = embeds(s, d)
       val cents = graft.llm.KMeans.fit(e, NCentroids, updates = 2)
-      e.select(graft.llm.KMeans.assignment(col("v"), cents).as("cid"),
-          round(Vectors.norm(col("v")), 6).as("nrm"))
+      // ‖v‖² materialized once behind its own select: the assignment argmin
+      // reads it per centroid and the norm reuses it as sqrt(vv).
+      e.select(col("v"), Vectors.dotFast(col("v"), col("v")).as("vv"))
+        .select(graft.llm.KMeans.assignment(col("v"), col("vv"), cents).as("cid"),
+          round(sqrt(col("vv")), 6).as("nrm"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), round(sum(col("nrm")), 4).as("sum_nrm"))
     }),

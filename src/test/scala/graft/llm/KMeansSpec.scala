@@ -26,7 +26,8 @@ class KMeansSpec extends SparkSpec {
 
   test("assignment maps every vector to its own cluster deterministically") {
     val cents = KMeans.fit(e, k = 2, updates = 2)
-    val asn = e.select(col("vec_id"), KMeans.assignment(col("v"), cents).as("cid"))
+    val asn = e.select(col("vec_id"), col("v"), Vectors.dotFast(col("v"), col("v")).as("vv"))
+      .select(col("vec_id"), KMeans.assignment(col("v"), col("vv"), cents).as("cid"))
       .as[(Long, Int)].collect().toMap
     assert(asn == Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1))
   }
@@ -34,7 +35,8 @@ class KMeansSpec extends SparkSpec {
   test("equidistant points break ties to the lower centroid id") {
     val cents = Seq((0, Seq(0.0)), (1, Seq(2.0)))
     val cid = Seq(Seq(1.0)).toDF("v")
-      .select(KMeans.assignment(col("v"), cents).as("cid")).as[Int].head()
+      .select(col("v"), Vectors.dotFast(col("v"), col("v")).as("vv"))
+      .select(KMeans.assignment(col("v"), col("vv"), cents).as("cid")).as[Int].head()
     assert(cid == 0)
   }
 }

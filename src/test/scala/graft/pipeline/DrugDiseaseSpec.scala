@@ -84,7 +84,7 @@ class DrugDiseaseSpec extends SparkSpec {
     assert(byId("dX").getAs[String]("drug_name") == null) // right-outer null fields
   }
 
-  test("newDrugs = target drugs minus disease drugs; null disease bundle kept via coalesce") {
+  test("newDrugs = target drugs minus disease drugs; null disease bundle drops (sc:457,470-472)") {
     val assoc = Seq(
       ("T1", "D1",
         Seq(("d1", "n1"), ("d2", "n2")), // drugs_for_target
@@ -97,11 +97,32 @@ class DrugDiseaseSpec extends SparkSpec {
       .withColumn("drugs_for_disease",
         transform(col("drugs_for_disease"),
           s => struct(s.getField("_1").as("drug_id"), s.getField("_2").as("drug_name"))))
+    // Open mode: array_except against the null bundle -> null -> size gate
+    // drops T2 — a disease with no existing drugs yields no hypotheses,
+    // exactly as the reference's Spark 2.4 size(null) = -1 did.
     val nd = DrugDisease.newDrugs(assoc)
       .select(col("target_id"), col("new_drugs")).as[(String, Seq[String])]
       .collect().toMap
-    assert(nd("T1") == Seq("d1"))
-    assert(nd("T2") == Seq("d3"))
+    assert(nd == Map("T1" -> Seq("d1")))
+    // Whitelist mode (no size gate, sc:458): T2 survives with null new_drugs;
+    // the downstream explode drops it from scoring.
+    val ndWl = DrugDisease.newDrugs(assoc, dropEmpty = false)
+      .select(col("target_id"), col("new_drugs")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(ndWl("T1") == Seq("d1") && ndWl("T2") == null)
+  }
+
+  test("aeSimilarity: empty profiles score null (no ANSI divide-by-zero crash)") {
+    val hyp = Seq(
+      ("D1", "T1", Seq("d1"), Seq.empty[String]),    // empty disease profile
+      ("D2", "T2", Seq("dEmpty"), Seq("a1"))         // empty drug profile
+    ).toDF("disease_id", "target_id", "new_drugs", "disease_aes")
+    val lut = Seq(("d1", Seq("a1")), ("dEmpty", Seq.empty[String]))
+      .toDF("drug_id", "aes")
+    // Under Spark 4's default ANSI mode an unguarded double division by zero
+    // throws SparkArithmeticException; the guard must yield null -> dropped.
+    val out = DrugDisease.scoreHypotheses(hyp, lut).collect()
+    assert(out.isEmpty)
   }
 
   test("scoreHypotheses: containment blend; missing AE profile drops via null") {

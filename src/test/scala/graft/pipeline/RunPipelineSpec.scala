@@ -73,4 +73,34 @@ class RunPipelineSpec extends SparkSpec {
     val keys = assoc.select(col("disease_id")).distinct().as[String].collect().toSeq
     assert(keys == Seq("W1"))
   }
+
+  test("whitelist mode: scored output materializes — member diseases recovered, no score gate crash") {
+    val wl = Seq(("W1", "D1")).toDF("whitelist_id", "disease_id")
+    val (assoc, scored) = DrugDisease.run(inputs.copy(whitelist = Some(wl)))
+    // No harmonic threshold in whitelist mode (sc:441-445): every association
+    // survives, even ones an open-mode 0.1 gate would keep anyway here.
+    assert(assoc.count() == 2)
+    // The decorate joins must re-expand W1 -> D1 (sc:454): drugs_for_disease
+    // resolves to d1's bundle, so d2 scores exactly as in open mode.
+    val hyp = scored.select(col("disease_id"), col("target_id"), col("drug_hypothesis"),
+      round(col("drug_hypothesis_disease_aes_score"), 6).as("s"))
+      .as[(String, String, String, Double)].collect().toSet
+    assert(hyp == Set(("D1", "T1", "d2", 0.8), ("D1", "T2", "d2", 0.8)))
+  }
+
+  test("whitelist mode: disease with no drugs survives to scoring without dividing by zero") {
+    // D2 is whitelisted but has no aggregation row -> drugs_for_disease null
+    // -> new_drugs null (kept: no size gate) -> explode drops it in scoring.
+    // Under ANSI this path crashed before the aeSimilarity guard.
+    val wl = Seq(("W1", "D1"), ("W2", "D2")).toDF("whitelist_id", "disease_id")
+    val evs = Seq(
+      ("e1", "T1", "D1", 0.9, "europepmc"),
+      ("e2", "T1", "D1", 0.8, "genetics"),
+      ("e4", "T1", "D2", 0.6, "genetics")
+    ).toDF("evs_id", "target_id", "disease_id", "score", "datasource")
+    val (_, scored) = DrugDisease.run(
+      inputs.copy(evidences = evs, whitelist = Some(wl)))
+    val diseases = scored.select(col("disease_id")).distinct().as[String].collect().toSet
+    assert(diseases == Set("D1")) // D2 dropped null-safely, not crashed
+  }
 }
