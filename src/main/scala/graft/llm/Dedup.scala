@@ -136,6 +136,48 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Connected components to FIXPOINT: min-label propagation until no label
+    * changes — handles arbitrary cluster diameters (the fixed-`iters`
+    * variant above mislabels chains deeper than `iters`; it stays for
+    * oracle determinism). `localCheckpoint` every `checkpointEvery` rounds
+    * cuts the growing lineage (each iteration otherwise re-plans every
+    * previous join); intermediate rounds cache instead, so the convergence
+    * count never recomputes the iteration chain. One join + agg + compare
+    * count per round — labels only ever decrease, so `new < old` counts
+    * exactly the changed rows. Returns (doc_id, cluster).
+    */
+  def componentsFixpoint(pairs: DataFrame, checkpointEvery: Int = 3,
+                         maxIters: Int = 100): DataFrame = {
+    val vertices = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+    val edges = pairs.select(col("doc1").as("s"), col("doc2").as("t"))
+      .union(pairs.select(col("doc2").as("s"), col("doc1").as("t")))
+      .union(vertices.select(col("doc_id").as("s"), col("doc_id").as("t")))
+      .cache()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val step = edges
+        .join(labels.withColumnRenamed("doc_id", "t"), Seq("t"))
+        .groupBy(col("s").as("doc_id"))
+        .agg(min(col("label")).as("label"))
+      val next =
+        if (iter % checkpointEvery == 0) step.localCheckpoint()
+        else step.cache()
+      changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .where(col("n.label") < col("o.label"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Exact n-gram Jaccard over ALL co-shingled pairs: self-join on shingle.
     * Quadratic in co-shingled docs — at scale, use lshCandidatePairs +
     * jaccardForPairs instead; this exists for small inputs and as the

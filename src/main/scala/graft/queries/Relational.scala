@@ -261,6 +261,30 @@ object Relational {
         .select(col("src"), array_join(col("neighbours"), ",").as("neighbours"), col("degree"))
     }),
 
+    // S1: the reference's primary input format is schema'd JSON-lines (12 of
+    // its 14 inputs, sc:15-378). Exercise the REAL JSON source path end to
+    // end: serialize `documents` to JSON, re-read through Sources.json with
+    // an explicit StructType (no inference pass), aggregate. The oracle
+    // aggregates the original parquet — any roundtrip corruption (escaping,
+    // unicode, numeric precision) breaks the hash compare.
+    "q_source_json_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonsrc_" +
+        new java.io.File(d).getName
+      table(s, d, "documents").write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Sources.json(s, out, schema)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
     "q_graph_onehop" -> ((s, d) => {
       val e = table(s, d, "lineitem")
@@ -415,6 +439,13 @@ object Relational {
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_source_json_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q_graph_onehop" ->
       """SELECT src, CAST(count(*) AS BIGINT) AS n_hops FROM (

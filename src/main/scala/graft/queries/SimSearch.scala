@@ -31,11 +31,13 @@ object SimSearch {
       .select(col("vec_id"), Vectors.vecD(col("embedding")).as("v"))
 
   /** (vec_id, vn) with vn unit-normalized ONCE — the n² pair loop then pays
-    * one codegen'd dot per pair instead of dot + two norms.
+    * one codegen'd dot per pair instead of dot + two norms. The norm itself
+    * rides the codegen'd dot (not the per-element HOF fold); `nrm` sits
+    * behind its own projection so the 64-lane transform reads an attribute.
     */
   private def normEmbeds(s: SparkSession, d: String): DataFrame =
     embeds(s, d)
-      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("nrm", sqrt(Vectors.dotFast(col("v"), col("v"))))
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
 
   val queries: Map[String, Q] = Map(
@@ -58,6 +60,13 @@ object SimSearch {
     // exact cosine re-check on candidates only. The pair join touches
     // buckets, never n^2; candidate vectors are re-fetched by id, so the
     // band shuffle carries (id, band, bucket) rows only.
+    //
+    // MEASURED alternative (rejected): carrying the normalized vector
+    // through the band explode to delete both re-fetch joins — Smoke ×3 at
+    // sf0.1 showed 2.4 s warm vs 1.2 s for this form; the (Bands+1)×-wide
+    // array shuffle plus the array-laden pair dedup costs more than two
+    // broadcast-able id joins. At cluster scale the id re-fetch also keeps
+    // the skew-prone bucket shuffle narrow, so the join form stays.
     "q_sim_ann_lsh" -> ((s, d) => {
       val e = embeds(s, d)
       val bits = Planes.zipWithIndex.map { case (p, i) =>
@@ -125,6 +134,40 @@ object SimSearch {
       assigned
         .where(col("vec_id") >= NCentroids && col("bucket") === 0)
         .crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rn") <= 10)
+    }),
+
+    // Multi-probe IVF (nprobe = 2): the query probes its TWO nearest
+    // centroid buckets instead of one — the standard recall lever when the
+    // true neighbours straddle a Voronoi boundary. Probes are a 2-row
+    // broadcast; candidates stay bucket-pruned (2/NCentroids of the data),
+    // re-ranked exactly. Recall is monotone in nprobe by construction.
+    "q_sim_ann_ivf2" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"),
+          array_max(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("bucket"))
+      // the query's top-2 centroids (ties to the higher cid, matching the
+      // assignment's array_max tie-break)
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = qv.crossJoin(broadcast(cents))
+        .select(col("qv"),
+          explode(slice(reverse(array_sort(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("qv"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))), 1, 2)).as("p"))
+        .select(col("p.cid").as("bucket"), col("qv"))
+      assigned
+        .where(col("vec_id") >= NCentroids)
+        .join(broadcast(probes), Seq("bucket"))
         .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
         .withColumn("rn",
           row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
@@ -223,6 +266,33 @@ object SimSearch {
          |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos
          |  FROM e JOIN q USING (i)
          |  JOIN bucket bk ON bk.vec_id = e.vec_id AND bk.bucket = 0
+         |  WHERE e.vec_id >= $NCentroids GROUP BY 1)
+         |SELECT vec_id, cos, rn FROM (
+         |  SELECT vec_id, cos,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "q_sim_ann_ivf2" ->
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc WHERE vec_id = 0) WHERE rn <= 2),
+         |q AS (SELECT i, x FROM e WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos
+         |  FROM e JOIN q USING (i)
+         |  JOIN bucket bk ON bk.vec_id = e.vec_id
+         |  JOIN probes p ON p.cid = bk.bucket
          |  WHERE e.vec_id >= $NCentroids GROUP BY 1)
          |SELECT vec_id, cos, rn FROM (
          |  SELECT vec_id, cos,

@@ -140,7 +140,17 @@ object AsOf {
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String): DataFrame = {
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // Self-join safety: sides sharing lineage (same DataFrame, or frames
+    // derived from one) carry the SAME expression ids on both outputs, which
+    // breaks attribute binding in the exec. Re-alias the right side behind a
+    // Project (fresh expression ids) whenever the outputs overlap — the same
+    // dedup Spark's own join analysis performs.
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

@@ -17,7 +17,11 @@ import graft.functions.TopKAgg
   * aggregation buffer and the exchange; the rewrite bounds the buffer to K
   * on the map side with byte-for-byte identical output (top-K descending).
   * Users keep writing the declarative builtin form; plans pay the bounded
-  * cost. Guards: double input, non-distinct, unfiltered aggregate, K > 0.
+  * cost. Guards: double input, NON-NULLABLE input, non-distinct, unfiltered
+  * aggregate, K > 0. The nullability guard matters for correctness:
+  * collect_list silently drops nulls, while ScalaAggregator with the
+  * primitive double encoder would deserialize them as 0.0 — a nullable
+  * child could make the rewritten plan emit spurious 0.0 entries.
   *
   * Injected by graft.GraftExtensions via injectOptimizerRule — runs in the
   * optimizer's user-provided batch on the analyzed plan.
@@ -40,7 +44,7 @@ object RewriteTopK extends Rule[LogicalPlan] {
                 Literal(false, _)),
               Literal(1, IntegerType),
               Literal(k: Int, IntegerType))
-            if child.dataType == DoubleType && k > 0 =>
+            if child.dataType == DoubleType && !child.nullable && k > 0 =>
           val uda = UserDefinedAggregator(
             new TopKAgg(k), Encoders.scalaDouble,
             nullable = false, deterministic = true)

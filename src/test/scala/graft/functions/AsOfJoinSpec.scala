@@ -42,6 +42,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("self-join (shared lineage) re-aliases the right side instead of breaking binding") {
+    // same DataFrame on both sides: every event matched with the latest
+    // event at-or-before it per key — i.e. itself (duplicate expr ids on
+    // the right output used to corrupt attribute binding in the exec)
+    val events = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 5L, 3.0))
+      .toDF("k", "ts", "v")
+    val out = AsOf.join(events, events, "k", "k", "ts", "ts")
+    assert(out.columns.count(_ == "v") == 2)
+    // both sides share column NAMES (normal for self-joins) — positional
+    // rename before selecting
+    val pairs = out.toDF("lk", "lts", "lv", "rk", "rts", "rv")
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSet
+    // each row matches itself (rightTs <= leftTs picks the equal-ts row)
+    assert(pairs == Set(
+      (1L, 10L, 1.0, 1L, 10L, 1.0),
+      (1L, 20L, 2.0, 1L, 20L, 2.0),
+      (2L, 5L, 3.0, 2L, 5L, 3.0)))
+  }
+
   test("handles empty right side and duplicate left timestamps") {
     val emptyRight = right.where(lit(false))
     val out = AsOf.join(left, emptyRight, "k", "rk", "ts", "rts")

@@ -35,6 +35,15 @@ class RewriteTopKSpec extends SparkSpec {
     assert(math.abs(out(1) - expected) < 1e-9)
   }
 
+  test("nullable inputs are NOT rewritten (primitive decode would fake nulls as 0.0)") {
+    val ndf = Seq((1, Some(0.3)), (1, None), (1, Some(0.9))).toDF("g", "s")
+    val q = ndf.groupBy(col("g"))
+      .agg(Scoring.topK(collect_list(col("s")), 2).as("t"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("TopKAgg"))
+    // collect_list drops the null; no spurious 0.0 may appear
+    assert(q.select(col("t")).as[Seq[Double]].head() == Seq(0.9, 0.3))
+  }
+
   test("ascending sort_array slices are NOT rewritten") {
     val q = df.groupBy(col("g"))
       .agg(slice(sort_array(collect_list(col("s"))), 1, 2).as("bottom"))

@@ -47,6 +47,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("componentsFixpoint converges chains deeper than a fixed iteration budget") {
+    // a 7-vertex chain (diameter 6): fixed iters=4 CANNOT reach the far end,
+    // the fixpoint loop must (checkpointEvery=2 exercises the lineage cut)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("doc1", "doc2")
+    val fixed = Dedup.components(chain, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed(7L) != 1L) // the honest limitation of the bounded variant
+    val fp = Dedup.componentsFixpoint(chain, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(fp == (1L to 7L).map(_ -> 1L).toMap)
+  }
+
+  test("componentsFixpoint keeps disjoint clusters apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
+    val out = Dedup.componentsFixpoint(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("all-pairs jaccard agrees with the pairwise path and filters by threshold") {
     val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
