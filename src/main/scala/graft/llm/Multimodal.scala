@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  /** `checksum` is computed as a codegen'd Column in the adapter (NOT inside
+    * the decode loop) — mapPartitions stays a codec-only boundary.
+    */
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                      checksum: Long)
   case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
                           width: Int, height: Int, checksum: Long)
   case class Frame(media_id: Long, frame_no: Int, byte_offset: Long)
@@ -37,11 +41,11 @@ object Multimodal {
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: open codec context here, close after the iterator drains
+      // real impl: open codec context here, close after the iterator drains;
+      // ONLY codec-derived fields are computed in this loop
       rows.map { m =>
         val (w, h) = decodeStub(m.bytes)
-        DecodedMedia(m.media_id, m.kind, m.bytes.length.toLong, w, h,
-          Vectors.md5Long(new String(m.bytes, "UTF-8")))
+        DecodedMedia(m.media_id, m.kind, m.bytes.length.toLong, w, h, m.checksum)
       }
     }
   }
@@ -76,7 +80,9 @@ object Multimodal {
     docs.select(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
-      encode(col("text"), "UTF-8").as("bytes")
+      encode(col("text"), "UTF-8").as("bytes"),
+      // payload checksum rides whole-stage codegen here, not the codec loop
+      graft.ops.Core.md5Hash64(col("text")).as("checksum")
     ).as[MediaRow]
   }
 }

@@ -28,6 +28,17 @@ object Streams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence per `keys` wins; the watermark
+    * lets the state store EVICT keys older than `delay` (without it, dedup
+    * state grows unboundedly — the 100 TB/day killer). `ts` must be one of
+    * the event-time columns. Batch twin: dropDuplicates(keys).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class Event(user_id: Long, value: Double)
   case class RunningState(n: Long, total: Double)
   case class RunningSnapshot(user_id: Long, n_events: Long, total_value: Double)

@@ -11,10 +11,12 @@ class MultimodalSpec extends SparkSpec {
   private def mediaDs = {
     val s = spark
     import s.implicits._
+    // checksum is the adapter's job (a Column over the source payload);
+    // literal rows stand in with payload-derived values
     Seq(
-      MediaRow(1L, "image", Array.fill(300)('a'.toByte)),
-      MediaRow(2L, "image", "hello".getBytes("UTF-8")),
-      MediaRow(3L, "image", Array.emptyByteArray)
+      MediaRow(1L, "image", Array.fill(300)('a'.toByte), Vectors.md5Long("a" * 300)),
+      MediaRow(2L, "image", "hello".getBytes("UTF-8"), Vectors.md5Long("hello")),
+      MediaRow(3L, "image", Array.emptyByteArray, Vectors.md5Long(""))
     ).toDS()
   }
 

@@ -32,6 +32,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first occurrence per key across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val deduped = Streams.dedupStream(
+      input.toDF().toDF("ts", "event_id", "value"), Seq("event_id"),
+      delay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "e1", 1.0), (ts(1), "e1", 9.0), (ts(2), "e2", 2.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "e1", 7.0), (ts(4), "e3", 3.0)) // e1 again: state dedups
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .as[(Timestamp, String, Double)].collect()
+      assert(rows.map(_._2).sorted.toSeq == Seq("e1", "e2", "e3"))
+      assert(rows.find(_._2 == "e1").get._3 == 1.0) // the FIRST e1 won
+    } finally q.stop()
+  }
+
   test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
