@@ -93,6 +93,22 @@ object LlmOps {
       Dedup.components(pairs, iters = 4)
     }),
 
+    // Fixpoint variant of the same clustering: label propagation until no
+    // label changes (componentsFixpoint — handles any cluster diameter,
+    // localCheckpoint lineage cuts). On this fixture every cluster's
+    // diameter is < 4, so the 4-iteration oracle SQL is already at fixpoint
+    // and both variants legitimately share it; the deep-chain behavior
+    // difference is spec-tested (DedupSpec).
+    "q_dedup_components_fp" -> ((s, d) => {
+      val sigs = Dedup
+        .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      Dedup.componentsFixpoint(pairs)
+    }),
+
     // SimHash fingerprint (16-bit) — near-dup families share fingerprints.
     // Hash array materialized once; 16 bit votes read the attribute.
     "q_dedup_simhash" -> ((s, d) => {
@@ -239,6 +255,49 @@ object LlmOps {
 
   private val minDocSql = "len(string_split(text, ' ')) >= 3"
 
+  /** Oracle for the connected-components clustering: LSH pairs above the
+    * similarity bar, then FOUR unrolled min-label propagation CTEs. Shared
+    * by q_dedup_components (fixed iters = 4 by construction) and
+    * q_dedup_components_fp (fixpoint — on this fixture every cluster
+    * diameter is < 4, so l4 is already stable).
+    */
+  private lazy val componentsOracleSql: String = {
+    val mins = MinhashSeeds
+      .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    val matches = MinhashSeeds.map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val iterations = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT ed.s AS doc_id, min(l${i - 1}.label) AS label
+         |  FROM ed JOIN l${i - 1} ON l${i - 1}.doc_id = ed.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+       |  GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |p2 AS (
+       |  SELECT doc1, doc2 FROM cand
+       |  JOIN sigs x ON doc1 = x.doc_id
+       |  JOIN sigs y ON doc2 = y.doc_id
+       |  WHERE round(CAST($matches AS DOUBLE) / ${MinhashSeeds.size}, 4) >= 0.5),
+       |v AS (SELECT doc1 AS doc_id FROM p2 UNION SELECT doc2 FROM p2),
+       |ed AS (
+       |  SELECT doc1 AS s, doc2 AS t FROM p2
+       |  UNION ALL SELECT doc2, doc1 FROM p2
+       |  UNION ALL SELECT doc_id, doc_id FROM v),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM v),
+       |$iterations
+       |SELECT doc_id, label AS cluster FROM l4""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
@@ -276,42 +335,11 @@ object LlmOps {
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
     },
 
-    "q_dedup_components" -> {
-      val mins = MinhashSeeds
-        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
-      val bandRows = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
-      val matches = MinhashSeeds.map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-      val iterations = (1 to 4).map { i =>
-        s"""l$i AS (
-           |  SELECT ed.s AS doc_id, min(l${i - 1}.label) AS label
-           |  FROM ed JOIN l${i - 1} ON l${i - 1}.doc_id = ed.t GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH sigs AS (
-         |  SELECT doc_id, $mins
-         |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
-         |  GROUP BY doc_id),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |p2 AS (
-         |  SELECT doc1, doc2 FROM cand
-         |  JOIN sigs x ON doc1 = x.doc_id
-         |  JOIN sigs y ON doc2 = y.doc_id
-         |  WHERE round(CAST($matches AS DOUBLE) / ${MinhashSeeds.size}, 4) >= 0.5),
-         |v AS (SELECT doc1 AS doc_id FROM p2 UNION SELECT doc2 FROM p2),
-         |ed AS (
-         |  SELECT doc1 AS s, doc2 AS t FROM p2
-         |  UNION ALL SELECT doc2, doc1 FROM p2
-         |  UNION ALL SELECT doc_id, doc_id FROM v),
-         |l0 AS (SELECT doc_id, doc_id AS label FROM v),
-         |$iterations
-         |SELECT doc_id, label AS cluster FROM l4""".stripMargin
-    },
+    "q_dedup_components" -> componentsOracleSql,
+
+    // Shared legitimately: the fixture's cluster diameters are < 4, so the
+    // 4-iteration unrolled propagation IS the fixpoint on this data.
+    "q_dedup_components_fp" -> componentsOracleSql,
 
     "q_dedup_jaccard_verify" -> {
       val mins = MinhashSeeds

@@ -166,6 +166,22 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // Skew-mitigated equi-join (ops.Skew.saltedJoin): the hot-key fallback
+    // when a replicated broadcast isn't possible and AQE's skew split can't
+    // fire. The salt spreads each key over saltFactor partitions; results
+    // are salt-invariant, so the oracle is the PLAIN join — identical
+    // output proves the mitigation is semantics-free.
+    "q_join_salted" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_quantity"))
+      val p = table(s, d, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(li, p, "pk", saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // Broadcast join chain over the small dims (nation, region are tiny: the
     // 100 TB plan is fact-shuffle-free on these — explicit broadcast hint).
     "q_join_broadcast_dims" -> ((s, d) => {
@@ -379,6 +395,12 @@ object Relational {
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q_join_broadcast_dims" ->
       """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust
