@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: train merge rules over a corpus, apply
+  * them per row — the standard subword tokenizer of LLM data pipelines
+  * (q_text_tokens' regex splitter is the pre-tokenizer; this learns the
+  * vocabulary on top of it).
+  *
+  * Scale shape: training aggregates over the DISTINCT-WORD table (Zipf
+  * collapses a 100 TB corpus to a vocabulary orders of magnitude smaller),
+  * one pair-count aggregation + one argmax collect per merge — the same
+  * driver-held-model pattern as KMeans.fit (the learned merges are tiny and
+  * enter apply() as literals). Application is a narrow per-row fold, no
+  * shuffle.
+  *
+  * Determinism: the best pair is argmax on (count, pair) with ties broken
+  * by the lexicographically SMALLEST pair, so any engine reproduces the
+  * same merge sequence.
+  */
+object Bpe {
+
+  /** (word, count) vocabulary of a corpus — whitespace pre-tokenization. */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Symbol sequence of a word under the given merge rules: start from
+    * characters, apply each merge left-to-right non-overlapping, in rule
+    * order (the BPE apply algorithm). Pure Column fold — codegen-friendly,
+    * no UDF.
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = filter(split(word, ""), c => length(c) > 0)
+    merges.foldLeft(chars) { case (syms, (a, b)) => mergeOnce(syms, a, b) }
+  }
+
+  /** One merge rule applied over a symbol array: every adjacent (a, b)
+    * becomes a‖b, scanning left to right without overlap. Fold state is
+    * struct(acc array, prev symbol-or-null); a merged symbol is emitted
+    * immediately so it can't chain into the next match within this pass.
+    */
+  private[llm] def mergeOnce(syms: Column, a: String, b: String): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("acc"),
+      lit(null).cast("string").as("prev"))
+    val folded = aggregate(
+      syms,
+      zero,
+      (st, x) => {
+        val acc = st.getField("acc")
+        val prev = st.getField("prev")
+        when(prev.isNull, struct(acc.as("acc"), x.as("prev")))
+          .when(prev === lit(a) && x === lit(b),
+            struct(concat(acc, array(lit(a + b))).as("acc"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(struct(concat(acc, array(prev)).as("acc"), x.as("prev")))
+      },
+      st => when(st.getField("prev").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("prev")))))
+    folded
+  }
+
+  /** Learn `nMerges` merge rules from the corpus: per iteration, count
+    * adjacent symbol pairs weighted by word frequency, take the most
+    * frequent (ties → lexicographically smallest pair), merge everywhere.
+    * The vocab frame is cached across the loop; each iteration is one
+    * aggregation job plus a 1-row collect.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    val v = vocab(docs, textCol).cache()
+    try {
+      var merges = Vector.empty[(String, String)]
+      var done = false
+      while (merges.size < nMerges && !done) {
+        val syms = v.select(applyMerges(col("word"), merges).as("s"), col("n"))
+        val best = syms
+          .select(posexplode(slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))))
+            .as(Seq("i", "a")), col("s"), col("n"))
+          .select(col("a"), expr("s[i + 1]").as("b"), col("n"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) done = true
+        else merges :+= ((best(0).getString(0), best(0).getString(1)))
+      }
+      merges
+    } finally v.unpersist(blocking = false)
+  }
+}

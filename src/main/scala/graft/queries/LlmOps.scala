@@ -109,6 +109,24 @@ object LlmOps {
       Dedup.componentsFixpoint(pairs)
     }),
 
+    // BPE subword tokenization (llm.Bpe): merge rules trained on the corpus
+    // vocabulary (one agg + 1-row collect per merge, KMeans-style driver
+    // model), then applied per document as a pure Column fold. NO DuckDB
+    // oracle: the learned merge table is data-dependent and a faithful SQL
+    // twin needs a generic list fold — semantics are spec-verified (BpeSpec),
+    // so the driver records a rows-only check, like q_evidence_sha1.
+    "q_text_bpe" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val merges = graft.llm.Bpe.train(docs, "text", nMerges = 4)
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      docs.select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(
+          transform(words, w => size(graft.llm.Bpe.applyMerges(w, merges))),
+          lit(0L), (a, x) => a + x).as("n_subwords"))
+    }),
+
     // SimHash fingerprint (16-bit) — near-dup families share fingerprints.
     // Hash array materialized once; 16 bit votes read the attribute.
     "q_dedup_simhash" -> ((s, d) => {
