@@ -68,16 +68,23 @@ object Bpe {
   /** Learn `nMerges` merge rules from the corpus: per iteration, count
     * adjacent symbol pairs weighted by word frequency, take the most
     * frequent (ties → lexicographically smallest pair), merge everywhere.
-    * The vocab frame is cached across the loop; each iteration is one
-    * aggregation job plus a 1-row collect.
+    *
+    * The symbol table is MATERIALIZED between iterations (eager
+    * localCheckpoint — also cuts the growing mergeOnce lineage), so each
+    * round applies only the NEWEST rule instead of re-folding every prior
+    * merge from raw characters: per-iteration work stays O(1) merge passes
+    * regardless of how many rules are already learned. One aggregation job
+    * plus a 1-row collect per merge.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
     val v = vocab(docs, textCol).cache()
     try {
+      var syms = v
+        .select(filter(split(col("word"), ""), c => length(c) > 0).as("s"), col("n"))
+        .localCheckpoint()
       var merges = Vector.empty[(String, String)]
       var done = false
       while (merges.size < nMerges && !done) {
-        val syms = v.select(applyMerges(col("word"), merges).as("s"), col("n"))
         val best = syms
           .select(posexplode(slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))))
             .as(Seq("i", "a")), col("s"), col("n"))
@@ -88,7 +95,12 @@ object Bpe {
           .limit(1)
           .collect()
         if (best.isEmpty) done = true
-        else merges :+= ((best(0).getString(0), best(0).getString(1)))
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          merges :+= ((a, b))
+          syms = syms.select(mergeOnce(col("s"), a, b).as("s"), col("n"))
+            .localCheckpoint()
+        }
       }
       merges
     } finally v.unpersist(blocking = false)

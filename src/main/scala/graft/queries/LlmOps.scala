@@ -118,13 +118,19 @@ object LlmOps {
     "q_text_bpe" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val merges = graft.llm.Bpe.train(docs, "text", nMerges = 4)
-      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
-      docs.select(
-        col("doc_id"),
-        size(words).cast("long").as("n_words"),
-        aggregate(
-          transform(words, w => size(graft.llm.Bpe.applyMerges(w, merges))),
-          lit(0L), (a, x) => a + x).as("n_subwords"))
+      // Tokenize via the vocabulary, not per occurrence: the merge fold runs
+      // once per DISTINCT word, and documents join against it (Zipf makes
+      // the vocab a fraction of the corpus; AQE broadcasts it when small —
+      // not pinned, since a 100 TB corpus's vocab may exceed the threshold).
+      val wordTokens = graft.llm.Bpe.vocab(docs, "text")
+        .select(col("word"),
+          size(graft.llm.Bpe.applyMerges(col("word"), merges)).cast("long").as("n_sub"))
+      docs
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), "\\s+"), w => length(w) > 0)).as("word"))
+        .join(wordTokens, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
     }),
 
     // SimHash fingerprint (16-bit) — near-dup families share fingerprints.
