@@ -159,6 +159,40 @@ object LlmOps {
       )
     }),
 
+    // Gopher/C4-style quality gate: compose the stats into keep/drop rules
+    // (token-count band, mean token length band, stopword floor) — the
+    // standard pre-training corpus filter. Pure composition of codegen'd
+    // builtins; the gates push down as ordinary predicates.
+    "q_text_quality_filter" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      table(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+            / size(toks), 4).as("avg_token_len"),
+          round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+            / size(toks), 6).as("stopword_ratio"))
+        .where(col("n_tokens").between(10, 1000) &&
+          col("avg_token_len").between(2.0, 12.0) &&
+          col("stopword_ratio") > 0.0)
+    }),
+
+    // PII-style scrubbing: mask URLs, emails, and digit runs with regex
+    // replacement (the standard pre-training redaction pass). md5 of the
+    // scrubbed text pins byte-exact agreement with the oracle.
+    "q_text_scrub" -> ((s, d) => {
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit("https?://\\S+"), lit("<URL>")),
+          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<EMAIL>")),
+        lit("[0-9]+"), lit("<NUM>"))
+      table(s, d, "documents").select(
+        col("doc_id"),
+        length(scrubbed).cast("long").as("scrubbed_len"),
+        md5(scrubbed).as("scrubbed_md5"))
+    }),
+
     // Regex token counting (whitespace + BPE-ish word/digit/punct pieces).
     "q_text_tokens" -> ((s, d) => {
       table(s, d, "documents").select(
@@ -422,6 +456,33 @@ object LlmOps {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens
         |FROM documents""".stripMargin,
+
+    "q_text_quality_filter" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |  FROM documents)
+        |WHERE n_tokens BETWEEN 10 AND 1000
+        |  AND avg_token_len BETWEEN 2.0 AND 12.0
+        |  AND stopword_ratio > 0.0""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(length(s) AS BIGINT) AS scrubbed_len,
+        |  md5(s) AS scrubbed_md5
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS s
+        |  FROM documents)""".stripMargin,
 
     "q_text_langid" -> {
       // CASE evaluated in descending lang order so equal scores pick the
