@@ -96,6 +96,28 @@ object Relational {
       )
     }),
 
+    // Gap-based sessionization — the classic event-analytics operator:
+    // lag() finds inactivity gaps > 30 min, a running sum of gap markers
+    // numbers the sessions, then one groupBy rolls each session up. Both
+    // windows share one (user_id) shuffle + sort; timestamps compare at
+    // exact microseconds (unix_micros / epoch_us on the oracle side).
+    "q_window_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("is_new",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
+    }),
+
     // A1-style hash aggregation (TPC-H Q1 shape): map-side partial aggs.
     "q_agg_groupby" -> ((s, d) => {
       table(s, d, "lineitem")
@@ -353,6 +375,22 @@ object Relational {
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem""".stripMargin,
+
+    "q_window_sessionize" ->
+      """SELECT user_id, session_no, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS session_no
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |          > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag
