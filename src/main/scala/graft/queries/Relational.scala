@@ -96,6 +96,24 @@ object Relational {
       )
     }),
 
+    // Bucketed range join (ops.RangeJoin): order totals against overlapping
+    // price bands. The naive theta form plans as a nested-loop join —
+    // O(points × intervals); bucketizing restores a shuffle-local equi-join
+    // (intervals replicate ~span/width times, points once). Bands overlap
+    // deliberately so multi-match semantics are exercised.
+    "q_range_join_bands" -> ((s, d) => {
+      val bands = s.range(0, 40).select(
+        col("id").as("band_id"),
+        (col("id") * 5000).cast("double").as("lo"),
+        (col("id") * 5000 + 7500).cast("double").as("hi"))
+      val points = table(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.ops.RangeJoin.bucketed(points, "o_totalprice", bands, "lo", "hi",
+          bucketWidth = 5000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // Gap-based sessionization — the classic event-analytics operator:
     // lag() finds inactivity gaps > 30 min, a running sum of gap markers
     // numbers the sessions, then one groupBy rolls each session up. Both
@@ -375,6 +393,16 @@ object Relational {
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem""".stripMargin,
+
+    "q_range_join_bands" ->
+      """SELECT band_id, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |JOIN (SELECT i AS band_id, CAST(i * 5000 AS DOUBLE) AS lo,
+        |        CAST(i * 5000 + 7500 AS DOUBLE) AS hi
+        |      FROM generate_series(0, 39) t(i)) bands
+        |  ON o_totalprice >= lo AND o_totalprice <= hi
+        |GROUP BY band_id""".stripMargin,
 
     "q_window_sessionize" ->
       """SELECT user_id, session_no, count(*) AS n_events,
