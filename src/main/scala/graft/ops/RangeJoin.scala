@@ -45,4 +45,34 @@ object RangeJoin {
             intervals: DataFrame, loCol: String, hiCol: String): DataFrame =
     points.join(intervals,
       col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+
+  /** Interval × interval OVERLAP join ([lo, hi] inclusive on both sides),
+    * bucketized. Both sides explode to their covered buckets; a pair of
+    * overlapping intervals co-occurs in every bucket their spans share, so
+    * the join emits it only in the FIRST shared bucket —
+    * `greatest(floor(lLo/W), floor(rLo/W))` — making the output exactly-once
+    * WITHOUT a distinct/dedup shuffle (the standard ownership trick).
+    */
+  def bucketedOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+                      right: DataFrame, rLoCol: String, rHiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(lo: String, hi: String) = explode(sequence(
+      floor(col(lo) / bucketWidth).cast("long"),
+      floor(col(hi) / bucketWidth).cast("long")))
+    val lb = left.withColumn("__bucket", buckets(lLoCol, lHiCol))
+    val rb = right.withColumn("__bucket", buckets(rLoCol, rHiCol))
+    lb.join(rb, Seq("__bucket"))
+      .where(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__bucket") === greatest(
+          floor(col(lLoCol) / bucketWidth).cast("long"),
+          floor(col(rLoCol) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
+
+  /** Naive interval-overlap theta join — spec ground truth. */
+  def naiveOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+                   right: DataFrame, rLoCol: String, rHiCol: String): DataFrame =
+    left.join(right,
+      col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
 }

@@ -23,6 +23,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
 
+  test("property: bucketedOverlap equals naiveOverlap, exactly-once, across widths") {
+    val ivGen = Gen.listOfN(12, Gen.zip(Gen.choose(0.0, 40.0), Gen.choose(0.0, 12.0)))
+    val gen = Gen.zip(ivGen, ivGen, Gen.oneOf(0.5, 2.0, 7.0, 30.0))
+    (0 until 8).foreach { i =>
+      val (ls, rs, w) = gen.pureApply(Gen.Parameters.default, Seed(100L + i))
+      val left = ls.zipWithIndex.map { case ((lo, sp), id) => (id.toLong, lo, lo + sp) }
+        .toDF("lid", "llo", "lhi")
+      val right = rs.zipWithIndex.map { case ((lo, sp), id) => (id.toLong, lo, lo + sp) }
+        .toDF("rid", "rlo", "rhi")
+      val got = RangeJoin.bucketedOverlap(left, "llo", "lhi", right, "rlo", "rhi", w)
+        .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSeq
+      val want = RangeJoin.naiveOverlap(left, "llo", "lhi", right, "rlo", "rhi")
+        .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSeq
+      // exactly-once: compare as multisets, not sets — the ownership rule
+      // must suppress duplicate emissions from shared buckets
+      assert(got.sorted == want.sorted, s"seed=$i width=$w")
+    }
+  }
+
   test("property: bucketed equals naive across random data and widths") {
     val gen = Gen.zip(
       Gen.listOfN(25, Gen.choose(0.0, 50.0)),
