@@ -53,4 +53,32 @@ object Graph {
     df.select(col(id), explode(col(ancestors)).as("ancestor"))
       .groupBy(col("ancestor"))
       .agg(sort_array(collect_set(col(id))).as("descendants"))
+
+  /** Triangle count via degree-ordered orientation (the cluster-scale
+    * algorithm): each undirected edge points from its (degree, id)-smaller
+    * endpoint to the larger, which makes the orientation acyclic and bounds
+    * every out-degree by O(√m) — so the wedge join (e1.t = e2.s) can't blow
+    * up on hub vertices the way an unoriented join would. Each triangle has
+    * exactly one wedge whose closing edge exists in the oriented set, so the
+    * final count needs no /3 or dedup. Input: (src, dst) distinct undirected
+    * edges (one row per edge, no self-loops). Output: one row, n_triangles.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val Array(a, b) = edges.columns
+    val e = edges.select(col(a).as("src"), col(b).as("dst"))
+    val deg = e.select(col("src").as("u")).union(e.select(col("dst").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("d").as("dt")), Seq("dst"))
+    val srcFirst = struct(col("ds"), col("src")) < struct(col("dt"), col("dst"))
+    val oriented = withDeg.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("s"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("t"))
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .join(oriented.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -341,6 +341,25 @@ object Relational {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // Triangle counting over the user co-occurrence graph (users sharing a
+    // 5-min window + event type): degree-ordered orientation bounds each
+    // out-degree by O(√m), so the wedge self-join stays hub-safe — the
+    // cluster-scale triangle algorithm, counted exactly once per triangle.
+    "q_graph_triangles" -> ((s, d) => {
+      val occ = table(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 300").as("win"),
+          col("event_type"), col("user_id"))
+        .distinct()
+      val edges = occ.as("a")
+        .join(occ.as("b"),
+          col("a.win") === col("b.win") &&
+            col("a.event_type") === col("b.event_type") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+        .distinct()
+      Graph.triangles(edges)
+    }),
+
     // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
     "q_graph_onehop" -> ((s, d) => {
       val e = table(s, d, "lineitem")
@@ -534,6 +553,27 @@ object Relational {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
         |  max(doc_id) AS max_doc
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts)/300) AS BIGINT) AS win,
+        |    event_type, user_id FROM events),
+        |edges AS (
+        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        |  FROM occ a JOIN occ b
+        |    ON a.win = b.win AND a.event_type = b.event_type
+        |    AND a.user_id < b.user_id),
+        |deg AS (
+        |  SELECT u, count(*) AS d FROM (
+        |    SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges)
+        |  GROUP BY u),
+        |o AS (
+        |  SELECT CASE WHEN (d1.d, e.src) < (d2.d, e.dst) THEN e.src ELSE e.dst END AS s,
+        |         CASE WHEN (d1.d, e.src) < (d2.d, e.dst) THEN e.dst ELSE e.src END AS t
+        |  FROM edges e JOIN deg d1 ON d1.u = e.src JOIN deg d2 ON d2.u = e.dst)
+        |SELECT count(*) AS n_triangles
+        |FROM o e1 JOIN o e2 ON e1.t = e2.s
+        |JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t""".stripMargin,
 
     "q_graph_onehop" ->
       """SELECT src, CAST(count(*) AS BIGINT) AS n_hops FROM (

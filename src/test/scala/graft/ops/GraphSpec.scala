@@ -38,6 +38,17 @@ class GraphSpec extends SparkSpec {
     assert(hops == Set(("a", "b"), ("a", "a"), ("b", "a"), ("b", "b")))
   }
 
+  test("triangles counts each triangle exactly once via degree orientation") {
+    // K4 (4 triangles) ∪ 4-cycle e-f-g-h (0) ∪ triangle i-j-k with pendant (1)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L),                     // square
+      (9L, 10L), (10L, 11L), (9L, 11L), (11L, 12L)                // tri + tail
+    ).toDF("src", "dst")
+    assert(Graph.triangles(edges).as[Long].head() == 5L)
+    assert(Graph.triangles(Seq((1L, 2L)).toDF("src", "dst")).as[Long].head() == 0L)
+  }
+
   test("invertClosure turns ancestors into descendants") {
     val df = Seq(("x", Seq("x", "p")), ("y", Seq("y", "p"))).toDF("id", "ancestors")
     val inv = Graph.invertClosure(df, "id", "ancestors")
