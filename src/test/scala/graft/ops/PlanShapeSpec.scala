@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan regression guards: each operator whose whole point is
+  * avoiding a pathological plan shape must keep avoiding it. A silent
+  * regression to a nested-loop join would stay correctness-green while
+  * destroying the scale story — these specs pin the plan, not the rows.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("bucketed range join plans as an equi-join, never a nested loop") {
+    val plan = executedPlan("q_range_join_bands")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("triangle counting's wedge joins are equi-joins, never nested loops") {
+    val plan = executedPlan("q_graph_triangles")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("salted join stays an equi-join on (key, salt)") {
+    val plan = executedPlan("q_join_salted")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sessionization reuses one user_id exchange for windows and rollup") {
+    // both window functions and the final groupBy cluster on user_id —
+    // HashPartitioning(user_id) satisfies the (user_id, session_no) group,
+    // so the whole query needs exactly ONE exchange
+    val plan = executedPlan("q_window_sessionize")
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
