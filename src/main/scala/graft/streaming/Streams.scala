@@ -39,6 +39,27 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream correlation join: each event of `a` pairs
+    * with same-user events of `b` whose timestamp falls in
+    * [a.ts − lookback, a.ts]. Both watermarks PLUS the bounded time-range
+    * predicate are what let the join state store evict old rows — an
+    * unconstrained stream-stream join buffers both streams forever, the
+    * other unbounded-state killer at continuous-ingest scale.
+    *
+    * Column contract: both inputs are (user_id, ts, value); `b`'s columns
+    * come back prefixed `b_`.
+    */
+  def correlateStreams(a: DataFrame, b: DataFrame,
+                       delay: String = "10 minutes",
+                       lookback: String = "5 minutes"): DataFrame = {
+    val bw = b.toDF("b_user_id", "b_ts", "b_value")
+    a.withWatermark("ts", delay)
+      .join(bw.withWatermark("b_ts", delay),
+        col("user_id") === col("b_user_id") &&
+          col("b_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+          col("b_ts") <= col("ts"))
+  }
+
   case class Event(user_id: Long, value: Double)
   case class RunningState(n: Long, total: Double)
   case class RunningSnapshot(user_id: Long, n_events: Long, total_value: Double)

@@ -54,6 +54,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlateStreams pairs same-user events within the lookback window only") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val a = MemoryStream[(Long, Timestamp, Double)]
+    val b = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.correlateStreams(
+      a.toDF().toDF("user_id", "ts", "value"),
+      b.toDF().toDF("user_id", "ts", "value"),
+      delay = "10 minutes", lookback = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("corr_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      b.addData((1L, ts(1), 10.0), (1L, ts(20), 20.0), (2L, ts(2), 30.0))
+      a.addData((1L, ts(4), 1.0), (1L, ts(22), 2.0), (3L, ts(4), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("corr_stream")
+        .select("value", "b_value").as[(Double, Double)].collect().toSet
+      // a@4 pairs b@1 (3 min back); a@22 pairs b@20 (2 min back) but NOT
+      // b@1 (21 min back, outside lookback); user 3 has no b events
+      assert(rows == Set((1.0, 10.0), (2.0, 20.0)))
+    } finally q.stop()
+  }
+
   test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
