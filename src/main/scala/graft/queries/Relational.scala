@@ -114,6 +114,30 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // Batch twin of Streams.correlateStreams (same pairing semantics the
+    // streaming join applies incrementally): each event pairs with same-user
+    // events in the preceding 5 minutes. Planned as a time-BUCKETED
+    // equi-join — the naive user_id-only join builds every per-user pair
+    // before filtering (quadratic in events-per-user); bucketing on
+    // 5-minute epochs bounds the join to adjacent buckets, RangeJoin-style.
+    "q_stream_corr_batch" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val bSide = ev.select(col("user_id"),
+        col("event_id").as("b_event_id"), col("ts").as("b_ts"),
+        col("value").as("b_value"),
+        expr("unix_micros(ts) div 300000000").as("bucket"))
+      val aSide = ev.withColumn("bucket",
+        explode(sequence(
+          expr("unix_micros(ts - INTERVAL 5 MINUTE) div 300000000"),
+          expr("unix_micros(ts) div 300000000"))))
+      aSide.join(bSide, Seq("user_id", "bucket"))
+        .where(col("b_ts") >= col("ts") - expr("INTERVAL 5 MINUTE") &&
+          col("b_ts") <= col("ts") && col("b_event_id") =!= col("event_id"))
+        .select(col("event_id"), col("b_event_id"),
+          round(col("value"), 4).as("a_value"), round(col("b_value"), 4).as("b_value"))
+    }),
+
     // Gap-based sessionization — the classic event-analytics operator:
     // lag() finds inactivity gaps > 30 min, a running sum of gap markers
     // numbers the sessions, then one groupBy rolls each session up. Both
@@ -422,6 +446,14 @@ object Relational {
         |      FROM generate_series(0, 39) t(i)) bands
         |  ON o_totalprice >= lo AND o_totalprice <= hi
         |GROUP BY band_id""".stripMargin,
+
+    "q_stream_corr_batch" ->
+      """SELECT a.event_id, b.event_id AS b_event_id,
+        |  round(a.value, 4) AS a_value, round(b.value, 4) AS b_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts
+        |  AND b.event_id <> a.event_id""".stripMargin,
 
     "q_window_sessionize" ->
       """SELECT user_id, session_no, count(*) AS n_events,
