@@ -384,6 +384,28 @@ object Relational {
       Graph.triangles(edges)
     }),
 
+    // CSV source/sink driver gate (engine extension alongside S1's JSON):
+    // documents through writeCsv -> Sources.csv with the explicit schema,
+    // aggregated; the oracle aggregates the original parquet, so quoting or
+    // type-coercion corruption in the CSV path breaks the hash.
+    "q_source_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csvsrc_" +
+        new java.io.File(d).getName
+      graft.sources.Sources.writeCsv(table(s, d, "documents"), out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Sources.csv(s, out, schema)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"),
+          min(col("doc_id")).as("min_doc"))
+    }),
+
     // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
     "q_graph_onehop" -> ((s, d) => {
       val e = table(s, d, "lineitem")
@@ -578,6 +600,13 @@ object Relational {
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_source_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_source_json_roundtrip" ->
       """SELECT lang, source, count(*) AS n_docs,
