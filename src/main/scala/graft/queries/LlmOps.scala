@@ -109,6 +109,19 @@ object LlmOps {
       Dedup.componentsFixpoint(pairs)
     }),
 
+    // Deterministic hash split — the reproducible train/val/test assignment
+    // every training-data pipeline needs: bucket = md5(doc_id) mod 100, so
+    // membership is stable across runs, engines, and partitionings (RNG
+    // sampling is none of those). 80/10/10; checked exactly by the oracle.
+    "q_sample_split" -> ((s, d) => {
+      val h = Core.md5Hash64(concat(lit("split|"), col("doc_id").cast("string"))) % 100
+      table(s, d, "documents")
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // BPE subword tokenization (llm.Bpe): merge rules trained on the corpus
     // vocabulary (one agg + 1-row collect per merge, KMeans-style driver
     // model), then applied per document as a pure Column fold. NO DuckDB
@@ -391,6 +404,16 @@ object LlmOps {
          |FROM pairs
          |JOIN sigs x ON doc1 = x.doc_id
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
+    },
+
+    "q_sample_split" -> {
+      val h = s"${sqlHash64("'split|' || CAST(doc_id AS VARCHAR)")} % 100"
+      s"""SELECT lang,
+         |  CASE WHEN $h < 80 THEN 'train'
+         |       WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin
     },
 
     "q_dedup_components" -> componentsOracleSql,
