@@ -109,6 +109,24 @@ object LlmOps {
       Dedup.componentsFixpoint(pairs)
     }),
 
+    // Unigram LM quality score (CCNet-style): train token frequencies on
+    // the corpus itself, score each document by its mean token log10
+    // probability — low-probability-token documents (gibberish, boilerplate
+    // soup) surface at the bottom. Two aggregations + one token-frequency
+    // join; the corpus total rides a 1-row broadcast.
+    "q_text_lm_score" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      val tot = freq.agg(sum(col("wn")).cast("double").as("tot"))
+      toks.join(freq, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(avg(log10(col("wn").cast("double") / col("tot"))), 4).as("avg_logprob"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // Deterministic hash split — the reproducible train/val/test assignment
     // every training-data pipeline needs: bucket = md5(doc_id) mod 100, so
     // membership is stable across runs, engines, and partitionings (RNG
@@ -405,6 +423,17 @@ object LlmOps {
          |JOIN sigs x ON doc1 = x.doc_id
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
     },
+
+    "q_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS wn FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(wn) AS DOUBLE) AS tot FROM freq)
+        |SELECT doc_id,
+        |  round(avg(log10(wn / tot)), 4) AS avg_logprob,
+        |  count(*) AS n_tokens
+        |FROM toks JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q_sample_split" -> {
       val h = s"${sqlHash64("'split|' || CAST(doc_id AS VARCHAR)")} % 100"
