@@ -57,6 +57,27 @@ object Dedup {
       .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Band explode of a signature table: one row per (doc, band) carrying
+    * the signatures (so pair joins need no re-join back) plus the band's
+    * bucket key.
+    */
+  private def withBands(sigs: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val bandStructs = array((0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bucket"))
+    }: _*)
+    sigs
+      .withColumn("bb", explode(bandStructs))
+      .select(col(idCol) +: (0 until k).map(i => col(s"mh$i")) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+  }
+
+  private def sigMatches(k: Int) = (0 until k)
+    .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+    .reduce(_ + _)
+
   /** LSH candidate pairs from a signature table: `bands` bands of
     * `rowsPerBand` signature rows; docs sharing any band bucket pair up.
     * Output: (doc1, doc2, est_jaccard) with doc1 < doc2; est_jaccard is the
@@ -69,17 +90,7 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val bandStructs = array((0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bucket"))
-    }: _*)
-    val banded = sigs
-      .withColumn("bb", explode(bandStructs))
-      .select(col(idCol) +: (0 until k).map(i => col(s"mh$i")) :+
-        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
-    val matches = (0 until k)
-      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val banded = withBands(sigs, idCol, bands, rowsPerBand)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -87,7 +98,29 @@ object Dedup {
       .select(
         col(s"x.$idCol").as("doc1"),
         col(s"y.$idCol").as("doc2"),
-        round(matches.cast("double") / lit(k), 4).as("est_jaccard"))
+        round(sigMatches(k).cast("double") / lit(k), 4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** BIPARTITE LSH candidates — the decontamination shape: corpus docs that
+    * share any band bucket with a (usually much smaller) reference set,
+    * e.g. evaluation benchmarks that must not leak into training data. The
+    * join is corpus-bands × reference-bands only — never corpus × corpus —
+    * so the reference side's band table is broadcast-sized in practice.
+    * Output: (doc_id, ref_id, est_jaccard).
+    */
+  def lshCandidatesAcross(corpusSigs: DataFrame, refSigs: DataFrame,
+                          idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val cb = withBands(corpusSigs, idCol, bands, rowsPerBand)
+    val rb = withBands(refSigs, idCol, bands, rowsPerBand)
+    cb.as("x")
+      .join(rb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(
+        col(s"x.$idCol").as("doc_id"),
+        col(s"y.$idCol").as("ref_id"),
+        round(sigMatches(k).cast("double") / lit(k), 4).as("est_jaccard"))
       .distinct()
   }
 

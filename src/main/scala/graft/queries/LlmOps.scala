@@ -93,6 +93,21 @@ object LlmOps {
       Dedup.components(pairs, iters = 4)
     }),
 
+    // Benchmark decontamination: corpus docs sharing an LSH band bucket
+    // with a reference set (here: source 'src0' plays the held-out
+    // benchmark). The bipartite join never pairs corpus×corpus — at real
+    // scale the benchmark's band table is broadcast-sized, so screening a
+    // 100 TB corpus costs one scan + one broadcast join.
+    "q_dedup_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val corpusSigs = Dedup.minhashSigs(
+        docs.where(col("source") =!= "src0"), "doc_id", "text", 3, MinhashSeeds)
+      val refSigs = Dedup.minhashSigs(
+        docs.where(col("source") === "src0"), "doc_id", "text", 3, MinhashSeeds)
+      Dedup.lshCandidatesAcross(corpusSigs, refSigs, "doc_id",
+        bands = 4, rowsPerBand = 2)
+    }),
+
     // Fixpoint variant of the same clustering: label propagation until no
     // label changes (componentsFixpoint — handles any cluster diameter,
     // localCheckpoint lineage cuts). On this fixture every cluster's
@@ -443,6 +458,32 @@ object LlmOps {
          |  count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_dedup_decontaminate" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matches = MinhashSeeds.map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |src AS (SELECT doc_id, source FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT bc.doc_id AS doc_id, br.doc_id AS ref_id
+         |  FROM bands bc JOIN src sc ON sc.doc_id = bc.doc_id AND sc.source <> 'src0'
+         |  JOIN bands br ON bc.band = br.band AND bc.bucket = br.bucket
+         |  JOIN src sr ON sr.doc_id = br.doc_id AND sr.source = 'src0')
+         |SELECT c.doc_id, c.ref_id,
+         |  round(CAST($matches AS DOUBLE) / ${MinhashSeeds.size}, 4) AS est_jaccard
+         |FROM cand c
+         |JOIN sigs x ON c.doc_id = x.doc_id
+         |JOIN sigs y ON c.ref_id = y.doc_id""".stripMargin
     },
 
     "q_dedup_components" -> componentsOracleSql,
