@@ -124,6 +124,22 @@ object LlmOps {
       Dedup.componentsFixpoint(pairs)
     }),
 
+    // Within-document repetition signals (Gopher-style): the fraction of
+    // bigram mass taken by the single most repeated bigram, and the
+    // distinct-bigram fraction — high top-fraction / low distinct-fraction
+    // marks boilerplate loops and keyboard-mash. Two hash aggregations,
+    // both partial-aggregated map-side.
+    "q_text_repetition" -> ((s, d) => {
+      val bi = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
+      bi.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_bigrams"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),
+          round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_frac"))
+    }),
+
     // Unigram LM quality score (CCNet-style): train token frequencies on
     // the corpus itself, score each document by its mean token log10
     // probability — low-probability-token documents (gibberish, boilerplate
@@ -438,6 +454,17 @@ object LlmOps {
          |JOIN sigs x ON doc1 = x.doc_id
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, ${shingleSqlN(2, distinct = false)}
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |pc AS (SELECT doc_id, w, count(*) AS c FROM bg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+         |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_frac
+         |FROM pc GROUP BY doc_id""".stripMargin,
 
     "q_text_lm_score" ->
       """WITH toks AS (
