@@ -384,6 +384,43 @@ object Relational {
       Graph.triangles(edges)
     }),
 
+    // S3: Hadoop glob path through the scan — the pattern must expand to
+    // exactly the documents table; the oracle reads it by full name.
+    "q_source_glob" -> ((s, d) => {
+      graft.sources.Sources.parquet(s, s"$d/docum*.parquet")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // S4: partitioned parquet sink + partition-pruned re-read: documents
+    // written partitionBy(lang), then only one partition's files are read
+    // back (the lang filter prunes at planning — no full-directory scan).
+    // The oracle filters the original table, so a pruning bug that reads or
+    // drops the wrong partition breaks the hash.
+    "q_source_partitioned_sink" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partsink_" +
+        new java.io.File(d).getName
+      graft.sources.Sources.writeParquet(
+        table(s, d, "documents"), out, partitionBy = Seq("lang"))
+      graft.sources.Sources.parquet(s, out)
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // ORC source/sink driver gate (parquet's sibling columnar format).
+    "q_source_orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orcsrc_" +
+        new java.io.File(d).getName
+      graft.sources.Sources.writeOrc(table(s, d, "documents"), out)
+      graft.sources.Sources.orc(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"),
+          min(col("doc_id")).as("min_doc"))
+    }),
+
     // CSV source/sink driver gate (engine extension alongside S1's JSON):
     // documents through writeCsv -> Sources.csv with the explicit schema,
     // aggregated; the oracle aggregates the original parquet, so quoting or
@@ -600,6 +637,23 @@ object Relational {
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_source_glob" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_source_partitioned_sink" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+
+    "q_source_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_source_csv_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
