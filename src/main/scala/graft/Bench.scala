@@ -28,7 +28,11 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: f-interpolation uses the default locale, which renders
+    // decimal COMMAS on e.g. de_DE JVMs — invalid JSON for the driver.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Per-query detail goes to a file + an EARLIER stdout line; the FINAL
@@ -39,7 +43,7 @@ object Bench {
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,7 +32,11 @@ object KMeans {
     * the codegen'd graft_dot primitive loop — the earlier
     * `aggregate(zip_with(...))` HOF fold dispatched a lambda per element
     * per centroid and dominated the whole query (~60 s → ~1 s at sf0.1).
-    * ‖c‖² folds to a driver-side constant.
+    * ‖c‖² folds to a driver-side constant. Cancellation bound: the expanded
+    * form's error is ~‖v‖²·dim·ε; with unit-scale embedding components
+    * (‖v‖² ≈ dim) that is ~1e-14 — five orders below the 1e-9 rounding
+    * quantum. Components of O(100) would close that gap; if inputs ever
+    * move to that scale, revert to a direct sum((x−c)²) fold.
     *
     * `vv` must be ‖v‖² materialized by the CALLER behind its own select:
     * Catalyst re-evaluates repeated non-attribute subexpressions per

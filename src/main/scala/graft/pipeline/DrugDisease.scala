@@ -247,8 +247,14 @@ object DrugDisease {
     * final filter. Spark 4 defaults to ANSI mode, where double division by
     * zero THROWS — so the empty-profile case (size == 0) is guarded with
     * `when`, producing the same null-then-dropped outcome under both modes.
-    * Null profiles (missing AE data) propagate null through size() the same
-    * way in both versions.
+    *
+    * DELIBERATE DEVIATION for NULL profiles (missing AE data): Spark 2.4's
+    * legacy size(null) = -1 sentinel made the reference score a null side
+    * as 1 − (−1/−1) = 0.0 — and inflate the OPPOSITE side to 1 + 1/n via
+    * size(array_except(x, null)) = −1 — so rows with a missing profile were
+    * KEPT with scores that can exceed 1. Here size(null) is null, the blend
+    * is null, and the row drops: unscorable beats sentinel-arithmetic
+    * scores. Asserted in DrugDiseaseSpec ("missing AE profile drops").
     */
   def aeSimilarity(drugAes: Column, diseaseAes: Column): Column = {
     val d1 = size(array_except(drugAes, diseaseAes)).cast("double")

@@ -434,7 +434,9 @@ object Relational {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      graft.sources.Sources.csv(s, out, schema)
+      // multiLine: documents text COULD contain quoted newlines; line-split
+      // parsing would shred such records even though the writer quotes them
+      graft.sources.Sources.csv(s, out, schema, multiLine = true)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -27,13 +27,20 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** CSV scan with explicit schema (no inference pass; header optional). */
+  /** CSV scan with explicit schema (no inference pass; header optional).
+    * `multiLine` parses quoted fields containing embedded newlines
+    * correctly at the cost of per-file (non-split) parsing — required
+    * whenever the writer may have quoted record-internal newlines; leave
+    * false only for data known to be single-line.
+    */
   def csv(spark: SparkSession, path: String, schema: StructType,
-          header: Boolean = true, delimiter: String = ","): DataFrame =
+          header: Boolean = true, delimiter: String = ",",
+          multiLine: Boolean = false): DataFrame =
     spark.read
       .schema(schema)
       .option("header", header.toString)
       .option("delimiter", delimiter)
+      .option("multiLine", multiLine.toString)
       .option("mode", "PERMISSIVE")
       .csv(path)
 

@@ -35,13 +35,40 @@ class RewriteTopKSpec extends SparkSpec {
     assert(math.abs(out(1) - expected) < 1e-9)
   }
 
-  test("nullable inputs are NOT rewritten (primitive decode would fake nulls as 0.0)") {
+  test("nullable inputs rewrite WITH a null filter (no spurious 0.0 from primitive decode)") {
     val ndf = Seq((1, Some(0.3)), (1, None), (1, Some(0.9))).toDF("g", "s")
     val q = ndf.groupBy(col("g"))
       .agg(Scoring.topK(collect_list(col("s")), 2).as("t"))
-    assert(!q.queryExecution.optimizedPlan.toString.contains("TopKAgg"))
-    // collect_list drops the null; no spurious 0.0 may appear
+    // the rewrite must still fire — file-sourced columns are ALWAYS nullable,
+    // so bailing out here would disable the rule exactly where it matters —
+    // but with an IS NOT NULL aggregate filter matching collect_list's drop
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKAgg"), plan)
     assert(q.select(col("t")).as[Seq[Double]].head() == Seq(0.9, 0.3))
+  }
+
+  test("slice in a Project over the Aggregate rewrites too (the DataFrame-API shape)") {
+    // collect in .agg, slice in the NEXT select — how q_harmonic_topk-style
+    // queries naturally compose; the rewrite must cross the projection
+    val q = df.groupBy(col("g"))
+      .agg(collect_list(col("s")).as("xs"))
+      .select(col("g"), Scoring.topK(col("xs"), 3).as("t"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("TopKAgg"),
+      s"expected cross-projection rewrite in:\n${q.queryExecution.optimizedPlan}")
+    val out = q.as[(Int, Seq[Double])].collect().toMap
+    assert(out(1) == Seq(0.9, 0.8, 0.5))
+    assert(out(2) == Seq(0.7))
+  }
+
+  test("cross-projection rewrite aborts when the array has another consumer") {
+    // size(xs) observes the FULL array — truncating it would change results
+    val q = df.groupBy(col("g"))
+      .agg(collect_list(col("s")).as("xs"))
+      .select(col("g"), Scoring.topK(col("xs"), 2).as("t"),
+        size(col("xs")).as("n"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("TopKAgg"))
+    val out = q.as[(Int, Seq[Double], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1) == ((Seq(0.9, 0.8), 5)))
   }
 
   test("ascending sort_array slices are NOT rewritten") {
