@@ -114,6 +114,23 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // Interval × interval overlap join (RangeJoin.bucketedOverlap): price
+    // bands against per-priority [min, max] totalprice ranges. The bucket-
+    // ownership rule emits each overlapping pair exactly once with no dedup
+    // shuffle; the oracle is the naive theta join.
+    "q_range_overlap_bands" -> ((s, d) => {
+      val bands = s.range(0, 40).select(
+        col("id").as("band_id"),
+        (col("id") * 5000).cast("double").as("lo"),
+        (col("id") * 5000 + 7500).cast("double").as("hi"))
+      val prio = table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("plo"), max(col("o_totalprice")).as("phi"))
+      graft.ops.RangeJoin.bucketedOverlap(bands, "lo", "hi", prio, "plo", "phi",
+          bucketWidth = 5000.0)
+        .select(col("band_id"), col("o_orderpriority"))
+    }),
+
     // Batch twin of Streams.correlateStreams (same pairing semantics the
     // streaming join applies incrementally): each event pairs with same-user
     // events in the preceding 5 minutes. Planned as a time-BUCKETED
@@ -507,6 +524,16 @@ object Relational {
         |      FROM generate_series(0, 39) t(i)) bands
         |  ON o_totalprice >= lo AND o_totalprice <= hi
         |GROUP BY band_id""".stripMargin,
+
+    "q_range_overlap_bands" ->
+      """SELECT band_id, o_orderpriority
+        |FROM (SELECT i AS band_id, CAST(i * 5000 AS DOUBLE) AS lo,
+        |        CAST(i * 5000 + 7500 AS DOUBLE) AS hi
+        |      FROM generate_series(0, 39) t(i)) bands
+        |JOIN (SELECT o_orderpriority, min(o_totalprice) AS plo,
+        |        max(o_totalprice) AS phi
+        |      FROM orders GROUP BY 1) pr
+        |  ON lo <= phi AND plo <= hi""".stripMargin,
 
     "q_stream_corr_batch" ->
       """SELECT a.event_id, b.event_id AS b_event_id,

@@ -60,6 +60,55 @@ object Streams {
           col("b_ts") <= col("ts"))
   }
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(startMs: Long, endMs: Long, n: Long)
+  case class Session(user_id: Long, n_events: Long, duration_ms: Long)
+
+  /** Streaming gap sessionization — the streaming twin of
+    * q_window_sessionize: per-user sessions close after `gapMinutes` of
+    * event-time inactivity and are emitted ONCE, via
+    * flatMapGroupsWithState + EventTimeTimeout. The watermark both bounds
+    * the state store and drives the timeouts: a session's state is evicted
+    * the moment its timeout fires, so state size tracks ACTIVE users only.
+    * (Millisecond timestamp resolution — java.sql.Timestamp.getTime — is
+    * the granularity of the state; the batch twin compares microseconds.)
+    */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.n, s.endMs - s.startMs))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.Buffer[Session]()
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(uid, s.n, s.endMs - s.startMs)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   case class Event(user_id: Long, value: Double)
   case class RunningState(n: Long, total: Double)
   case class RunningSnapshot(user_id: Long, n_events: Long, total_value: Double)

@@ -78,6 +78,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize closes sessions on event-time gap and emits each exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A: two events 3 min apart for user 1
+      input.addData(Streams.SessionEvent(1L, ts(1)), Streams.SessionEvent(1L, ts(4)))
+      q.processAllAvailable()
+      // 2h later: new events advance the watermark past A's gap -> A times
+      // out and emits; this also OPENS session B for user 1
+      input.addData(Streams.SessionEvent(1L, Timestamp.valueOf("2026-01-01 12:00:00")),
+        Streams.SessionEvent(2L, Timestamp.valueOf("2026-01-01 12:05:00")))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark advanced
+      input.addData(Streams.SessionEvent(2L, Timestamp.valueOf("2026-01-01 15:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .as[Streams.Session].collect().map(r => (r.user_id, r.n_events, r.duration_ms))
+      // session A: 2 events, 3 minutes = 180000 ms, emitted exactly once
+      assert(out.count(_ == ((1L, 2L, 180000L))) == 1, out.toSeq)
+    } finally q.stop()
+  }
+
   test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
