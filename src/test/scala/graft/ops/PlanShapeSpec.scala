@@ -26,6 +26,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval-overlap join plans as an equi-join, never a nested loop") {
+    val plan = executedPlan("q_range_overlap_bands")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("salted join stays an equi-join on (key, salt)") {
     val plan = executedPlan("q_join_salted")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
