@@ -50,6 +50,27 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          est_bytes: Long, checksum: Long)
+
+  /** Resize stage (codec stubbed, plumbing real): output dimensions are the
+    * target; the stub estimates the resized payload size by area ratio in
+    * integer arithmetic (reproducible in any engine). A real implementation
+    * decodes, scales, and re-encodes inside this same partition loop —
+    * which is why it is mapPartitions (one scaler context per partition)
+    * and not a per-row UDF.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h) = decodeStub(m.bytes)
+        val est = m.bytes.length.toLong * (targetW.toLong * targetH) / (w.toLong * h)
+        ResizedMedia(m.media_id, targetW, targetH, est, m.checksum)
+      }
+    }
+  }
+
   /** Frame sampling: one row per 256-byte "frame" (stub granularity) —
     * generator semantics (flatMap ≡ explode) with bounded fan-out.
     */

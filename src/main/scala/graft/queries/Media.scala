@@ -27,6 +27,13 @@ object Media {
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, table(s, d, "documents")))
         .toDF()),
 
+    // Resize stage: target dims + area-ratio size estimate (stub codec,
+    // real mapPartitions plumbing), checksum carried through.
+    "q_media_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(s, table(s, d, "documents")), 128, 128)
+        .toDF()),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -53,6 +60,15 @@ object Media {
         |  SELECT doc_id AS media_id,
         |    CAST(unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) - 1)) AS INTEGER) AS frame_no
         |  FROM documents)""".stripMargin,
+
+    "q_media_resize" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(128 AS INTEGER) AS width, CAST(128 AS INTEGER) AS height,
+         |  CAST(octet_length(encode(text)) * 16384
+         |    // ((64 + ascii(substr(text, 1, 1)) % 64)
+         |       * (64 + ascii(substr(text, 2, 1)) % 64)) AS BIGINT) AS est_bytes,
+         |  ${h("text")} AS checksum
+         |FROM documents""".stripMargin,
 
     "q_media_features" -> {
       val cols = (0 until 4)

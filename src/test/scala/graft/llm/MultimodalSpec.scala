@@ -31,6 +31,16 @@ class MultimodalSpec extends SparkSpec {
       out.values.toSeq.sortBy(_.media_id).map(_.checksum))
   }
 
+  test("resize keeps target dims and scales byte estimate by area ratio") {
+    val out = resize(mediaDs, 128, 128).collect().map(r => r.media_id -> r).toMap
+    val (w1, h1) = decodeStub(Array.fill(300)('a'.toByte))
+    assert(out(1L).width == 128 && out(1L).height == 128)
+    assert(out(1L).est_bytes == 300L * (128L * 128L) / (w1.toLong * h1))
+    assert(out(3L).est_bytes == 0L) // empty payload
+    // checksum carried through untouched from the adapter
+    assert(out(2L).checksum == Vectors.md5Long("hello"))
+  }
+
   test("frame sampling fans out ceil(n/256) rows with byte offsets") {
     val frames = sampleFrames(mediaDs).collect().groupBy(_.media_id)
     assert(frames(1L).map(f => (f.frame_no, f.byte_offset)).sorted.toSeq ==
