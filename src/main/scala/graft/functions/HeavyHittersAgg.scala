@@ -28,7 +28,10 @@ class HeavyHittersAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
-    buf.get(x) match {
+    // skip nulls like the builtin aggregates do — a null map KEY would blow
+    // up in the Catalyst map encoder at serialization time
+    if (x == null) buf
+    else buf.get(x) match {
       case Some(c) => buf.updated(x, c + 1)
       case None if buf.size < k => buf.updated(x, 1L)
       case None =>

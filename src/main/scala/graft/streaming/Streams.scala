@@ -93,7 +93,11 @@ object Streams {
             times.foreach { t =>
               cur = cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                  // accepted out-of-order events (above the watermark but
+                  // before the session start) must EXTEND the start too, or
+                  // duration under-reports vs the batch twin's max-min
+                  Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1))
                 case Some(s) =>
                   closed += Session(uid, s.n, s.endMs - s.startMs)
                   Some(SessionState(t, t, 1))

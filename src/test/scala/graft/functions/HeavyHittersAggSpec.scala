@@ -28,6 +28,13 @@ class HeavyHittersAggSpec extends SparkSpec {
     assert(out("warm") >= 25L - 20L && out("warm") <= 25L)
   }
 
+  test("null inputs are skipped like builtin aggregates (no null map key crash)") {
+    val rows = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("w")
+    val out = rows.agg(HeavyHittersAgg.heavyHitters(col("w"), 2).as("hh"))
+      .as[Map[String, Long]].head()
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("property: guarantee holds over random skewed streams and partitionings") {
     val gen = Gen.zip(
       Gen.listOfN(120, Gen.frequency(

@@ -95,13 +95,20 @@ class StreamsSpec extends SparkSpec {
       input.addData(Streams.SessionEvent(1L, Timestamp.valueOf("2026-01-01 12:00:00")),
         Streams.SessionEvent(2L, Timestamp.valueOf("2026-01-01 12:05:00")))
       q.processAllAvailable()
-      // one more batch so the timeout fires after the watermark advanced
+      // advance the watermark far past user 1's 12:30 timeout so the
+      // hasTimedOut branch (emit + state eviction) actually fires for
+      // session B — without this the supersession branch is the only one
+      // ever exercised
       input.addData(Streams.SessionEvent(2L, Timestamp.valueOf("2026-01-01 15:00:00")))
+      q.processAllAvailable()
+      input.addData(Streams.SessionEvent(2L, Timestamp.valueOf("2026-01-01 18:00:00")))
       q.processAllAvailable()
       val out = spark.table("sessions")
         .as[Streams.Session].collect().map(r => (r.user_id, r.n_events, r.duration_ms))
-      // session A: 2 events, 3 minutes = 180000 ms, emitted exactly once
+      // session A (2 events, 3 min): closed by SUPERSESSION, exactly once
       assert(out.count(_ == ((1L, 2L, 180000L))) == 1, out.toSeq)
+      // session B (single 12:00 event): closed by TIMEOUT, exactly once
+      assert(out.count(_ == ((1L, 1L, 0L))) == 1, out.toSeq)
     } finally q.stop()
   }
 
