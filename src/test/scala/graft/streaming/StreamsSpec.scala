@@ -112,6 +112,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize extends the session START for accepted out-of-order events") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 2's 10:25 event holds the watermark at 09:55, so user 1's
+      // LATER-arriving 09:56 event is still accepted next batch
+      input.addData(Streams.SessionEvent(1L, ts(0)), // 10:00
+        Streams.SessionEvent(2L, ts(25)))            // 10:25
+      q.processAllAvailable()
+      input.addData(Streams.SessionEvent(1L, Timestamp.valueOf("2026-01-01 09:56:00")))
+      q.processAllAvailable()
+      // supersede user 1's session far in the future, then push the
+      // watermark so it emits
+      input.addData(Streams.SessionEvent(1L, Timestamp.valueOf("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      input.addData(Streams.SessionEvent(2L, Timestamp.valueOf("2026-01-01 16:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo")
+        .as[Streams.Session].collect().map(r => (r.user_id, r.n_events, r.duration_ms))
+      // 09:56 must extend the session BACKWARD: duration 09:56->10:00 = 4 min
+      assert(out.count(_ == ((1L, 2L, 240000L))) == 1, out.toSeq)
+    } finally q.stop()
+  }
+
   test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
