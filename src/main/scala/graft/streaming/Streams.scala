@@ -64,6 +64,37 @@ object Streams {
   case class SessionState(startMs: Long, endMs: Long, n: Long)
   case class Session(user_id: Long, n_events: Long, duration_ms: Long)
 
+  /** One micro-batch's worth of gap-session folding, pure so the ordering
+    * semantics are unit-testable: merge the carried span and the batch's
+    * events in start order under the gap rule. Returns (closed sessions in
+    * time order, the still-open span). An event more than gapMs before the
+    * carried start — possible only when the watermark lags the span by
+    * more than the gap, e.g. a union with multipleWatermarkPolicy=min
+    * upstream — closes as its own earlier session, matching what the
+    * batch twin's global sort would produce, instead of being glued to a
+    * session it precedes by more than the gap.
+    */
+  private[streaming] def foldGapSessions(
+      uid: Long, carried: Option[SessionState], times: Seq[Long],
+      gapMs: Long): (Seq[Session], Option[SessionState]) = {
+    val atoms = (carried.toSeq ++ times.map(t => SessionState(t, t, 1)))
+      .sortBy(_.startMs)
+    val closed = scala.collection.mutable.Buffer[Session]()
+    var cur: Option[SessionState] = None
+    atoms.foreach { a =>
+      cur = cur match {
+        case Some(s) if a.startMs - s.endMs <= gapMs =>
+          Some(SessionState(math.min(s.startMs, a.startMs),
+            math.max(s.endMs, a.endMs), s.n + a.n))
+        case Some(s) =>
+          closed += Session(uid, s.n, s.endMs - s.startMs)
+          Some(a)
+        case None => Some(a)
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
   /** Streaming gap sessionization — the streaming twin of
     * q_window_sessionize: per-user sessions close after `gapMinutes` of
     * event-time inactivity and are emitted ONCE, via
@@ -87,23 +118,8 @@ object Streams {
             state.remove()
             Iterator(Session(uid, s.n, s.endMs - s.startMs))
           } else {
-            val times = batch.map(_.ts.getTime).toSeq.sorted
-            val closed = scala.collection.mutable.Buffer[Session]()
-            var cur = state.getOption
-            times.foreach { t =>
-              cur = cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  // accepted out-of-order events (above the watermark but
-                  // before the session start) must EXTEND the start too, or
-                  // duration under-reports vs the batch twin's max-min
-                  Some(SessionState(math.min(s.startMs, t),
-                    math.max(s.endMs, t), s.n + 1))
-                case Some(s) =>
-                  closed += Session(uid, s.n, s.endMs - s.startMs)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
-            }
+            val (closed, cur) = foldGapSessions(uid, state.getOption,
+              batch.map(_.ts.getTime).toSeq, gapMs)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.endMs + gapMs)

@@ -9,10 +9,17 @@ import graft.{SparkSpec, SparkEntry}
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  // Plan-shape assertions need the real parquet fixtures (stats drive join
+  // strategy selection); on a checkout without them the suite cancels
+  // rather than failing the whole build.
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
 
-  private def executedPlan(q: String): String =
+  private def executedPlan(q: String): String = {
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   test("bucketed range join plans as an equi-join, never a nested loop") {
     val plan = executedPlan("q_range_join_bands")

@@ -141,6 +141,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session fold closes an event preceding the carried span by more than the gap") {
+    val gap = 30 * 60000L
+    val carried = Some(Streams.SessionState(10L * gap, 10L * gap + 60000L, 2))
+    // one event 3 gaps before the carried start (watermark held by a min
+    // multi-watermark policy), one in-gap extension after the span
+    val (closed, cur) = Streams.foldGapSessions(
+      7L, carried, Seq(7L * gap, 10L * gap + 2 * 60000L), gap)
+    // the early event is its OWN zero-length session, emitted first —
+    // never glued to a span it precedes by more than the gap
+    assert(closed == Seq(Streams.Session(7L, 1, 0L)))
+    // the carried span keeps its start and extends its end by the in-gap event
+    assert(cur.contains(Streams.SessionState(10L * gap, 10L * gap + 2 * 60000L, 3)))
+  }
+
+  test("session fold merges an in-gap pre-start event backward into the span") {
+    val gap = 30 * 60000L
+    val carried = Some(Streams.SessionState(1000L * 60000L, 1001L * 60000L, 2))
+    val (closed, cur) = Streams.foldGapSessions(
+      1L, carried, Seq(999L * 60000L), gap)
+    assert(closed.isEmpty)
+    assert(cur.contains(Streams.SessionState(999L * 60000L, 1001L * 60000L, 3)))
+  }
+
   test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
