@@ -46,6 +46,7 @@ object RunPipeline {
 
     val inputs = DrugDisease.Inputs(
       drugs = Loaders.drugs(drugsRaw),
+      targets = targets,
       genesLut = Loaders.genesLut(targets),
       diseases = Loaders.diseases(diseasesRaw),
       evidences = evidences,

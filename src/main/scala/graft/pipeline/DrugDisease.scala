@@ -23,8 +23,9 @@ object DrugDisease {
   /** Normalized inputs — the output contracts of graft.sources.Loaders. */
   case class Inputs(
       drugs: DataFrame,          // Loaders.drugs
+      targets: DataFrame,        // Loaders.targets (target_id, target_name, …)
       genesLut: DataFrame,       // Loaders.genesLut (accession, id)
-      diseases: DataFrame,       // Loaders.diseases (disease_id, ancestors, descendants)
+      diseases: DataFrame,       // Loaders.diseases (disease_id, disease_name, therapeutic_areas, …)
       evidences: DataFrame,      // literature ∪ genetics, unionByName-compatible
       ppiEdges: DataFrame,       // Loaders.ppiEdges (A, B)
       aesByDrug: DataFrame,      // Loaders.faersByDrug (drug_id, aes)
@@ -37,8 +38,18 @@ object DrugDisease {
     * writes to its parquet and JSON sinks (sc:476, 511). Whitelist presence
     * switches association keys to (target, whitelist_id) (sc:439-474).
     *
-    * Both outputs share one cached associations plan — the reference
-    * recomputed the whole DAG for its second sink (SURVEY §3.2).
+    * The associations frame is the reference's DECORATED sink row set
+    * (sc:453-472): score frame ⋈ target dim (name + drugs_for_target +
+    * target_aes + neighbours) ⋈ disease dim (name + therapeutic_areas +
+    * drugs_for_disease + aggregation id lists), with new_drugs /
+    * new_drugs_size and the open-mode size gate applied — not the bare
+    * pre-decoration score frame. The drugDisease frame mirrors the JSON
+    * sink's projection (sc:478-509): harmonic sub-scores, names,
+    * therapeutic areas, bundle-derived aggregates, hypotheses and the two
+    * AE containment sub-scores.
+    *
+    * Both outputs share one cached score plan — the reference recomputed
+    * the whole DAG for its second sink (SURVEY §3.2).
     */
   def run(in: Inputs): (DataFrame, DataFrame) = {
     val lut = networkLut(in.ppiEdges, in.genesLut)
@@ -64,8 +75,18 @@ object DrugDisease {
       threshold = if (whitelistMode) None else Some(0.1))
       .cache()
 
-    val forDisease = drugsForDisease(in.drugs, in.aesByDrug, in.aggregations)
-    val forTarget = drugsForTarget(in.drugs, in.aesByTarget)
+    // The reference's two dimension frames (sc:427-428): disease dim ⟕
+    // drug-bundle-per-disease, target dim ⟕ drug-bundle-per-target ⟕
+    // network neighbourhoods. Bundle sides are left_outer exactly as the
+    // reference; the dims themselves join the score frame INNER (sc:455-456,
+    // 468-469), so associations only materialize for known dim rows.
+    val dfD = in.diseases
+      .join(drugsForDisease(in.drugs, in.aesByDrug, in.aggregations),
+        Seq("disease_id"), "left_outer")
+    val dfT = in.targets
+      .join(drugsForTarget(in.drugs, in.aesByTarget), Seq("target_id"), "left_outer")
+      .join(lut.select(col("target_id"), col("neighbours")),
+        Seq("target_id"), "left_outer")
     // Whitelist associations are keyed by whitelist id, but the drug bundles
     // are keyed by real disease ids — recover the member diseases first, as
     // the reference re-joins selectedDiseases on whitelist_id (sc:454).
@@ -75,25 +96,43 @@ object DrugDisease {
           .join(broadcast(wl), Seq("whitelist_id"))
       case None => assoc
     }
-    val decorated = assocByDisease
-      .join(forDisease, Seq("disease_id"), "left_outer")
-      .join(forTarget, Seq("target_id"), "left_outer")
-      .where(col("drugs_for_target").isNotNull)
-    // disease AE profile = distinct events of the disease's existing drugs
-    // (nested double-transform, sc:487-488); null-safe at both array levels.
-    // Whitelist mode also skips the new_drugs_size > 0 gate (sc:458 vs 472).
-    val hyp = newDrugs(decorated, dropEmpty = !whitelistMode)
-      .withColumn("disease_aes",
-        when(col("drugs_for_disease").isNotNull,
-          array_distinct(flatten(transform(col("drugs_for_disease"),
-            d => coalesce(
-              transform(d.getField("aes"), a => a.getField("event")),
-              array().cast("array<string>"))))))
-          .otherwise(array().cast("array<string>")))
-    val scored = scoreHypotheses(
-      hyp.select(col("disease_id"), col("target_id"), col("new_drugs"), col("disease_aes")),
+    // The decorated + gated frame IS the associations sink (sc:453-472).
+    // Whitelist mode skips the new_drugs_size > 0 gate (sc:458 vs 472); a
+    // null drugs_for_target bundle yields null new_drugs, dropped by the
+    // open-mode gate / kept null in whitelist mode — the reference's exact
+    // row set without its size(null) = -1 sentinel (see aeContainment).
+    val associations = newDrugs(
+      assocByDisease
+        .join(dfT, Seq("target_id"))
+        .join(dfD, Seq("disease_id")),
+      dropEmpty = !whitelistMode)
+    // The JSON sink projection (sc:478-494): names, therapeutic areas, the
+    // bundle-derived disease AE profile (null-safe at both array levels —
+    // the reference's unguarded flatten nulls the whole profile when ONE
+    // member drug lacks AE data), per-bundle aggregates, hypotheses.
+    val drugDiseaseDF = associations.select(
+      col("disease_id"), col("target_id"),
+      col("harmonic"), col("harmonic_genetics"), col("harmonic_literature"),
+      col("target_name"), col("disease_name"), col("therapeutic_areas"),
+      when(col("drugs_for_disease").isNotNull,
+        array_distinct(flatten(transform(col("drugs_for_disease"),
+          d => coalesce(
+            transform(d.getField("aes"), a => a.getField("event")),
+            array().cast("array<string>"))))))
+        .otherwise(array().cast("array<string>"))
+        .as("disease_aes_from_drugs"),
+      array_distinct(flatten(col("drugs_for_disease.indication_ids")))
+        .as("disease_indication_from_drugs"),
+      array_max(col("drugs_for_disease.max_clinical_trial_phase"))
+        .as("disease_max_clinical_trial_phase_from_drugs"),
+      array_max(col("drugs_for_target.max_clinical_trial_phase"))
+        .as("target_max_clinical_trial_phase_from_drugs"),
+      col("associated_disease_ids").as("associated_disease_ids_from_disease_drug_agg"),
+      col("associated_target_ids").as("associated_target_ids_from_disease_drug_agg"),
+      col("new_drugs").as("hypotheses"))
+    val scored = scoreHypotheses(drugDiseaseDF,
       in.aesByDrug.select(col("drug_id"), col("aes.event").as("aes")))
-    (assoc, scored)
+    (associations, scored)
   }
 
   /** Network LUT build (sc:44-74): undirect edge list, translate accession →
@@ -173,49 +212,79 @@ object DrugDisease {
       .agg(
         count(col("evs_id")).as("evidence_count"),
         graft.functions.TopKAgg.topK(col("genetics"), 100).as("genetics_topk"),
-        graft.functions.TopKAgg.topK(col("europepmc"), 100).as("europepmc_topk"))
+        graft.functions.TopKAgg.topK(col("europepmc"), 100).as("literature_topk"))
       .withColumn("harmonic_genetics", Scoring.harmonicFold(col("genetics_topk")))
-      .withColumn("harmonic_europepmc", Scoring.harmonicFold(col("europepmc_topk")))
+      // the reference names the europepmc-sourced fold "literature"
+      // (sc:298, 312) — the sink schema carries harmonic_literature
+      .withColumn("harmonic_literature", Scoring.harmonicFold(col("literature_topk")))
       .withColumn("harmonic",
-        Scoring.harmonicCombine(col("harmonic_genetics"), col("harmonic_europepmc")))
-      .drop("genetics_topk", "europepmc_topk")
+        Scoring.harmonicCombine(col("harmonic_genetics"), col("harmonic_literature")))
+      .drop("genetics_topk", "literature_topk")
     // None = whitelist mode: the reference keeps every association (sc:441-445).
     threshold.fold(scored)(t => scored.where(col("harmonic") > t))
   }
 
+  /** Decoration columns are optional on tiny spec worlds: null-typed when
+    * the input frame doesn't carry them, so bundle structs keep a stable
+    * schema without forcing every caller to materialize every column.
+    */
+  private def withNullArrays(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast("array<string>"))
+    }
+
   /** Drugs-for-disease bundle (sc:385-400): drugs ⟕ AE profiles ⟖
     * aggregations (right outer keeps aggregation rows without a drug record —
-    * the reference's one right join, J8), nested per disease.
+    * the reference's one right join, J8), nested per disease. The struct
+    * carries indication_ids (sc:392) — the JSON sink's
+    * disease_indication_from_drugs derives from it (sc:488) — and the
+    * aggregation's associated id lists ride along per disease via first()
+    * (sc:398-399).
     *
     * drugs: (drug_id, drug_name, max_clinical_trial_phase, indication_ids
     * array); aesByDrug: (drug_id, aes array<struct>); aggregations:
-    * (drug_id, disease_id).
-    * Output: (disease_id, drugs_for_disease array<struct>).
+    * (drug_id, disease_id[, associated_disease_ids, associated_target_ids]).
+    * Output: (disease_id, drugs_for_disease array<struct>,
+    * associated_disease_ids, associated_target_ids).
     */
   def drugsForDisease(drugs: DataFrame, aesByDrug: DataFrame,
-                      aggregations: DataFrame): DataFrame =
+                      aggregations: DataFrame): DataFrame = {
+    val agg = withNullArrays(aggregations,
+      "associated_disease_ids", "associated_target_ids")
     drugs
+      .transform(withNullArrays(_, "indication_ids"))
       .join(aesByDrug, Seq("drug_id"), "left_outer")
-      .join(aggregations, Seq("drug_id"), "right_outer")
+      .join(agg, Seq("drug_id"), "right_outer")
       .groupBy(col("disease_id"))
-      .agg(collect_list(struct(
-        col("drug_id"), col("drug_name"),
-        col("max_clinical_trial_phase"), col("aes"))).as("drugs_for_disease"))
+      .agg(
+        collect_list(struct(
+          col("drug_id"), col("drug_name"), col("max_clinical_trial_phase"),
+          col("indication_ids"), col("aes"))).as("drugs_for_disease"),
+        first(col("associated_disease_ids")).as("associated_disease_ids"),
+        first(col("associated_target_ids")).as("associated_target_ids"))
+  }
 
   /** Drugs-by-mechanism-of-action bundle (sc:407-421): explode each drug's
     * MoA target list, nest per target, decorate with target-level AE
-    * profiles.
+    * profiles. The struct carries max_clinical_trial_phase and
+    * indication_ids (sc:415, 418) — the JSON sink's
+    * target_max_clinical_trial_phase_from_drugs derives from it (sc:490).
     *
-    * drugs: (drug_id, drug_name, target_ids array<string>, ...);
-    * aesByTarget: (target_id, aes array<struct>).
+    * drugs: (drug_id, drug_name, max_clinical_trial_phase, indication_ids,
+    * target_ids array<string>, ...); aesByTarget: (target_id, aes
+    * array<struct>).
     * Output: (target_id, drugs_for_target array<struct>, target_aes).
     */
   def drugsForTarget(drugs: DataFrame, aesByTarget: DataFrame): DataFrame =
     drugs
+      .transform(withNullArrays(_, "indication_ids"))
       .where(size(col("target_ids")) > 0)
       .withColumn("target_id", explode(col("target_ids")))
       .groupBy(col("target_id"))
-      .agg(collect_list(struct(col("drug_id"), col("drug_name"))).as("drugs_for_target"))
+      .agg(collect_list(struct(
+        col("drug_id"), col("drug_name"), col("max_clinical_trial_phase"),
+        col("indication_ids"))).as("drugs_for_target"))
       .join(aesByTarget.withColumnRenamed("aes", "target_aes"),
         Seq("target_id"), "left_outer")
 
@@ -255,32 +324,42 @@ object DrugDisease {
     * KEPT with scores that can exceed 1. Here size(null) is null, the blend
     * is null, and the row drops: unscorable beats sentinel-arithmetic
     * scores. Asserted in DrugDiseaseSpec ("missing AE profile drops").
-    */
-  def aeSimilarity(drugAes: Column, diseaseAes: Column): Column = {
-    val d1 = size(array_except(drugAes, diseaseAes)).cast("double")
-    val d2 = size(array_except(diseaseAes, drugAes)).cast("double")
-    val s1 = when(size(drugAes) > 0,
-      lit(1.0) - d1 / size(drugAes).cast("double"))
-    val s2 = when(size(diseaseAes) > 0,
-      lit(1.0) - d2 / size(diseaseAes).cast("double"))
-    lit(0.4) * s1 + lit(0.6) * s2
-  }
-
-  /** Hypothesis scoring (sc:478-511): explode new_drugs, join each candidate
-    * drug's AE profile (cached LUT — broadcast-eligible), score containment
-    * vs the disease profile, keep > 0.
     *
-    * hyp: (disease_id, target_id, new_drugs array<string>, disease_aes);
-    * drugAeLut: (drug_id, aes).
+    * aeContainment is one direction — the fraction of `a` covered by `b`
+    * (sc:503, 505) — and the JSON sink's two sub-score columns;
+    * aeSimilarity is the 0.4/0.6 blend.
+    */
+  def aeContainment(a: Column, b: Column): Column =
+    when(size(a) > 0,
+      lit(1.0) - size(array_except(a, b)).cast("double") / size(a).cast("double"))
+
+  def aeSimilarity(drugAes: Column, diseaseAes: Column): Column =
+    lit(0.4) * aeContainment(drugAes, diseaseAes) +
+      lit(0.6) * aeContainment(diseaseAes, drugAes)
+
+  /** Hypothesis scoring (sc:496-511): explode hypotheses, join each
+    * candidate drug's AE profile (broadcast LUT, the reference's cachedAEs),
+    * emit BOTH containment sub-scores plus the 0.4/0.6 blend — the JSON
+    * sink's exact score columns (sc:502-508) — keep > 0.
+    *
+    * hyp: any frame with (hypotheses array<string>, disease_aes_from_drugs)
+    * — every other column passes through to the sink; drugAeLut: (drug_id,
+    * aes).
     */
   def scoreHypotheses(hyp: DataFrame, drugAeLut: DataFrame): DataFrame = {
-    val lut = broadcast(drugAeLut.select(col("drug_id"), col("aes")))
+    val lut = broadcast(drugAeLut
+      .select(col("drug_id"), col("aes").as("drug_hypothesis_aes")))
     hyp
-      .withColumn("drug_hypothesis", explode(col("new_drugs")))
+      .withColumn("drug_hypothesis", explode(col("hypotheses")))
       .join(lut, col("drug_hypothesis") === lut("drug_id"), "left_outer")
-      .withColumn("drug_hypothesis_disease_aes_score",
-        aeSimilarity(col("aes"), col("disease_aes")))
-      .where(col("drug_hypothesis_disease_aes_score") > 0.0)
       .drop("drug_id")
+      .withColumn("drug_hypothesis_aes_score",
+        aeContainment(col("drug_hypothesis_aes"), col("disease_aes_from_drugs")))
+      .withColumn("disease_aes_score",
+        aeContainment(col("disease_aes_from_drugs"), col("drug_hypothesis_aes")))
+      .withColumn("drug_hypothesis_disease_aes_score",
+        (lit(0.4) * col("drug_hypothesis_aes_score") +
+          lit(0.6) * col("disease_aes_score")) / lit(1.0))
+      .where(col("drug_hypothesis_disease_aes_score") > 0.0)
   }
 }

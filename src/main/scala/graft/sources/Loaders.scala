@@ -27,11 +27,14 @@ object Loaders {
         m => m.getField("target_components").getField("ensembl"))))
         .as("target_ids"))
 
-  /** targets (sc:109-132): go reshaped to struct<code, term> (sc:121-126). */
+  /** targets (sc:109-132): go reshaped to struct<code, term> (sc:121-126);
+    * approved_symbol surfaces as target_name exactly as the reference
+    * projects it (sc:112) — the decorated association sink carries it.
+    */
   def targets(raw: DataFrame): DataFrame =
     raw.select(
       col("id").as("target_id"),
-      col("approved_symbol"),
+      col("approved_symbol").as("target_name"),
       col("uniprot_accessions"),
       transform(col("go"), g => struct(
         g.getField("id").as("code"),
@@ -52,7 +55,8 @@ object Loaders {
   def diseases(raw: DataFrame): DataFrame = {
     val withAnc = raw.select(
       substring_index(col("code"), "/", -1).as("disease_id"),
-      col("label"),
+      col("label").as("disease_name"),
+      col("therapeutic_codes").as("therapeutic_areas"),
       array_distinct(flatten(col("path_codes"))).as("ancestors"))
       .where(size(col("ancestors")) > 0)
     val desc = Graph.invertClosure(
@@ -127,10 +131,13 @@ object Loaders {
       .agg(collect_list(struct(
         col("event"), col("report_count"), col("llr"), col("critval"))).as("aes"))
 
-  /** aggregations (sc:277-289): pass-through projection. */
+  /** aggregations (sc:277-289): projection with the reference's id-list
+    * aliases (sc:281-282) — drugsForDisease carries them per disease.
+    */
   def aggregations(raw: DataFrame): DataFrame =
     raw.select(col("disease_id"), col("drug_id"),
-      col("associated_diseases"), col("associated_targets"))
+      col("associated_diseases").as("associated_disease_ids"),
+      col("associated_targets").as("associated_target_ids"))
 
   /** whitelist (sc:446-453): one row per whitelisted disease. */
   def whitelist(raw: DataFrame): DataFrame =

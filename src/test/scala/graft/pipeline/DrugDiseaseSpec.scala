@@ -116,7 +116,7 @@ class DrugDiseaseSpec extends SparkSpec {
     val hyp = Seq(
       ("D1", "T1", Seq("d1"), Seq.empty[String]),    // empty disease profile
       ("D2", "T2", Seq("dEmpty"), Seq("a1"))         // empty drug profile
-    ).toDF("disease_id", "target_id", "new_drugs", "disease_aes")
+    ).toDF("disease_id", "target_id", "hypotheses", "disease_aes_from_drugs")
     val lut = Seq(("d1", Seq("a1")), ("dEmpty", Seq.empty[String]))
       .toDF("drug_id", "aes")
     // Under Spark 4's default ANSI mode an unguarded double division by zero
@@ -129,7 +129,7 @@ class DrugDiseaseSpec extends SparkSpec {
     val hyp = Seq(
       ("D1", "T1", Seq("d1"), Seq("a1", "a2")),
       ("D2", "T2", Seq("dMissing"), Seq("a1"))
-    ).toDF("disease_id", "target_id", "new_drugs", "disease_aes")
+    ).toDF("disease_id", "target_id", "hypotheses", "disease_aes_from_drugs")
     val lut = Seq(("d1", Seq("a1", "a3"))).toDF("drug_id", "aes")
     val out = DrugDisease.scoreHypotheses(hyp, lut)
       .select(col("disease_id"), col("drug_hypothesis"),

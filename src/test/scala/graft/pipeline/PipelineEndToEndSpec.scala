@@ -53,7 +53,7 @@ class PipelineEndToEndSpec extends SparkSpec {
         Seq("target_id"), "left_outer")
       .where(col("drugs_for_target").isNotNull)
     val hyp = DrugDisease.newDrugs(decorated)
-      .withColumn("disease_aes", lit(Array("nausea", "headache")))
+      .withColumn("disease_aes_from_drugs", lit(Array("nausea", "headache")))
     val hypRows = hyp.select(col("target_id"), col("new_drugs"))
       .as[(String, Seq[String])].collect().toMap
     // d2 reaches G1 and G2; d1 is already a D1 drug -> new only d2
@@ -62,7 +62,8 @@ class PipelineEndToEndSpec extends SparkSpec {
     // --- AE containment: d2 aes {nausea, rash} vs disease {nausea, headache}
     // s1 = 1 - 1/2 = 0.5 ; s2 = 1 - 1/2 = 0.5 ; blend = 0.5
     val scored = DrugDisease.scoreHypotheses(
-      hyp.select(col("disease_id"), col("target_id"), col("new_drugs"), col("disease_aes")),
+      hyp.select(col("disease_id"), col("target_id"),
+        col("new_drugs").as("hypotheses"), col("disease_aes_from_drugs")),
       aesByDrug)
     val out = scored
       .select(col("target_id"), col("drug_hypothesis"),

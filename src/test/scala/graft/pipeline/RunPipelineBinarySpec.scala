@@ -23,7 +23,7 @@ class RunPipelineBinarySpec extends SparkSpec {
       """{"id":"T1","approved_symbol":"G1","uniprot_accessions":["P1"],"go":[]}""",
       """{"id":"T2","approved_symbol":"G2","uniprot_accessions":["P2"],"go":[]}""")
     put("diseases",
-      """{"code":"http://purl.obolibrary.org/obo/D1","label":"disease one","path_codes":[["D1"]]}""")
+      """{"code":"http://purl.obolibrary.org/obo/D1","label":"disease one","path_codes":[["D1"]],"therapeutic_codes":["TA1"]}""")
     put("evidences",
       """{"id":"e1","sourceID":"europepmc","disease":{"id":"D1"},"target":{"id":"T1"},"scores":{"association_score":0.9}}""")
     put("interactions",
@@ -63,7 +63,27 @@ class RunPipelineBinarySpec extends SparkSpec {
       Set(("T1", "D1", 3L), ("T2", "D1", 3L)))
     assoc.foreach(r => assert(math.abs(r._4 - 1.02) < 1e-9))
 
-    val scored = spark.read.json(s"$out/drug_disease")
+    // the parquet sink is the DECORATED frame (sc:453-472), not the bare
+    // score frame: dim names, bundles, gated hypotheses all present
+    val assocCols = spark.read.parquet(s"$out/associations").columns.toSet
+    assert(Set("target_name", "disease_name", "therapeutic_areas",
+      "drugs_for_target", "drugs_for_disease", "neighbours",
+      "new_drugs", "new_drugs_size").subsetOf(assocCols), assocCols)
+
+    val dd = spark.read.json(s"$out/drug_disease")
+    // the JSON sink carries the reference's projection (sc:478-509)
+    assert(Set("harmonic", "harmonic_genetics", "harmonic_literature",
+      "target_name", "disease_name", "therapeutic_areas",
+      "disease_aes_from_drugs", "disease_indication_from_drugs",
+      "disease_max_clinical_trial_phase_from_drugs",
+      "target_max_clinical_trial_phase_from_drugs",
+      "associated_disease_ids_from_disease_drug_agg",
+      "associated_target_ids_from_disease_drug_agg",
+      "hypotheses", "drug_hypothesis", "drug_hypothesis_aes",
+      "drug_hypothesis_aes_score", "disease_aes_score",
+      "drug_hypothesis_disease_aes_score").subsetOf(dd.columns.toSet),
+      dd.columns.toSet)
+    val scored = dd
       .select(col("target_id"), col("drug_hypothesis"),
         round(col("drug_hypothesis_disease_aes_score"), 6).as("s"))
       .as[(String, String, Double)].collect().toSet
@@ -77,8 +97,9 @@ class RunPipelineBinarySpec extends SparkSpec {
     RunPipeline.execute(spark, in, out, whitelistPath = Some(s"$in/whitelist.json"))
 
     val assocKeys = spark.read.parquet(s"$out/associations")
-      .select(col("disease_id")).distinct().as[String].collect().toSeq
-    assert(assocKeys == Seq("W1"))
+      .select(col("whitelist_id"), col("disease_id")).distinct()
+      .as[(String, String)].collect().toSeq
+    assert(assocKeys == Seq(("W1", "D1")))
 
     val scored = spark.read.json(s"$out/drug_disease")
       .select(col("disease_id"), col("target_id"), col("drug_hypothesis"),

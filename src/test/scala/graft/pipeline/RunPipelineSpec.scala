@@ -22,6 +22,12 @@ class RunPipelineSpec extends SparkSpec {
         m => struct(transform(m, t => struct(t.as("ensembl"))).as("target_components"))))
       .drop("ind", "moa")
     val genesLut = Seq(("P1", "T1"), ("P2", "T2")).toDF("accession", "id")
+    val targets = Seq(("T1", "GeneOne"), ("T2", "GeneTwo"))
+      .toDF("target_id", "target_name")
+    val diseases = Seq(
+      ("D1", "disease one", Seq("TA1"), Seq("D1"), Seq("D1")),
+      ("D2", "disease two", Seq("TA1"), Seq("D2"), Seq("D2"))
+    ).toDF("disease_id", "disease_name", "therapeutic_areas", "ancestors", "descendants")
     val evidences = Seq(
       ("e1", "T1", "D1", 0.9, "europepmc"),
       ("e2", "T1", "D1", 0.8, "genetics"),
@@ -38,8 +44,9 @@ class RunPipelineSpec extends SparkSpec {
     val aggregations = Seq(("d1", "D1")).toDF("drug_id", "disease_id")
     DrugDisease.Inputs(
       drugs = Loaders.drugs(drugsRaw),
+      targets = targets,
       genesLut = genesLut,
-      diseases = spark.emptyDataFrame,
+      diseases = diseases,
       evidences = evidences,
       ppiEdges = ppi,
       aesByDrug = aesByDrug,
@@ -67,11 +74,14 @@ class RunPipelineSpec extends SparkSpec {
     assert(hyp == Set(("T1", "d2", 0.8), ("T2", "d2", 0.8)))
   }
 
-  test("whitelist mode: association keys switch to whitelist ids") {
+  test("whitelist mode: association keys switch to whitelist ids; members recovered") {
     val wl = Seq(("W1", "D1")).toDF("whitelist_id", "disease_id")
     val (assoc, _) = DrugDisease.run(inputs.copy(whitelist = Some(wl)))
-    val keys = assoc.select(col("disease_id")).distinct().as[String].collect().toSeq
-    assert(keys == Seq("W1"))
+    // the decorated sink keeps BOTH the whitelist key and the recovered
+    // member disease id (sc:453-454)
+    val keys = assoc.select(col("whitelist_id"), col("disease_id"))
+      .distinct().as[(String, String)].collect().toSeq
+    assert(keys == Seq(("W1", "D1")))
   }
 
   test("whitelist mode: scored output materializes — member diseases recovered, no score gate crash") {
