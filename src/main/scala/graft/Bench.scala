@@ -19,13 +19,24 @@ object Bench {
     // would let Catalyst prune unused projections and under-measure).
     // min of 2 runs: single-run wall-clock on a shared box swings 2-3x;
     // the minimum is the stable estimate of the query's actual cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter: bench a subset with the same
+    // noop-write methodology (Smoke's count() lets Catalyst prune unused
+    // projections, so it under-measures projection-heavy queries).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         (System.nanoTime() - t0) / 1e9
       }
+      // Queries that .cache() intermediates would otherwise pin them for the
+      // REST of the suite: the heap fills with dead cached blocks early
+      // (q_dedup_* sort first) and every later query pays the GC pressure —
+      // measured 2-10x inflation on queries benched late in the run.
+      spark.catalog.clearCache()
       name -> times.min
     }.toMap
     // Locale.ROOT: f-interpolation uses the default locale, which renders
