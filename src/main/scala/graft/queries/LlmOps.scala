@@ -171,6 +171,31 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Deterministic per-group k-sample (graft.functions.BottomKAgg): the k
+    // docs with the smallest salted md5 hash per language — reservoir
+    // sampling's reproducible cousin. Membership depends only on the hash
+    // (never scan/merge order), the buffer is bounded at k pairs per
+    // (group, partition), and nothing collects: "a uniform 1k-doc sample
+    // per language" at 100 TB without sorting or shuffling the group.
+    "q_sample_bottomk" -> ((s, d) => {
+      val h = Core.md5Hash64(concat(lit("bk|"), col("doc_id").cast("string")))
+      table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.functions.BottomKAgg.bottomK(
+          h, col("doc_id").cast("string"), 5).as("ids"))
+        .select(col("lang"), explode(col("ids")).as("doc_id"))
+    }),
+
+    // Greedy sequence packing (llm.Pack): concatenate docs into fixed-
+    // capacity context windows so short docs don't waste padded slots —
+    // sharded by id modulo, one streaming pass per shard, three longs of
+    // task state. The oracle replays the identical greedy fold with a
+    // recursive CTE per shard.
+    "q_pack_sequences" -> ((s, d) => {
+      graft.llm.Pack.packGreedy(table(s, d, "documents"),
+        idCol = "doc_id", costCol = "n_chars", budget = 4096L, nShards = 8)
+    }),
+
     // BPE subword tokenization (llm.Bpe): merge rules trained on the corpus
     // vocabulary (one agg + 1-row collect per merge, KMeans-style driver
     // model), then applied per document as a pure Column fold. NO DuckDB
@@ -486,6 +511,32 @@ object LlmOps {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin
     },
+
+    "q_sample_bottomk" -> {
+      val h = sqlHash64("'bk|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
+         |  FROM documents) WHERE rn <= 5""".stripMargin
+    },
+
+    // row-by-row replay of Pack.packGreedy's fold, partitioned by shard
+    "q_pack_sequences" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, n_chars AS cost,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, cost,
+        |    CAST(0 AS BIGINT) AS bin, cost AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.cost,
+        |    CASE WHEN p.fill + d.cost <= 4096 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + d.cost <= 4096 THEN p.fill + d.cost ELSE d.cost END
+        |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin FROM pack""".stripMargin,
 
     "q_dedup_decontaminate" -> {
       val mins = MinhashSeeds

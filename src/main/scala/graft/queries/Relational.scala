@@ -72,6 +72,27 @@ object Relational {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Histogram-sketch quantiles (graft.functions.HistQuantileAgg): the
+    // mergeable, deterministic alternative to exact percentile. Exact sorts
+    // every group value through the shuffle; approx_percentile's GK sketch
+    // is merge-order-sensitive (no cross-engine oracle can pin it). The
+    // sparse fixed-width histogram ships O(range/width) counters per
+    // (group, partition), merges pointwise — same answer under ANY
+    // partitioning — and the oracle rebuilds the identical histogram with
+    // a window cumsum.
+    "q_agg_histq" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.HistQuantileAgg.histQuantiles(
+            col("l_extendedprice"), 100.0, Seq(0.5, 0.9)).as("est"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          round(element_at(col("est"), 1), 4).as("median_est"),
+          round(element_at(col("est"), 2), 4).as("p90_est"),
+          col("n_rows"))
+    }),
+
     // Grouping sets beyond the reference (U8-style parity plus): rollup with
     // subtotal rows; null group keys mark the subtotal levels in both engines.
     "q_agg_rollup" -> ((s, d) => {
@@ -462,6 +483,34 @@ object Relational {
           min(col("doc_id")).as("min_doc"))
     }),
 
+    // Bucketed co-located join (engine extension): both fact tables written
+    // bucketBy(8) on the join key, re-read through the catalog, and
+    // sort-merge-joined with NO join-side shuffle — bucket layout satisfies
+    // the join's distribution requirement, so the only exchange left is the
+    // final aggregation's (PlanShapeSpec pins exactly one). At cluster
+    // scale this is the standing answer to repeated fact-fact joins:
+    // pre-shuffle once at write time instead of re-shuffling 100 TB per
+    // query. The oracle joins the raw parquet, so bucket routing or
+    // per-bucket sort corruption breaks the hash.
+    "q_source_bucketed_join" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replace(".", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+      table(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").option("path", s"$tmp/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_bkt_li_$tag")
+      table(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$tmp/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_bkt_ord_$tag")
+      val li = s.table(s"graft_bkt_li_$tag")
+      val o = s.table(s"graft_bkt_ord_$tag")
+      li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
     "q_graph_onehop" -> ((s, d) => {
       val e = table(s, d, "lineitem")
@@ -500,6 +549,32 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the identical fixed-width histogram + window cumsum + in-bucket
+    // interpolation; min_by picks the FIRST bucket crossing the rank
+    "q_agg_histq" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS b, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (
+        |  SELECT l_returnflag, b, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  round(min_by(b * 100.0 + 100.0 * (ceil(0.5 * n) - (cum - c)) / c, b)
+        |    FILTER (WHERE cum >= ceil(0.5 * n)), 4) AS median_est,
+        |  round(min_by(b * 100.0 + 100.0 * (ceil(0.9 * n) - (cum - c)) / c, b)
+        |    FILTER (WHERE cum >= ceil(0.9 * n)), 4) AS p90_est,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM t GROUP BY l_returnflag""".stripMargin,
+
+    "q_source_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

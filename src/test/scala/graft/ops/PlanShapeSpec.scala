@@ -45,6 +45,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bucketed join needs no join-side exchange — only the final agg's") {
+    // both sides are bucketed on the join key, so the sort-merge join's
+    // distribution requirement is satisfied by the scan; a second exchange
+    // appearing here means bucket layout stopped being used
+    val plan = executedPlan("q_source_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), plan)
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("sessionization reuses one user_id exchange for windows and rollup") {
     // both window functions and the final groupBy cluster on user_id —
     // HashPartitioning(user_id) satisfies the (user_id, session_no) group,
