@@ -20,6 +20,8 @@ import graft.sources.{Loaders, Sources}
   *   drugs.json targets.json diseases.json evidences.json interactions.json
   *   faers_by_drug.json faers_by_target.json aggregations.json
   *   studies.parquet predictions.parquet
+  *   [expression.json — optional; when present the network LUT keeps only
+  *    tissue-co-active edges (sc:134-157)]
   */
 object RunPipeline {
 
@@ -55,7 +57,14 @@ object RunPipeline {
       aesByTarget = Loaders.faersByTarget(faersTargetRaw),
       aggregations = Loaders.aggregations(aggregationsRaw),
       whitelist = Sources.optionalJson(spark, whitelistPath, Schemas.whitelist)
-        .map(Loaders.whitelist))
+        .map(Loaders.whitelist),
+      // the reference's main REQUIRES the expression input (sc:352, 367,
+      // 370); here its absence skips the tissue edge filter instead of
+      // failing, so fixture worlds without expression data still run
+      expression = Sources.optionalJson(spark,
+        Option(s"$inDir/expression.json")
+          .filter(p => new java.io.File(p).isFile),
+        Schemas.expression).map(Loaders.expression))
 
     val (associations, drugDisease) = DrugDisease.run(inputs)
     Sources.writeParquet(associations, s"$outDir/associations")

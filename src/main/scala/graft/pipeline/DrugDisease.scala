@@ -31,7 +31,8 @@ object DrugDisease {
       aesByDrug: DataFrame,      // Loaders.faersByDrug (drug_id, aes)
       aesByTarget: DataFrame,    // Loaders.faersByTarget (target_id, aes)
       aggregations: DataFrame,   // Loaders.aggregations (drug_id, disease_id, …)
-      whitelist: Option[DataFrame] = None) // Loaders.whitelist (whitelist_id, disease_id)
+      whitelist: Option[DataFrame] = None, // Loaders.whitelist (whitelist_id, disease_id)
+      expression: Option[DataFrame] = None) // Loaders.expression (target_id, active_tissues)
 
   /** The full reference pipeline (SURVEY §3.1 + §3.2): returns
     * (associations, drugDisease hypotheses) — the two frames the reference
@@ -52,7 +53,11 @@ object DrugDisease {
     * the whole DAG for its second sink (SURVEY §3.2).
     */
   def run(in: Inputs): (DataFrame, DataFrame) = {
-    val lut = networkLut(in.ppiEdges, in.genesLut)
+    // With expression data, the network keeps only tissue-co-active edges
+    // (sc:370, 134-157); without it the filter is skipped — the reference
+    // requires the expression input, so absence is a documented relaxation.
+    val lut = in.expression.foldLeft(networkLut(in.ppiEdges, in.genesLut))(
+      tissueFilteredLut)
     val scores = evidenceScores(
       in.evidences.select(col("evs_id"), col("datasource"), col("score")),
       Seq("genetics", "europepmc"))
@@ -153,6 +158,32 @@ object DrugDisease {
       .select(col("A_id"), col("id").as("B_id"))
     Graph.adjacency(translated.toDF("src", "dst"))
       .withColumnRenamed("src", "target_id")
+  }
+
+  /** Tissue-activity edge filter (sc:134-157): a neighbour stays in the
+    * LUT only when it shares at least one ACTIVE tissue with the target —
+    * evidence shouldn't propagate across a protein interaction whose two
+    * genes are never expressed in the same tissue. Both joins are against
+    * the expression dimension (one row per gene → broadcast-pinned); the
+    * reference's inner joins also DROP targets with no expression record,
+    * preserved here. Regroup sorts for determinism (the reference's
+    * collect_list order is partitioning-dependent).
+    *
+    * lut: (target_id, neighbours, …); expression: (target_id,
+    * active_tissues). Output: (target_id, neighbours) — tissue-filtered.
+    */
+  def tissueFilteredLut(lut: DataFrame, expression: DataFrame): DataFrame = {
+    val ex = broadcast(expression.select(col("target_id"), col("active_tissues")))
+    lut.select(col("target_id"), col("neighbours"))
+      .join(ex.withColumnRenamed("active_tissues", "target_tissues"),
+        Seq("target_id"))
+      .withColumn("neighbour", explode(col("neighbours")))
+      .drop("neighbours")
+      .join(ex.toDF("neighbour", "neighbour_tissues"), Seq("neighbour"))
+      .where(size(array_intersect(
+        col("target_tissues"), col("neighbour_tissues"))) > 0)
+      .groupBy(col("target_id"))
+      .agg(sort_array(collect_set(col("neighbour"))).as("neighbours"))
   }
 
   /** Disease ontology (sc:169-187): ancestors = flatten of path_codes

@@ -171,6 +171,41 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Sliding-window document chunking: every doc splits into fixed-size
+    // chunks at a fixed stride (overlap = size − stride), the unit RAG /
+    // embedding pipelines index. Pure per-row generate: explode of a
+    // sequence + substr — no shuffle at all, and the scan only reads
+    // (doc_id, text, n_chars). Chunk text leaves the query as md5 so the
+    // compare doesn't ship megabytes of prose.
+    "q_text_chunk" -> ((s, d) => {
+      val stride = 192
+      val sz = 256
+      table(s, d, "documents")
+        .where(col("n_chars") > 0)
+        .withColumn("k", explode(sequence(lit(0L),
+          expr(s"(n_chars + ${stride - 1}) div $stride") - 1)))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          (col("k") * stride).as("chunk_start"),
+          least(lit(sz.toLong), col("n_chars") - col("k") * stride).as("chunk_len"),
+          md5(col("text").substr((col("k") * stride + 1).cast("int"),
+            lit(sz))).as("chunk_md5"))
+    }),
+
+    // Deterministic source-weighted corpus mixing: each source keeps a
+    // fixed fraction of docs (weights 1.0/0.5/0.25/0.1 by source id mod 4)
+    // chosen by salted hash — the reproducible form of mixture sampling
+    // (Pile/Dolma-style source reweighting). Decimal weight literals keep
+    // the threshold arithmetic exact in both engines.
+    "q_sample_weighted" -> ((s, d) => {
+      val w = expr("CASE CAST(substr(source, 4) AS INT) % 4 " +
+        "WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END")
+      val h = Core.md5Hash64(concat(lit("mix|"), col("doc_id").cast("string"))) % 10000
+      table(s, d, "documents")
+        .where(h < (w * 10000).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Deterministic per-group k-sample (graft.functions.BottomKAgg): the k
     // docs with the smallest salted md5 hash per language — reservoir
     // sampling's reproducible cousin. Membership depends only on the hash
@@ -510,6 +545,27 @@ object LlmOps {
          |  count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin
+    },
+
+    // DuckDB 1.0 can't lateral-correlate generate_series, so the twin
+    // cross-joins a static 0..255 series (covers docs to 49k chars — far
+    // above the fixture max) and filters to the per-doc chunk count
+    "q_text_chunk" ->
+      """SELECT doc_id, k AS chunk_id, k * 192 AS chunk_start,
+        |  least(256, n_chars - k * 192) AS chunk_len,
+        |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
+        |FROM documents CROSS JOIN generate_series(0, 255) t(k)
+        |WHERE n_chars > 0 AND k <= (n_chars + 191) // 192 - 1""".stripMargin,
+
+    "q_sample_weighted" -> {
+      val h = sqlHash64("'mix|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE $h % 10000 < CAST((CASE CAST(substr(source, 4) AS INT) % 4
+         |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25
+         |    ELSE 0.1 END) * 10000 AS BIGINT)
+         |GROUP BY source""".stripMargin
     },
 
     "q_sample_bottomk" -> {

@@ -98,6 +98,28 @@ class RunPipelineSpec extends SparkSpec {
     assert(hyp == Set(("D1", "T1", "d2", 0.8), ("D1", "T2", "d2", 0.8)))
   }
 
+  test("expression input prunes network edges without a shared active tissue") {
+    // T1 active in liver only, T2 in brain only -> the P1-P2 edge is
+    // pruned (sc:148-150). Reference-faithful consequence: a target with
+    // no surviving network row contributes NOTHING (the reference explodes
+    // a null neighbours array, sc:450/464 — zero rows), so the association
+    // set is empty, not T1-only. With a shared tissue the edge survives
+    // and both targets score as before.
+    val disjoint = Seq(("T1", Seq("liver")), ("T2", Seq("brain")))
+      .toDF("target_id", "active_tissues")
+    val (assocPruned, _) = DrugDisease.run(
+      inputs.copy(expression = Some(disjoint)))
+    assert(assocPruned.count() == 0L)
+
+    val shared = Seq(("T1", Seq("liver", "lung")), ("T2", Seq("lung")))
+      .toDF("target_id", "active_tissues")
+    val (assocShared, _) = DrugDisease.run(
+      inputs.copy(expression = Some(shared)))
+    val sharedTargets = assocShared.select(col("target_id"))
+      .distinct().as[String].collect().toSet
+    assert(sharedTargets == Set("T1", "T2"))
+  }
+
   test("whitelist mode: disease with no drugs survives to scoring without dividing by zero") {
     // D2 is whitelisted but has no aggregation row -> drugs_for_disease null
     // -> new_drugs null (kept: no size gate) -> explode drops it in scoring.
