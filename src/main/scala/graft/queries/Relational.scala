@@ -511,6 +511,40 @@ object Relational {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // Schema-evolution scan: two parquet "versions" of documents (v1
+    // without n_chars) merge into one frame with null fill — the columnar
+    // unionByName. The oracle unions explicit projections, so a dropped
+    // or mis-merged column breaks the hash.
+    "q_source_merged_schema" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
+        new java.io.File(d).getName
+      val docs = table(s, d, "documents")
+      docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      graft.sources.Sources.parquetMerged(s, s"$base/v1", s"$base/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Small-file compaction: documents rewritten via Sources.compact (one
+    // coalesced file at this scale), re-read and aggregated — the oracle
+    // aggregates the original table, so a row lost or duplicated in the
+    // rewrite breaks the hash.
+    "q_source_compact" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        new java.io.File(d).getName
+      graft.sources.Sources.compact(s, s"$d/documents.parquet", s"$base/out")
+      graft.sources.Sources.parquet(s, s"$base/out")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // Explode + reflexive union (sc:450/464): 1-hop fan-out, then count hops.
     "q_graph_onehop" -> ((s, d) => {
       val e = table(s, d, "lineitem")
@@ -575,6 +609,23 @@ object Relational {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_source_merged_schema" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(n_chars) AS n_with_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang""".stripMargin,
+
+    "q_source_compact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

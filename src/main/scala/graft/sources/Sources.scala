@@ -79,4 +79,39 @@ object Sources {
   def writeJson(df: DataFrame, path: String,
                 mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Schema-evolution read: parquet directories written at different
+    * schema versions scan as ONE frame — mergeSchema unions the footers
+    * (missing columns null-fill), the columnar equivalent of unionByName
+    * with allowMissingColumns. Footer merging is a driver-side pass over
+    * file metadata only; at 100 TB prefer a fixed read schema once it is
+    * known, since that skips the footer sweep entirely.
+    */
+  def parquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. The operational answer to the
+    * accumulating-small-files problem every long-lived 100 TB table has
+    * (each file costs a task + a footer read + catalog pressure;
+    * streaming sinks and partitioned appends produce thousands).
+    * Returns the rewritten frame's file count. Size estimation reads ONLY
+    * filesystem metadata; the rewrite is one coalesce — a narrow,
+    * shuffle-free re-bin of existing partitions.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath match {
+        case p if p.contains("://") => p
+        case p => s"file://$p"
+      }),
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
 }

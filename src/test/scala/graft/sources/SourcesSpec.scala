@@ -67,6 +67,32 @@ class SourcesSpec extends SparkSpec {
     assert(backOrc == backCsv)
   }
 
+  test("parquetMerged unions evolved schemas with null fill") {
+    val base = Files.createTempDirectory("graft-evolve").toFile.getPath
+    Seq((1L, "a")).toDF("id", "tag").write.parquet(s"$base/v1")
+    Seq((2L, "b", 9L)).toDF("id", "tag", "extra").write.parquet(s"$base/v2")
+    val merged = Sources.parquetMerged(spark, s"$base/v1", s"$base/v2")
+    assert(merged.columns.toSet == Set("id", "tag", "extra"))
+    val rows = merged.select(col("id"), col("extra"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows == Set((1L, None), (2L, Some(9L))))
+  }
+
+  test("compact re-bins a many-file directory to the target count") {
+    val base = Files.createTempDirectory("graft-compact").toFile.getPath
+    // 16 tiny files
+    (1 to 160).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(16).write.parquet(s"$base/in")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts(s"$base/in") == 16)
+    // huge target -> everything fits one file
+    val n = Sources.compact(spark, s"$base/in", s"$base/out")
+    assert(n == 1 && parts(s"$base/out") == 1)
+    val back = spark.read.parquet(s"$base/out").as[(Long, String)].collect().toSet
+    assert(back == (1 to 160).map(i => (i.toLong, s"row$i")).toSet)
+  }
+
   test("nested structs survive a JSON sink/scan roundtrip") {
     val dir = Files.createTempDirectory("graft-jsonsink").toFile.getPath + "/out"
     val df = Seq((1L, Seq(("e1", 2L), ("e2", 3L))))
