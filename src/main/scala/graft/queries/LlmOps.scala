@@ -171,6 +171,30 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Canonical-doc selection — the step after dedup clustering: per
+    // cluster keep ONE representative (longest doc, ties to the smallest
+    // id). max_by over a single composite priority (n_chars ⊕ -doc_id
+    // packed into one long) instead of a row_number window: an aggregate
+    // combines map-side and never sorts whole partitions, the scalable
+    // argmax shape.
+    "q_dedup_canonical" -> ((s, d) => {
+      val sigs = Dedup
+        .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
+        .cache()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      Dedup.components(pairs, iters = 4)
+        .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(
+          expr("max_by(doc_id, n_chars * 100000000 - doc_id)").as("keep_doc"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Sliding-window document chunking: every doc splits into fixed-size
     // chunks at a fixed stride (overlap = size − stride), the unit RAG /
     // embedding pipelines index. Pure per-row generate: explode of a
@@ -441,7 +465,7 @@ object LlmOps {
     * q_dedup_components_fp (fixpoint — on this fixture every cluster
     * diameter is < 4, so l4 is already stable).
     */
-  private lazy val componentsOracleSql: String = {
+  private lazy val componentsCtes: String = {
     val mins = MinhashSeeds
       .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
     val bandRows = (0 until 4)
@@ -474,9 +498,11 @@ object LlmOps {
        |  UNION ALL SELECT doc2, doc1 FROM p2
        |  UNION ALL SELECT doc_id, doc_id FROM v),
        |l0 AS (SELECT doc_id, doc_id AS label FROM v),
-       |$iterations
-       |SELECT doc_id, label AS cluster FROM l4""".stripMargin
+       |$iterations""".stripMargin
   }
+
+  private lazy val componentsOracleSql: String =
+    s"$componentsCtes\nSELECT doc_id, label AS cluster FROM l4"
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -550,6 +576,15 @@ object LlmOps {
     // DuckDB 1.0 can't lateral-correlate generate_series, so the twin
     // cross-joins a static 0..255 series (covers docs to 49k chars — far
     // above the fixture max) and filters to the per-doc chunk count
+    "q_dedup_canonical" ->
+      s"""$componentsCtes,
+         |comp AS (SELECT doc_id, label AS cluster FROM l4)
+         |SELECT cluster,
+         |  max_by(doc_id, n_chars * 100000000 - doc_id) AS keep_doc,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM comp JOIN documents USING (doc_id)
+         |GROUP BY cluster""".stripMargin,
+
     "q_text_chunk" ->
       """SELECT doc_id, k AS chunk_id, k * 192 AS chunk_start,
         |  least(256, n_chars - k * 192) AS chunk_len,
