@@ -22,6 +22,10 @@ object Bench {
     // Optional args = query-name filter: bench a subset with the same
     // noop-write methodology (Smoke's count() lets Catalyst prune unused
     // projections, so it under-measures projection-heavy queries).
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+        "(a typo would otherwise bench an empty set silently)")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -190,7 +190,11 @@ object LlmOps {
           Seq("doc_id"))
         .groupBy(col("cluster"))
         .agg(
-          expr("max_by(doc_id, n_chars * 100000000 - doc_id)").as("keep_doc"),
+          // Struct ordering gives the longest-doc / smallest-id tiebreak
+          // directly — the earlier n_chars*1e8 - doc_id packing silently
+          // broke once doc_id >= 1e8 (and both engines drifted identically,
+          // so the hash oracle could not catch it).
+          expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_doc"),
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
     }),
@@ -573,23 +577,26 @@ object LlmOps {
          |FROM documents GROUP BY 1, 2""".stripMargin
     },
 
-    // DuckDB 1.0 can't lateral-correlate generate_series, so the twin
-    // cross-joins a static 0..255 series (covers docs to 49k chars — far
-    // above the fixture max) and filters to the per-doc chunk count
     "q_dedup_canonical" ->
       s"""$componentsCtes,
          |comp AS (SELECT doc_id, label AS cluster FROM l4)
          |SELECT cluster,
-         |  max_by(doc_id, n_chars * 100000000 - doc_id) AS keep_doc,
+         |  first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS keep_doc,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM comp JOIN documents USING (doc_id)
          |GROUP BY cluster""".stripMargin,
 
+    // Series bound derives from max(n_chars) (DuckDB can't subquery-bound
+    // generate_series, but scalar range() can), so a future fixture with
+    // longer docs stays covered instead of silently capping at 256 chunks.
     "q_text_chunk" ->
-      """SELECT doc_id, k AS chunk_id, k * 192 AS chunk_start,
+      """WITH series AS (
+        |  SELECT unnest(range(0, (SELECT CAST(ceil(max(n_chars) / 192.0)
+        |    AS BIGINT) FROM documents))) AS k)
+        |SELECT doc_id, k AS chunk_id, k * 192 AS chunk_start,
         |  least(256, n_chars - k * 192) AS chunk_len,
         |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
-        |FROM documents CROSS JOIN generate_series(0, 255) t(k)
+        |FROM documents CROSS JOIN series
         |WHERE n_chars > 0 AND k <= (n_chars + 191) // 192 - 1""".stripMargin,
 
     "q_sample_weighted" -> {

@@ -16,6 +16,15 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch path/table tag unique per (fixture, session): two concurrent
+    * runs over the same fixture dir must not race on overwriting shared
+    * tmp paths or catalog table names. applicationId is sanitized so the
+    * tag is also legal inside an unquoted table identifier.
+    */
+  private def scratchTag(s: SparkSession, d: String): String =
+    (new java.io.File(d).getName + "_" + s.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9_]", "_")
+
   val queries: Map[String, Q] = Map(
     // P1/P2/F2: projection + rename + filter; pushes filter & pruning to scan.
     "q_project_filter" -> ((s, d) => {
@@ -388,7 +397,7 @@ object Relational {
     "q_source_json_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonsrc_" +
-        new java.io.File(d).getName
+        scratchTag(s, d)
       table(s, d, "documents").write.mode("overwrite").json(out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -437,7 +446,7 @@ object Relational {
     // drops the wrong partition breaks the hash.
     "q_source_partitioned_sink" -> ((s, d) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_partsink_" +
-        new java.io.File(d).getName
+        scratchTag(s, d)
       graft.sources.Sources.writeParquet(
         table(s, d, "documents"), out, partitionBy = Seq("lang"))
       graft.sources.Sources.parquet(s, out)
@@ -450,7 +459,7 @@ object Relational {
     // ORC source/sink driver gate (parquet's sibling columnar format).
     "q_source_orc_roundtrip" -> ((s, d) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_orcsrc_" +
-        new java.io.File(d).getName
+        scratchTag(s, d)
       graft.sources.Sources.writeOrc(table(s, d, "documents"), out)
       graft.sources.Sources.orc(s, out)
         .groupBy(col("lang"))
@@ -466,7 +475,7 @@ object Relational {
     "q_source_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_csvsrc_" +
-        new java.io.File(d).getName
+        scratchTag(s, d)
       graft.sources.Sources.writeCsv(table(s, d, "documents"), out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -493,7 +502,7 @@ object Relational {
     // query. The oracle joins the raw parquet, so bucket routing or
     // per-bucket sort corruption breaks the hash.
     "q_source_bucketed_join" -> ((s, d) => {
-      val tag = new java.io.File(d).getName.replace(".", "_")
+      val tag = scratchTag(s, d)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
       table(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite").option("path", s"$tmp/li")
@@ -517,7 +526,7 @@ object Relational {
     // or mis-merged column breaks the hash.
     "q_source_merged_schema" -> ((s, d) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
-        new java.io.File(d).getName
+        scratchTag(s, d)
       val docs = table(s, d, "documents")
       docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(s"$base/v1")
@@ -537,7 +546,7 @@ object Relational {
     // rewrite breaks the hash.
     "q_source_compact" -> ((s, d) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-        new java.io.File(d).getName
+        scratchTag(s, d)
       graft.sources.Sources.compact(s, s"$d/documents.parquet", s"$base/out")
       graft.sources.Sources.parquet(s, s"$base/out")
         .groupBy(col("source"))

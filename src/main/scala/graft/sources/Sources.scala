@@ -101,17 +101,24 @@ object Sources {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inPath match {
-        case p if p.contains("://") => p
-        case p => s"file://$p"
-      }),
-      spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    import org.apache.hadoop.fs.Path
+    // Path.getFileSystem resolves scheme + authority from the path itself
+    // (relative paths resolve against the default FS) — hand-building a
+    // URI mis-parsed relative inPaths (first segment became the authority).
+    val in = new Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(in).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
-    nFiles
+    // coalesce cannot INCREASE partition count (and empty partitions write
+    // no file), so the requested bin count is an upper bound — report the
+    // file count actually on disk.
+    val out = new Path(outPath)
+    val outFs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.listStatus(out).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("part-")
+    }
   }
 }

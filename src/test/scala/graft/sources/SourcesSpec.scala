@@ -93,6 +93,19 @@ class SourcesSpec extends SparkSpec {
     assert(back == (1 to 160).map(i => (i.toLong, s"row$i")).toSet)
   }
 
+  test("compact reports files actually written when the size-derived bin " +
+    "count exceeds the input partition count") {
+    val base = Files.createTempDirectory("graft-compact2").toFile.getPath
+    (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(2).write.parquet(s"$base/in")
+    // 1-byte target -> requested bins far exceed the 2 input partitions;
+    // coalesce cannot increase partition count, so exactly 2 files land
+    val n = Sources.compact(spark, s"$base/in", s"$base/out", targetFileBytes = 1L)
+    val written = new java.io.File(s"$base/out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(n == written && written == 2)
+  }
+
   test("nested structs survive a JSON sink/scan roundtrip") {
     val dir = Files.createTempDirectory("graft-jsonsink").toFile.getPath + "/out"
     val df = Seq((1L, Seq(("e1", 2L), ("e2", 3L))))
