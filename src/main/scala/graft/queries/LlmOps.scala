@@ -442,6 +442,82 @@ object LlmOps {
         .select(col("vec_id"), round(dot / (n1 * n2), 6).as("cos"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 10)
+    }),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·idf with a
+    // smoothed idf. tf is a map-side-partial hash agg on (doc, term); df
+    // aggregates the per-doc DISTINCT term table (vocabulary-sized — the
+    // natural broadcast side at scale); the corpus size joins as a 1-row
+    // broadcast. Ranking orders by the ROUNDED score (then term) so an
+    // ulp-level log difference between engines cannot flip ranks.
+    "q_text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val docFreq = toks.distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = table(s, d, "documents")
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("w"))
+      tf.join(docFreq, Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log10((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("tfidf"), col("rn"))
+    }),
+
+    // Duplicated-span detection — substring-granular dedup (the span-level
+    // complement of whole-doc near-dup, after Lee et al.'s exact-substring
+    // dedup, at word-8-gram resolution): spans seen in >= 2 distinct docs.
+    // Spans cross the shuffle as 60-bit hashes, never text, and the agg is
+    // map-side partial; per-doc distinct shingles come free from
+    // shingleTable.
+    "q_dedup_substring" -> ((s, d) => {
+      Dedup.shingleTable(table(s, d, "documents"), "doc_id", "text", 8)
+        .select(col("doc_id"), Core.md5Hash64(col("w")).as("span_hash"))
+        .groupBy(col("span_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+    }),
+
+    // Deterministic global shuffle for training-data ordering: a stable
+    // pseudorandom permutation as (shard, pos) — shard = hash % nShards,
+    // pos ranks by hash within the shard. Reproducible across runs,
+    // engines, and partitionings (RNG sampling is none of those), and no
+    // single-partition global sort: parallelism = shard count (8 here;
+    // thousands at cluster scale), each shard's window sorts its slice only.
+    "q_shuffle_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Core.md5Hash64(concat(lit("shuf|"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", col("h") % 8)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // Inverted-index construction for mid-frequency terms (2 <= df <= 20):
+    // the df pass (cheap, map-side partial) filters BEFORE the postings
+    // collect, so no collect_list ever sees a head term's unbounded
+    // postings — the order matters at 100 TB where 'the' posts every doc.
+    // Postings serialize sorted via array_join (driver compare can't sort
+    // raw array cells).
+    "q_text_inverted_index" -> ((s, d) => {
+      val terms = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokenSet(col("text"))).as("term"))
+      val docFreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 20))
+      terms.join(docFreq, Seq("term"))
+        .groupBy(col("term"), col("df"))
+        .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+        .select(col("term"), col("df"), col("postings"))
     })
   )
 
@@ -842,6 +918,50 @@ object LlmOps {
         |  SELECT vec_id, round(dot / (n1 * n2), 6) AS cos,
         |    CAST(row_number() OVER (ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id) AS BIGINT) AS rn
         |  FROM dots)
-        |SELECT vec_id, cos, rn FROM scored WHERE rn <= 10""".stripMargin
+        |SELECT vec_id, cos, rn FROM scored WHERE rn <= 10""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT doc_id, w AS term, tfidf, rn FROM (
+        |  SELECT doc_id, w,
+        |    round(tf * log10((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * log10((n_docs + 1.0) / (df + 1.0))
+        |        , 4) DESC, w) AS BIGINT) AS rn
+        |  FROM tf JOIN df USING (w) CROSS JOIN n)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_dedup_substring" -> {
+      val h = sqlHash64("w")
+      s"""SELECT $h AS span_hash,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         |FROM (SELECT doc_id, ${shingleSqlN(8, distinct = true)} FROM documents)
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+    },
+
+    "q_shuffle_shards" -> {
+      val h = sqlHash64("'shuf|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, h % 8 AS shard,
+         |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, $h AS h FROM documents))""".stripMargin
+    },
+
+    "q_text_inverted_index" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM terms
+        |  GROUP BY term HAVING count(*) BETWEEN 2 AND 20)
+        |SELECT term, df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM terms JOIN df USING (term)
+        |GROUP BY term, df""".stripMargin
   )
 }
