@@ -172,6 +172,48 @@ object SimSearch {
         .withColumn("rn",
           row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
         .where(col("rn") <= 10)
+    }),
+
+    // Rademacher random projection 64 → 16 dims (Achlioptas-style ±1 JL
+    // transform): the dimensionality-reduction step an embedding pipeline
+    // runs before LSH/IVF to shrink index width 4×. The 16 sign vectors
+    // are hash-derived constants shared with the oracle; each output
+    // component rides the codegen'd graft_dot against a literal vector —
+    // per-row narrow compute, no shuffle. Long output form (vec_id, j, y).
+    "q_embed_project" -> ((s, d) => {
+      val outDim = 16
+      val signs: Seq[Seq[Double]] = (0 until outDim).map(j =>
+        (0 until Dim).map(i =>
+          if (Vectors.md5Long(s"proj|$i|$j") % 2 == 0) 1.0 else -1.0))
+      val ys = array(signs.map(sv =>
+        round(Vectors.dotFast(col("v"), typedLit(sv)) / math.sqrt(outDim), 6)): _*)
+      embeds(s, d)
+        .select(col("vec_id"), ys.as("ys"))
+        .select(col("vec_id"), posexplode(col("ys")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
+    }),
+
+    // Symmetric int8 quantization (absmax / 127): the storage/serving
+    // compression step for embedding tables. Per-element arithmetic is
+    // bit-identical across engines (same expression order, no
+    // reassociation), so the integer checksum needs no rounding slack.
+    // absmax-0 vectors quantize to all-zero (ANSI: the division is behind
+    // the guard). Emits scale + integer checksums instead of the array
+    // itself (driver compare can't sort array cells).
+    "q_embed_quantize" -> ((s, d) => {
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val q = when(col("mx") > 0,
+        transform(col("v"), x => round(x * 127.0 / col("mx")).cast("long")))
+        .otherwise(transform(col("v"), _ => lit(0L)))
+      embeds(s, d)
+        .select(col("vec_id"), col("v"), mx.as("mx"))
+        .select(col("vec_id"), col("mx"), q.as("q"))
+        .select(
+          col("vec_id"),
+          round(col("mx") / 127.0, 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+          size(filter(col("q"), x => abs(x) === 127L)).cast("long").as("n_clip"),
+          size(col("q")).cast("long").as("n_dims"))
     })
   )
 
@@ -297,6 +339,32 @@ object SimSearch {
          |SELECT vec_id, cos, rn FROM (
          |  SELECT vec_id, cos,
          |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-         |  FROM scored) WHERE rn <= 10""".stripMargin
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    // Sign weights derive from the same md5 the Spark side embeds as
+    // literals (first 15 hex chars — Vectors.md5Long ≡ sqlHash64).
+    "q_embed_project" ->
+      s"""WITH $eSql,
+         |w AS (
+         |  SELECT j, i + 1 AS i,
+         |    CASE WHEN CAST('0x' || substr(md5('proj|' || i || '|' || j), 1, 15)
+         |        AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, $Dim)) AS i)
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j))
+         |SELECT vec_id, j, round(sum(x * s) / sqrt(16.0), 6) AS y
+         |FROM e JOIN w USING (i) GROUP BY vec_id, j""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH $eSql,
+         |m AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY vec_id)
+         |SELECT vec_id, round(mx / 127.0, 6) AS scale,
+         |  CAST(sum(CASE WHEN mx > 0
+         |    THEN CAST(round(x * 127.0 / mx) AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS sum_q,
+         |  CAST(sum(CASE WHEN mx > 0
+         |    AND abs(CAST(round(x * 127.0 / mx) AS BIGINT)) = 127
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip,
+         |  count(*) AS n_dims
+         |FROM e JOIN m USING (vec_id) GROUP BY vec_id, mx""".stripMargin
   )
 }

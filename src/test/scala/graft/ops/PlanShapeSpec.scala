@@ -56,6 +56,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("decontamination broadcasts the reference bands — corpus side never " +
+    "sort-merge-joins") {
+    // the bipartite LSH screen's whole scale story is that the 100 TB
+    // corpus band table never shuffles: the reference side is broadcast by
+    // contract. A SortMergeJoin appearing here means the pin was lost and
+    // the corpus would shuffle at every screen.
+    val plan = executedPlan("q_dedup_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("sessionization reuses one user_id exchange for windows and rollup") {
     // both window functions and the final groupBy cluster on user_id —
     // HashPartitioning(user_id) satisfies the (user_id, session_no) group,
