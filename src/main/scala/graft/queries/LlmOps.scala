@@ -473,12 +473,25 @@ object LlmOps {
     // Duplicated-span detection — substring-granular dedup (the span-level
     // complement of whole-doc near-dup, after Lee et al.'s exact-substring
     // dedup, at word-8-gram resolution): spans seen in >= 2 distinct docs.
-    // Spans cross the shuffle as 60-bit hashes, never text, and the agg is
-    // map-side partial; per-doc distinct shingles come free from
-    // shingleTable.
+    // Window hashes come from the native O(n) RollingHash over TWO
+    // independently-seeded token-hash streams, combined into a ~62-bit key:
+    // one md5 per token per stream instead of a digest per 8-gram string
+    // (~3x less hashing — the dominant cost), while a single 31-bit stream
+    // would birthday-collide tens of thousands of false duplicate spans at
+    // corpus scale. Spans cross the shuffle as longs, never text; the agg
+    // is map-side partial.
     "q_dedup_substring" -> ((s, d) => {
-      Dedup.shingleTable(table(s, d, "documents"), "doc_id", "text", 8)
-        .select(col("doc_id"), Core.md5Hash64(col("w")).as("span_hash"))
+      import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
+      val toks = TextOps.tokens(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          transform(toks, t => Core.md5Hash64(t) % P).as("th1"),
+          transform(toks,
+            t => Core.md5Hash64(concat(lit("sp2|"), t)) % P).as("th2"))
+        .select(col("doc_id"),
+          explode(array_distinct(zip_with(
+            rollingHash(col("th1"), 8), rollingHash(col("th2"), 8),
+            (a, b) => a * P + b))).as("span_hash"))
         .groupBy(col("span_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("first_doc"))
@@ -937,11 +950,31 @@ object LlmOps {
         |WHERE rn <= 3""".stripMargin,
 
     "q_dedup_substring" -> {
-      val h = sqlHash64("w")
-      s"""SELECT $h AS span_hash,
-         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
-         |FROM (SELECT doc_id, ${shingleSqlN(8, distinct = true)} FROM documents)
-         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+      import org.apache.spark.sql.graft.RollingHash.{B, P}
+      val k = 8
+      // direct polynomial formula — identical residues to the rolling form
+      val coefs = (0 until k).map { j =>
+        var c = 1L; for (_ <- 1 until k - j) c = c * B % P; c
+      }
+      def terms(th: String) = (0 until k)
+        .map(j => s"($th[i + $j] * ${coefs(j)} % $P)").mkString(" + ")
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${sqlHash64("t")} % $P) AS th1,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${sqlHash64("'sp2|' || t")} % $P) AS th2
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(generate_series(1, greatest(len(th1) - ${k - 1}, 0)),
+         |      i -> ((${terms("th1")}) % $P) * $P + ((${terms("th2")}) % $P))))
+         |    AS span_hash
+         |  FROM th)
+         |SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM spans GROUP BY span_hash
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
     },
 
     "q_shuffle_shards" -> {
