@@ -162,9 +162,10 @@ object Dedup {
     // Cached pre-partitioned on the join key: the edge table is the BIG
     // side at scale and every iteration joins it on t — hash-partitioning
     // it once means iterations shuffle only the (smaller) label frame, the
-    // same discipline GraphX applies. The cached blocks live until the
-    // caller's session clears them (Bench clears between queries; the
-    // frames here are pair-graph-sized, far below the corpus itself).
+    // same discipline GraphX applies. The final labels materialize via
+    // localCheckpoint so the edge cache can be RELEASED here instead of
+    // leaking into sessions that never clear it (Verify, the shared test
+    // session) — which makes this function eager, like componentsFixpoint.
     val edges = pairs.select(col("doc1").as("s"), col("doc2").as("t"))
       .union(pairs.select(col("doc2").as("s"), col("doc1").as("t")))
       .union(vertices.select(col("doc_id").as("s"), col("doc_id").as("t")))
@@ -177,7 +178,9 @@ object Dedup {
         .groupBy(col("s").as("doc_id"))
         .agg(min(col("label")).as("label"))
     }
-    labels.withColumnRenamed("label", "cluster")
+    val out = labels.withColumnRenamed("label", "cluster").localCheckpoint()
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Connected components to FIXPOINT: min-label propagation until no label

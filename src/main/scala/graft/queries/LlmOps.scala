@@ -173,10 +173,9 @@ object LlmOps {
 
     // Canonical-doc selection — the step after dedup clustering: per
     // cluster keep ONE representative (longest doc, ties to the smallest
-    // id). max_by over a single composite priority (n_chars ⊕ -doc_id
-    // packed into one long) instead of a row_number window: an aggregate
-    // combines map-side and never sorts whole partitions, the scalable
-    // argmax shape.
+    // id). max_by over a struct ordering instead of a row_number window:
+    // an aggregate combines map-side and never sorts whole partitions,
+    // the scalable argmax shape.
     "q_dedup_canonical" -> ((s, d) => {
       val sigs = Dedup
         .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
@@ -482,11 +481,14 @@ object LlmOps {
     // is map-side partial.
     "q_dedup_substring" -> ((s, d) => {
       import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
-      val toks = TextOps.tokens(col("text"))
       table(s, d, "documents")
+        // tokenization materializes behind its own select: both hash
+        // streams read the attribute instead of re-splitting the text
+        // (Catalyst re-evaluates repeated non-attribute subexpressions)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          transform(toks, t => Core.md5Hash64(t) % P).as("th1"),
-          transform(toks,
+          transform(col("toks"), t => Core.md5Hash64(t) % P).as("th1"),
+          transform(col("toks"),
             t => Core.md5Hash64(concat(lit("sp2|"), t)) % P).as("th2"))
         .select(col("doc_id"),
           explode(array_distinct(zip_with(

@@ -25,6 +25,24 @@ object Relational {
     (new java.io.File(d).getName + "_" + s.sparkContext.applicationId)
       .replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Session-unique scratch directory for a query label, reaping stale
+    * scratch left by PRIOR sessions over the same fixture (per-session
+    * names would otherwise grow tmpdir without bound across verify/bench/
+    * test cycles). The age gate keeps a live concurrent run's scratch
+    * safe — only same-label dirs untouched for 2+ hours are removed.
+    */
+  private def scratchPath(s: SparkSession, d: String, label: String): String = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val fixture = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val prefix = s"graft_${label}_${fixture}_"
+    val cutoff = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+    s"${base.getPath}/$prefix" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+  }
+
   val queries: Map[String, Q] = Map(
     // P1/P2/F2: projection + rename + filter; pushes filter & pruning to scan.
     "q_project_filter" -> ((s, d) => {
@@ -396,8 +414,7 @@ object Relational {
     // unicode, numeric precision) breaks the hash compare.
     "q_source_json_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonsrc_" +
-        scratchTag(s, d)
+      val out = scratchPath(s, d, "jsonsrc")
       table(s, d, "documents").write.mode("overwrite").json(out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -445,8 +462,7 @@ object Relational {
     // The oracle filters the original table, so a pruning bug that reads or
     // drops the wrong partition breaks the hash.
     "q_source_partitioned_sink" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partsink_" +
-        scratchTag(s, d)
+      val out = scratchPath(s, d, "partsink")
       graft.sources.Sources.writeParquet(
         table(s, d, "documents"), out, partitionBy = Seq("lang"))
       graft.sources.Sources.parquet(s, out)
@@ -458,8 +474,7 @@ object Relational {
 
     // ORC source/sink driver gate (parquet's sibling columnar format).
     "q_source_orc_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orcsrc_" +
-        scratchTag(s, d)
+      val out = scratchPath(s, d, "orcsrc")
       graft.sources.Sources.writeOrc(table(s, d, "documents"), out)
       graft.sources.Sources.orc(s, out)
         .groupBy(col("lang"))
@@ -474,8 +489,7 @@ object Relational {
     // type-coercion corruption in the CSV path breaks the hash.
     "q_source_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csvsrc_" +
-        scratchTag(s, d)
+      val out = scratchPath(s, d, "csvsrc")
       graft.sources.Sources.writeCsv(table(s, d, "documents"), out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -503,7 +517,7 @@ object Relational {
     // per-bucket sort corruption breaks the hash.
     "q_source_bucketed_join" -> ((s, d) => {
       val tag = scratchTag(s, d)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+      val tmp = scratchPath(s, d, "bucketed")
       table(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite").option("path", s"$tmp/li")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -525,8 +539,7 @@ object Relational {
     // unionByName. The oracle unions explicit projections, so a dropped
     // or mis-merged column breaks the hash.
     "q_source_merged_schema" -> ((s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
-        scratchTag(s, d)
+      val base = scratchPath(s, d, "evolve")
       val docs = table(s, d, "documents")
       docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(s"$base/v1")
@@ -545,8 +558,7 @@ object Relational {
     // aggregates the original table, so a row lost or duplicated in the
     // rewrite breaks the hash.
     "q_source_compact" -> ((s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-        scratchTag(s, d)
+      val base = scratchPath(s, d, "compact")
       graft.sources.Sources.compact(s, s"$d/documents.parquet", s"$base/out")
       graft.sources.Sources.parquet(s, s"$base/out")
         .groupBy(col("source"))
