@@ -533,6 +533,72 @@ object LlmOps {
         .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
           .as("postings"))
         .select(col("term"), col("df"), col("postings"))
+    }),
+
+    // Bigram conditional LM score (the n-gram step up from q_text_lm_score's
+    // unigram): per doc, avg log10 P(w2|w1) with P = c(w1 w2) / c(w1·),
+    // c(w1·) summed over bigram heads so the model is self-consistent.
+    // Two vocabulary-sized count tables join back to the exploded bigrams —
+    // the same shapes as tf-idf: map-side partial aggs, broadcast-friendly
+    // dimension sides.
+    "q_text_bigram_lm" -> ((s, d) => {
+      val bi = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
+        .select(col("doc_id"), col("g"),
+          element_at(split(col("g"), " "), 1).as("w1"))
+      val big = bi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      val head = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bi.join(big, Seq("g")).join(head, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(avg(log10(col("c2").cast("double") / col("c1"))), 4)
+            .as("avg_logprob"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
+    // Flagship composition — the corpus-preparation pipeline end-to-end in
+    // ONE declarative plan: quality gate → exact dedup (min-id keeper per
+    // digest) → near-dup clustering (LSH + components) with canonical
+    // keeper per cluster → deterministic hash split → per-(split, lang)
+    // stats. Every stage is an operator verified on its own elsewhere in
+    // this file; survivors materialize via localCheckpoint (eager, lineage
+    // cut, no cache-manager entry to leak) because three later stages
+    // consume them, and the pair graph's cache is released as soon as the
+    // eager components() call returns.
+    "q_corpus_prepare" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val survivors = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+            / size(toks), 4).as("avg_token_len"),
+          round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+            / size(toks), 6).as("stopword_ratio"))
+        .where(col("n_tokens").between(10, 1000) &&
+          col("avg_token_len").between(2.0, 12.0) &&
+          col("stopword_ratio") > 0.0)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(expr("min_by(struct(doc_id, lang, n_chars, text), doc_id)").as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.n_chars").as("n_chars"), col("r.text").as("text"))
+        .localCheckpoint()
+      val sigs = Dedup.minhashSigs(survivors, "doc_id", "text", 3, MinhashSeeds)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      val clusters = Dedup.components(pairs, iters = 4) // eager; checkpointed
+      pairs.unpersist(blocking = false)
+      val clustered = survivors.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val keepers = clustered.groupBy(col("cluster"))
+        .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))").as("doc_id"))
+      val h = Core.md5Hash64(concat(lit("split|"), col("doc_id").cast("string"))) % 100
+      clustered.join(keepers.select(col("doc_id")), Seq("doc_id"))
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     })
   )
 
@@ -560,7 +626,7 @@ object LlmOps {
     * q_dedup_components_fp (fixpoint — on this fixture every cluster
     * diameter is < 4, so l4 is already stable).
     */
-  private lazy val componentsCtes: String = {
+  private def componentsCtesFrom(base: String, prefixCtes: String = ""): String = {
     val mins = MinhashSeeds
       .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
     val bandRows = (0 until 4)
@@ -572,9 +638,10 @@ object LlmOps {
          |  SELECT ed.s AS doc_id, min(l${i - 1}.label) AS label
          |  FROM ed JOIN l${i - 1} ON l${i - 1}.doc_id = ed.t GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH sigs AS (
+    val pre = if (prefixCtes.isEmpty) "" else prefixCtes + ",\n"
+    s"""WITH ${pre}sigs AS (
        |  SELECT doc_id, $mins
-       |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+       |  FROM (SELECT doc_id, $shingleSql FROM $base WHERE $minDocSql)
        |  GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
@@ -595,6 +662,8 @@ object LlmOps {
        |l0 AS (SELECT doc_id, doc_id AS label FROM v),
        |$iterations""".stripMargin
   }
+
+  private lazy val componentsCtes: String = componentsCtesFrom("documents")
 
   private lazy val componentsOracleSql: String =
     s"$componentsCtes\nSELECT doc_id, label AS cluster FROM l4"
@@ -997,6 +1066,52 @@ object LlmOps {
         |SELECT term, df,
         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM terms JOIN df USING (term)
-        |GROUP BY term, df""".stripMargin
+        |GROUP BY term, df""".stripMargin,
+
+    "q_text_bigram_lm" ->
+      s"""WITH bi AS (
+         |  SELECT doc_id, w AS g, string_split(w, ' ')[1] AS w1
+         |  FROM (SELECT doc_id, ${shingleSqlN(2, distinct = false)}
+         |        FROM documents)),
+         |big AS (SELECT g, count(*) AS c2 FROM bi GROUP BY g),
+         |head AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1)
+         |SELECT doc_id,
+         |  round(avg(log10(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob,
+         |  count(*) AS n_bigrams
+         |FROM bi JOIN big USING (g) JOIN head USING (w1)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_corpus_prepare" -> {
+      val h = s"${sqlHash64("'split|' || CAST(doc_id AS VARCHAR)")} % 100"
+      val prefix =
+        """q0 AS (
+          |  SELECT doc_id, lang, n_chars, text,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |    round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+          |      / len(string_split(text, ' ')), 4) AS avg_token_len,
+          |    round(CAST(len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+          |      / len(string_split(text, ' ')), 6) AS stopword_ratio
+          |  FROM documents),
+          |qf AS (SELECT doc_id, lang, n_chars, text FROM q0
+          |  WHERE n_tokens BETWEEN 10 AND 1000
+          |    AND avg_token_len BETWEEN 2.0 AND 12.0
+          |    AND stopword_ratio > 0.0),
+          |ex AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY md5(text)),
+          |base AS (SELECT qf.* FROM qf JOIN ex USING (doc_id))""".stripMargin
+      s"""${componentsCtesFrom("base", prefix)},
+         |comp AS (SELECT doc_id, label AS cluster FROM l4),
+         |cl AS (SELECT b.doc_id, b.lang, b.n_chars,
+         |    coalesce(c.cluster, b.doc_id) AS cluster
+         |  FROM base b LEFT JOIN comp c USING (doc_id)),
+         |keep AS (SELECT first(doc_id ORDER BY n_chars DESC, doc_id ASC)
+         |    AS doc_id
+         |  FROM cl GROUP BY cluster)
+         |SELECT CASE WHEN $h < 80 THEN 'train'
+         |    WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM cl JOIN keep USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    }
   )
 }
