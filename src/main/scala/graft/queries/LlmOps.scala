@@ -260,10 +260,10 @@ object LlmOps {
 
     // BPE subword tokenization (llm.Bpe): merge rules trained on the corpus
     // vocabulary (one agg + 1-row collect per merge, KMeans-style driver
-    // model), then applied per document as a pure Column fold. NO DuckDB
-    // oracle: the learned merge table is data-dependent and a faithful SQL
-    // twin needs a generic list fold — semantics are spec-verified (BpeSpec),
-    // so the driver records a rows-only check, like q_evidence_sha1.
+    // model), then applied per document as a pure Column fold. The DuckDB
+    // twin (bpeOracleSql) re-runs TRAINING too — four unrolled merge-round
+    // CTEs with list_reduce folds — so the driver hash-checks the whole
+    // pipeline, learned merges included.
     "q_text_bpe" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val merges = graft.llm.Bpe.train(docs, "text", nMerges = 4)
@@ -589,12 +589,25 @@ object LlmOps {
         .cache()
       val clusters = Dedup.components(pairs, iters = 4) // eager; checkpointed
       pairs.unpersist(blocking = false)
-      val clustered = survivors.join(clusters, Seq("doc_id"), "left")
-        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
-      val keepers = clustered.groupBy(col("cluster"))
-        .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))").as("doc_id"))
+      // Cluster labels exist only for docs that appeared in a candidate
+      // pair — the near-dup slice, bounded by the corpus duplicate rate and
+      // orders of magnitude smaller than the corpus itself. So resolve
+      // keepers on that slice alone and let every unlabeled survivor pass
+      // straight through a broadcast anti-join: after the exact-dedup
+      // groupBy, NO corpus-wide shuffle remains before the final stats
+      // aggregation (vs. two full sort-merge joins when singletons are
+      // coalesced into the cluster frame and re-joined against keepers).
+      val dupKeepers = survivors.join(broadcast(clusters), Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(expr("max_by(struct(doc_id, lang, n_chars), struct(n_chars, -doc_id))")
+          .as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.n_chars").as("n_chars"))
+      val singletons = survivors
+        .join(broadcast(clusters), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
       val h = Core.md5Hash64(concat(lit("split|"), col("doc_id").cast("string"))) % 100
-      clustered.join(keepers.select(col("doc_id")), Seq("doc_id"))
+      singletons.unionByName(dupKeepers)
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "val").otherwise("test"))
         .groupBy(col("split"), col("lang"))
@@ -665,6 +678,68 @@ object LlmOps {
 
   private lazy val componentsCtes: String = componentsCtesFrom("documents")
 
+  /** DuckDB twin of the FULL BPE pipeline, training included: four unrolled
+    * merge rounds (the componentsCtes fixed-iteration pattern), each a
+    * weighted pair-count + deterministic argmax (count DESC, then
+    * lexicographically smallest pair — Bpe.train's tie-break) + a
+    * list_reduce merge fold over every vocab word. DuckDB 1.0's
+    * list_reduce drops LIST-typed fields from struct accumulators, so the
+    * symbol sequence is carried as a chr(1)-joined VARCHAR (symbols come
+    * from whitespace splitting — never empty, never containing chr(1)).
+    * The best-pair join is LEFT ... ON TRUE: a round with no pairs leaves
+    * the fold as an identity pass, mirroring train()'s early stop.
+    */
+  private lazy val bpeOracleSql: String = {
+    def app(x: String, y: String) =
+      s"CASE WHEN $x = '' THEN $y ELSE $x || chr(1) || $y END"
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      val lam =
+        s"""(st, e) -> CASE
+           |      WHEN st.prev IS NULL THEN struct_pack(acc := st.acc, prev := e.prev)
+           |      WHEN st.prev = b$r.a AND e.prev = b$r.b
+           |        THEN struct_pack(acc := ${app("st.acc", s"b$r.a || b$r.b")},
+           |          prev := CAST(NULL AS VARCHAR))
+           |      ELSE struct_pack(acc := ${app("st.acc", "st.prev")}, prev := e.prev)
+           |    END""".stripMargin
+      val folded =
+        s"""list_reduce(
+           |    list_transform(string_split(s, chr(1)),
+           |      x -> struct_pack(acc := CAST('' AS VARCHAR), prev := x)),
+           |    $lam)""".stripMargin
+      s"""p$r AS (
+         |  SELECT sy[i] AS a, sy[i + 1] AS b, sum(n) AS cnt
+         |  FROM (SELECT string_split(s, chr(1)) AS sy, n,
+         |        unnest(generate_series(1, len(string_split(s, chr(1))) - 1)) AS i
+         |        FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT word, n,
+         |    (SELECT CASE WHEN f.prev IS NULL THEN f.acc
+         |            ELSE ${app("f.acc", "f.prev")} END
+         |     FROM (SELECT $folded AS f)) AS s
+         |  FROM $prev LEFT JOIN b$r ON true)""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |v AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+       |s0 AS (SELECT word, n,
+       |  array_to_string(string_split(word, ''), chr(1)) AS s FROM v),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)},
+       |tok AS (SELECT word, CAST(len(string_split(s, chr(1))) AS BIGINT) AS n_sub
+       |  FROM s4)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM w JOIN tok USING (word)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   private lazy val componentsOracleSql: String =
     s"$componentsCtes\nSELECT doc_id, label AS cluster FROM l4"
 
@@ -672,6 +747,8 @@ object LlmOps {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_text_bpe" -> bpeOracleSql,
 
     "q_dedup_minhash_sig" -> {
       val mins = MinhashSeeds

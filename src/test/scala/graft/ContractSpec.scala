@@ -15,10 +15,8 @@ class ContractSpec extends SparkSpec {
   test("rows-only queries are exactly the documented exceptions") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // q_approx_distinct: HLL estimates are engine-specific;
-    // q_evidence_sha1: DuckDB has no sha1;
-    // q_text_bpe: learned merge table is data-dependent — no static SQL
-    // twin exists; semantics are spec-verified in BpeSpec
-    assert(rowsOnly == Set("q_approx_distinct", "q_evidence_sha1", "q_text_bpe"),
+    // q_evidence_sha1: DuckDB has no sha1
+    assert(rowsOnly == Set("q_approx_distinct", "q_evidence_sha1"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 
