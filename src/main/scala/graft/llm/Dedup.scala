@@ -166,6 +166,9 @@ object Dedup {
     // localCheckpoint so the edge cache can be RELEASED here instead of
     // leaking into sessions that never clear it (Verify, the shared test
     // session) — which makes this function eager, like componentsFixpoint.
+    // Deliberate trade-off: plan-only consumers (PlanAudit, executedPlan
+    // tests) pay the clustering jobs just to build the frame; the leak the
+    // eager shape prevents costs every long-lived session memory instead.
     val edges = pairs.select(col("doc1").as("s"), col("doc2").as("t"))
       .union(pairs.select(col("doc2").as("s"), col("doc1").as("t")))
       .union(vertices.select(col("doc_id").as("s"), col("doc_id").as("t")))

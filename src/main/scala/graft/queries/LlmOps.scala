@@ -723,7 +723,7 @@ object LlmOps {
     }
     s"""WITH w AS (
        |  SELECT doc_id,
-       |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS word
        |  FROM documents),
        |v AS (SELECT word, count(*) AS n FROM w GROUP BY word),
        |s0 AS (SELECT word, n,

@@ -29,18 +29,26 @@ object Relational {
     * scratch left by PRIOR sessions over the same fixture (per-session
     * names would otherwise grow tmpdir without bound across verify/bench/
     * test cycles). The age gate keeps a live concurrent run's scratch
-    * safe — only same-label dirs untouched for 2+ hours are removed.
+    * safe — only same-label dirs untouched for 2+ hours are removed. A
+    * directory's mtime only moves on direct-child churn, so a long-lived
+    * session re-touches its own root on every reuse (and is excluded from
+    * its own reap) — without the touch, a 2h+ bench loop's live scratch
+    * could be reaped mid-run by a newer session on the same fixture.
     */
   private def scratchPath(s: SparkSession, d: String, label: String): String = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"))
     val fixture = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val prefix = s"graft_${label}_${fixture}_"
+    val mine = prefix +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    val mineFile = new java.io.File(base, mine)
+    if (mineFile.exists()) mineFile.setLastModified(System.currentTimeMillis())
     val cutoff = System.currentTimeMillis() - 2L * 60 * 60 * 1000
     Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != mine &&
+        f.lastModified() < cutoff)
       .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
-    s"${base.getPath}/$prefix" +
-      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    mineFile.getPath
   }
 
   val queries: Map[String, Q] = Map(

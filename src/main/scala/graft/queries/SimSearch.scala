@@ -180,6 +180,11 @@ object SimSearch {
     // are hash-derived constants shared with the oracle; each output
     // component rides the codegen'd graft_dot against a literal vector —
     // per-row narrow compute, no shuffle. Long output form (vec_id, j, y).
+    // Rounding contract (advisor-reviewed, accepted): Spark sums in
+    // graft_dot's fixed order, DuckDB in aggregation order — an ulp gap
+    // landing exactly on a round(...,6) half-boundary could flip the 6th
+    // decimal. Same trade-off as the cosine queries; if a fixture ever
+    // trips it, coarsen to 4 dp on BOTH sides rather than reordering sums.
     "q_embed_project" -> ((s, d) => {
       val outDim = 16
       val signs: Seq[Seq[Double]] = (0 until outDim).map(j =>
