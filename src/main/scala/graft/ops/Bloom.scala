@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.BloomAgg
+
+/** Bloom-filter semi-join reduction: build a bitset over the SMALL side's
+  * join keys, broadcast it (one row of m/8 bytes), and pre-filter the BIG
+  * side before its shuffle. Blooms have no false negatives, so the exact
+  * join after the filter returns exactly the plain join's rows — the filter
+  * only deletes rows that could never match, BEFORE they pay the exchange.
+  *
+  * 100 TB rationale: a selective dim that is still too wide/large to
+  * broadcast as a hash relation forces a full fact shuffle; its key bloom
+  * is KBs–MBs at any dim size (m bits total, not per key), so the fact
+  * side drops non-matching rows at the scan and the exchange carries only
+  * survivors. This is the semi-join reduction Spark's runtime row-level
+  * filtering injects opportunistically, made explicit, tunable (fpp, k),
+  * and composable with any downstream join strategy. Both the build and
+  * the probe hash with codegen'd xxhash64; the probe predicate is pure
+  * built-ins (pmod + element_at + bit ops) and stays inside
+  * whole-stage codegen.
+  */
+object Bloom {
+
+  private val Salt = "graft_bloom"
+
+  /** Bits for a target false-positive rate at `n` keys, rounded up to a
+    * whole number of words: m = -n ln(p) / ln(2)^2.
+    */
+  def bitsFor(n: Long, fpp: Double): Int = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1: n=$n fpp=$fpp")
+    val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    (((m + 63) / 64) * 64).min(1L << 30).toInt
+  }
+
+  /** Optimal hash count for m bits over n keys: k = (m/n) ln 2. */
+  def hashesFor(mBits: Int, n: Long): Int =
+    math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+
+  private def h1(key: Column): Column = xxhash64(key)
+  private def h2(key: Column): Column = xxhash64(key, lit(Salt))
+
+  /** One-row frame (`bloom_bits` array<long>) over the side's keys. */
+  def build(side: DataFrame, key: Column, mBits: Int, k: Int): DataFrame =
+    side.select(h1(key).as("h1"), h2(key).as("h2"))
+      .agg(BloomAgg.bloom(col("h1"), col("h2"), mBits, k).as("bloom_bits"))
+
+  /** Maybe-contains predicate against a bitset column, reproducing
+    * BloomAgg's positions with codegen'd built-ins. All-true on a key the
+    * build saw; false ⇒ definitely absent.
+    */
+  def mightContain(bits: Column, key: Column, mBits: Int, k: Int): Column = {
+    val b1 = pmod(h1(key), lit(BloomAgg.HashRange))
+    val b2 = pmod(h2(key), lit(BloomAgg.HashRange))
+    (0 until k).map { i =>
+      val pos = (b1 + lit(i.toLong) * b2) % lit(mBits.toLong)
+      element_at(bits, (pos / 64).cast("int") + 1)
+        .bitwiseAND(shiftleft(lit(1L), (pos % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** `big` minus the rows whose key is definitely absent from `small`'s
+    * key set. The bitset rides a 1-row broadcast; the predicate runs at
+    * the scan, before any exchange.
+    */
+  def prefilter(big: DataFrame, bigKey: String, small: DataFrame,
+                smallKey: String, mBits: Int, k: Int): DataFrame =
+    big.crossJoin(broadcast(build(small, col(smallKey), mBits, k)))
+      .where(mightContain(col("bloom_bits"), col(bigKey), mBits, k))
+      .drop("bloom_bits")
+
+  /** Bloom-reduced inner equi-join: prefilter `big`, then the exact join
+    * (which also deletes the bloom's false positives). Result rows are
+    * identical to `big ⋈ small` — the oracle for any query built on this.
+    */
+  def prefilteredJoin(big: DataFrame, bigKey: String, small: DataFrame,
+                      smallKey: String, mBits: Int, k: Int): DataFrame = {
+    val reduced = prefilter(big, bigKey, small, smallKey, mBits, k)
+    reduced.join(small, reduced(bigKey) === small(smallKey), "inner")
+  }
+}

@@ -319,6 +319,23 @@ object Relational {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // Bloom-filter semi-join reduction (ops.Bloom): the big side is
+    // pre-filtered by a broadcast bitset of the selective dim's keys
+    // BEFORE its exchange — no false negatives, so the exact join after
+    // the filter makes the oracle the PLAIN join, proving the reduction
+    // is semantics-free (same contract style as q_join_salted).
+    "q_join_bloom_prefilter" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val p = table(s, d, "part").where(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.ops.Bloom
+        .prefilteredJoin(li, "l_partkey", p, "p_partkey", mBits = 64 * 1024, k = 5)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // Broadcast join chain over the small dims (nation, region are tiny: the
     // 100 TB plan is fact-shuffle-free on these — explicit broadcast hint).
     "q_join_broadcast_dims" -> ((s, d) => {
@@ -760,6 +777,13 @@ object Relational {
       """SELECT p_brand, count(*) AS n_rows,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_join_bloom_prefilter" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
         |GROUP BY p_brand""".stripMargin,
 
     "q_join_broadcast_dims" ->
