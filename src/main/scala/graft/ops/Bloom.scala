@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 import graft.functions.BloomAgg
 
 /** Bloom-filter semi-join reduction: build a bitset over the SMALL side's
@@ -30,7 +31,10 @@ object Bloom {
     */
   def bitsFor(n: Long, fpp: Double): Int = {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1: n=$n fpp=$fpp")
-    val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val raw = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+    // cap BEFORE word-rounding: a huge n saturates toLong at Long.MaxValue
+    // and (m + 63) would overflow negative
+    val m = math.min(raw, (1L << 30).toDouble).toLong
     (((m + 63) / 64) * 64).min(1L << 30).toInt
   }
 
@@ -40,6 +44,17 @@ object Bloom {
 
   private def h1(key: Column): Column = xxhash64(key)
   private def h2(key: Column): Column = xxhash64(key, lit(Salt))
+
+  /** xxhash64 hashes int and bigint to DIFFERENT values, so a build over an
+    * int key probed with the same values as bigint would silently drop
+    * matching rows (false negatives). Canonicalize every integral key to
+    * long on both sides; any other type must match exactly.
+    */
+  private def canonKey(df: DataFrame, name: String): (Column, DataType) =
+    df.schema(name).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => (df(name).cast("long"), LongType)
+      case other                                         => (df(name), other)
+    }
 
   /** One-row frame (`bloom_bits` array<long>) over the side's keys. */
   def build(side: DataFrame, key: Column, mBits: Int, k: Int): DataFrame =
@@ -55,8 +70,10 @@ object Bloom {
     val b2 = pmod(h2(key), lit(BloomAgg.HashRange))
     (0 until k).map { i =>
       val pos = (b1 + lit(i.toLong) * b2) % lit(mBits.toLong)
-      element_at(bits, (pos / 64).cast("int") + 1)
-        .bitwiseAND(shiftleft(lit(1L), (pos % 64).cast("int"))) =!= 0L
+      // pos is non-negative, so >>6 is the word index and &63 the bit index;
+      // integer semantics throughout (no double division round-trip).
+      element_at(bits, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
     }.reduce(_ && _)
   }
 
@@ -65,10 +82,15 @@ object Bloom {
     * the scan, before any exchange.
     */
   def prefilter(big: DataFrame, bigKey: String, small: DataFrame,
-                smallKey: String, mBits: Int, k: Int): DataFrame =
-    big.crossJoin(broadcast(build(small, col(smallKey), mBits, k)))
-      .where(mightContain(col("bloom_bits"), col(bigKey), mBits, k))
+                smallKey: String, mBits: Int, k: Int): DataFrame = {
+    val (bigCol, bigT)     = canonKey(big, bigKey)
+    val (smallCol, smallT) = canonKey(small, smallKey)
+    require(bigT == smallT,
+      s"bloom key types must canonicalize equal: $bigKey:$bigT vs $smallKey:$smallT")
+    big.crossJoin(broadcast(build(small, smallCol, mBits, k)))
+      .where(mightContain(col("bloom_bits"), bigCol, mBits, k))
       .drop("bloom_bits")
+  }
 
   /** Bloom-reduced inner equi-join: prefilter `big`, then the exact join
     * (which also deletes the bloom's false positives). Result rows are

@@ -137,6 +137,36 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // Misra-Gries heavy hitters on the driver record (rows-only by
+    // contract: reported counts are merge-order-dependent, so no byte-exact
+    // SQL oracle exists). The fixture is engineered so the OUTPUT is still
+    // deterministic for ANY merge order: "HOT" holds ~75% of rows (≫ the
+    // n/(k+1) eviction floor ⇒ guaranteed present), the tail is
+    // high-cardinality order keys (⇒ the sketch actually evicts), and the
+    // emitted columns are the sketch's GUARANTEES (presence + ε-bound),
+    // not its order-dependent estimates. functions/HeavyHittersAgg.scala;
+    // per-partition sketches merge pointwise — the shuffle carries k
+    // counters per partition, never a value histogram.
+    "q_agg_heavyhitters" -> ((s, d) => {
+      val k = 8
+      val item = when(col("l_orderkey") % 4 < 3, lit("HOT"))
+        .otherwise(col("l_orderkey").cast("string"))
+      val sketch = table(s, d, "lineitem")
+        .select(item.as("item"))
+        .agg(
+          graft.functions.HeavyHittersAgg.heavyHitters(col("item"), k).as("hh"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("item") === "HOT", 1L).otherwise(0L)).as("n_hot_true"))
+      val est = coalesce(try_element_at(col("hh"), lit("HOT")), lit(0L))
+      sketch.select(
+        col("n_rows"), col("n_hot_true"),
+        map_contains_key(col("hh"), lit("HOT")).as("hot_present"),
+        (est <= col("n_hot_true") &&
+          est.cast("double") >=
+            col("n_hot_true").cast("double") - col("n_rows").cast("double") / (k + 1))
+          .as("within_mg_bound"))
+    }),
+
     // Window frames: per-supplier moving sum over the last 3 rows + lag.
     // (l_orderkey, l_linenumber) is NOT unique in the fixtures; l_quantity
     // joins the sort key so any remaining ties carry equal values and the

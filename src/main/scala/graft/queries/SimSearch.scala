@@ -23,6 +23,16 @@ object SimSearch {
   val NearDupThreshold = 0.4
   val NCentroids = 8
 
+  /** Recall floor pinned by AnnRecallSpec. Sign-LSH theory at this config:
+    * a cos-0.4 pair (θ≈66°) collides in one 4-bit band with prob
+    * (1-θ/π)⁴ ≈ 0.16, so over 4 bands recall ≈ 1-(1-0.16)⁴ ≈ 0.50;
+    * measured 0.47 (sf0.001) / 0.41 (sf0.01). Deterministic fixtures +
+    * hash-derived planes make the measurement exact, so 0.35 is a real
+    * floor, not a flaky one. Raising recall = more bands or fewer
+    * bits/band — a NPlanes/Bands retune, not a code change.
+    */
+  val MinLshRecall = 0.35
+
   /** Deterministic sign-LSH hyperplanes, shared by plan and oracle. */
   val Planes: Seq[Seq[Int]] = Vectors.hyperplanes(NPlanes, Dim)
 
@@ -96,6 +106,25 @@ object SimSearch {
         .select(col("v1"), col("v2"),
           round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
         .where(col("cos") >= NearDupThreshold)
+    }),
+
+    // ANN recall gate: the quality loop on the LSH family. The LSH result
+    // re-checks exact cosine on candidates, so q_sim_ann_lsh's output is a
+    // SUBSET of q_dedup_embed_cosine's ground truth — recall is a count
+    // ratio, measured here as one row (n_true, n_found, recall).
+    // AnnRecallSpec pins recall >= MinLshRecall; at scale the same query
+    // runs on a SAMPLE of the corpus (truth side is O(n^2)) while the
+    // found side stays the production LSH path — the standard recall-audit
+    // shape for an ANN index.
+    "q_sim_ann_recall" -> ((s, d) => {
+      val truth = queries("q_dedup_embed_cosine")(s, d)
+        .agg(count(lit(1)).as("n_true"))
+      val found = queries("q_sim_ann_lsh")(s, d)
+        .agg(count(lit(1)).as("n_found"))
+      truth.crossJoin(found)
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") > 0,
+            round(col("n_found").cast("double") / col("n_true"), 4)).as("recall"))
     }),
 
     // Real IVF training: 2 deterministic Lloyd iterations (driver-held
@@ -241,6 +270,24 @@ object SimSearch {
     s"hp AS (SELECT * FROM (VALUES ${rows.mkString(",")}) v(p, i, h))"
   }
 
+  /** Sign-LSH banding pipeline as shared CTEs (bits → band buckets →
+    * candidate pairs) — the oracle twin of the q_sim_ann_lsh plan, reused
+    * by the recall gate.
+    */
+  private val lshCtes: String =
+    s"""$hpSql,
+       |bits AS (
+       |  SELECT vec_id, p, CASE WHEN sum(x * h) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM e JOIN hp USING (i) GROUP BY vec_id, p),
+       |bks AS (
+       |  SELECT vec_id, p // ${NPlanes / Bands} AS band,
+       |    sum(b * (1 << (${NPlanes / Bands - 1} - (p % ${NPlanes / Bands})))) AS bucket
+       |  FROM bits GROUP BY vec_id, p // ${NPlanes / Bands}),
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM bks x JOIN bks y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_embed_cosine" ->
       s"""WITH $eSql
@@ -251,23 +298,31 @@ object SimSearch {
 
     "q_sim_ann_lsh" ->
       s"""WITH $eSql,
-         |$hpSql,
-         |bits AS (
-         |  SELECT vec_id, p, CASE WHEN sum(x * h) >= 0 THEN 1 ELSE 0 END AS b
-         |  FROM e JOIN hp USING (i) GROUP BY vec_id, p),
-         |bks AS (
-         |  SELECT vec_id, p // ${NPlanes / Bands} AS band,
-         |    sum(b * (1 << (${NPlanes / Bands - 1} - (p % ${NPlanes / Bands})))) AS bucket
-         |  FROM bits GROUP BY vec_id, p // ${NPlanes / Bands}),
-         |pairs AS (
-         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-         |  FROM bks x JOIN bks y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |$lshCtes
          |SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosSql("a", "b")} AS cos
          |FROM e a JOIN e b ON a.i = b.i
          |JOIN pairs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
          |GROUP BY 1, 2
          |HAVING ${cosSql("a", "b")} >= $NearDupThreshold""".stripMargin,
+
+    "q_sim_ann_recall" ->
+      s"""WITH $eSql,
+         |$lshCtes,
+         |truth AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |  HAVING ${cosSql("a", "b")} >= $NearDupThreshold),
+         |found AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN pairs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2
+         |  HAVING ${cosSql("a", "b")} >= $NearDupThreshold)
+         |SELECT t.n AS n_true, f.n AS n_found,
+         |  CASE WHEN t.n > 0 THEN round(CAST(f.n AS DOUBLE) / t.n, 4) END AS recall
+         |FROM (SELECT count(*) AS n FROM truth) t
+         |CROSS JOIN (SELECT count(*) AS n FROM found) f""".stripMargin,
 
     "q_sim_ann_kmeans" -> {
       def dStep(cIn: String, dOut: String, aOut: String) =

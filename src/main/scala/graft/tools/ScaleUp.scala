@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger testdata directory from a driver-generated one by
+  * replicating every table `factor`× with per-copy decorrelation, for scale
+  * smokes one order of magnitude above the biggest shipped fixture
+  * (SCALE.md "sf1 smoke"). Copy 0 is the identity, so the source data is a
+  * subset of the output.
+  *
+  * Decorrelation choices (the point is to keep the WORKLOAD SHAPE of each
+  * operator family realistic at 10×, not just its row count):
+  * - relational tables: keys offset by copy·10¹² — foreign-key structure,
+  *   skew, and modular fixtures (e.g. l_orderkey % 4) survive because the
+  *   offset is divisible by the moduli the queries use;
+  * - documents: ~half the tokens get a copy-specific suffix, so cross-copy
+  *   Jaccard lands ≈ 0.33 — BELOW the 0.5 LSH near-dup bar. Naive text
+  *   replication would put every doc in a factor-sized dup cluster and blow
+  *   the candidate-pair table up quadratically — a different (and wrong)
+  *   workload;
+  * - embeddings: elementwise Rademacher sign flip per (copy, dimension) —
+  *   norms preserved exactly, expected cross-copy cosine 0, so the ANN
+  *   near-dup rate stays per-copy instead of exploding;
+  * - events: ids/users offset, raw nanos `ts` passed through UNCONVERTED
+  *   (Core.table's `div 1000` contract needs the long form on disk).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  private val KeyOffset = 1000000000000L // 10^12, divisible by 4 and 100
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    /** Union of `factor` transformed copies; copy 0 must be the identity. */
+    def replicate(name: String)(tf: (DataFrame, Int) => DataFrame): Unit = {
+      val base = raw(name)
+      val full = (0 until factor).map(c => tf(base, c)).reduce(_ unionByName _)
+      full.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name -> ${factor}x")
+    }
+
+    def off(c: Int) = lit(c.toLong * KeyOffset)
+
+    // pure dims: copy once, unchanged
+    Seq("region", "nation").foreach { t =>
+      raw(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t -> 1x (dim)")
+    }
+
+    replicate("customer")((df, c) =>
+      df.withColumn("c_custkey", col("c_custkey") + off(c)))
+    replicate("supplier")((df, c) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + off(c)))
+    replicate("part")((df, c) =>
+      df.withColumn("p_partkey", col("p_partkey") + off(c)))
+    replicate("orders")((df, c) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + off(c))
+        .withColumn("o_custkey", col("o_custkey") + off(c)))
+    replicate("lineitem")((df, c) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + off(c))
+        .withColumn("l_partkey", col("l_partkey") + off(c))
+        .withColumn("l_suppkey", col("l_suppkey") + off(c)))
+    replicate("events")((df, c) =>
+      df.withColumn("event_id", col("event_id") + off(c))
+        .withColumn("user_id", col("user_id") + off(c)))
+
+    replicate("documents")((df, c) =>
+      if (c == 0) df
+      else {
+        val salted = array_join(
+          transform(split(col("text"), " "), t =>
+            when(pmod(hash(t, lit(c)), lit(2)) === 0, concat(t, lit(s"_c$c")))
+              .otherwise(t)),
+          " ")
+        df.withColumn("doc_id", col("doc_id") + off(c))
+          .withColumn("text", salted)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      })
+
+    replicate("embeddings")((df, c) =>
+      if (c == 0) df
+      else df
+        .withColumn("vec_id", col("vec_id") + off(c))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, lit(c)), lit(2)) === 0, x).otherwise(-x)
+              .cast("float"))))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.SimSearch
+
+/** Quality gate on the ANN family: q_sim_ann_lsh's exact re-check makes its
+  * output a SUBSET of q_dedup_embed_cosine's brute-force truth, and the
+  * recall of that subset must clear SimSearch.MinLshRecall. Deterministic
+  * fixtures + hash-derived hyperplanes make both numbers exact, so a drop
+  * below the floor is a real regression (banding math, threshold, or plane
+  * derivation), never noise.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+
+  private def assumeFixtures(): Unit =
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+
+  test("LSH result is a subset of the brute-force truth (no false positives)") {
+    assumeFixtures()
+    val truth = SimSearch.queries("q_dedup_embed_cosine")(spark, sfDir)
+      .select("v1", "v2")
+    val found = SimSearch.queries("q_sim_ann_lsh")(spark, sfDir)
+      .select("v1", "v2")
+    assert(found.exceptAll(truth).count() == 0,
+      "LSH emitted a pair the exact ground truth does not contain")
+  }
+
+  test(s"LSH candidate recall clears the ${SimSearch.MinLshRecall} floor") {
+    assumeFixtures()
+    val row = SimSearch.queries("q_sim_ann_recall")(spark, sfDir).collect().head
+    val nTrue  = row.getAs[Long]("n_true")
+    val nFound = row.getAs[Long]("n_found")
+    val recall = row.getAs[Double]("recall")
+    assert(nTrue > 0, "fixture produced no near-dup pairs — gate is vacuous")
+    assert(nFound <= nTrue, s"found $nFound > true $nTrue — subset broken")
+    assert(recall >= SimSearch.MinLshRecall,
+      s"recall $recall below floor ${SimSearch.MinLshRecall} ($nFound/$nTrue)")
+  }
+}

@@ -67,6 +67,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("corpus_prepare: cluster resolution rides broadcast joins — no " +
+    "corpus-wide sort-merge join after the exact-dedup groupBy") {
+    // The flagship pipeline's scale contract (LlmOps.scala corpus_prepare):
+    // cluster labels cover only the near-dup slice, so keeper resolution
+    // and the singleton pass-through are BROADCAST joins (hinted) — a
+    // SortMergeJoin appearing here means the corpus would pay two full
+    // shuffles at every run. The anti-join for singletons must be the
+    // broadcast one.
+    assume(new java.io.File(sfDir).isDirectory)
+    val df = SparkEntry.queries("q_corpus_prepare")(spark, sfDir)
+    df.collect() // finalize AQE so the pin reads the executed strategy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"singleton pass-through lost its broadcast anti-join:\n$plan")
+  }
+
+  test("bigram_lm: count-table joins stay equi-joins and AQE localizes " +
+    "them to broadcast at fixture scale") {
+    // The two vocabulary-count tables join back to the exploded bigram
+    // table with NO broadcast hint on purpose: at 100 TB they are not
+    // broadcast-small and must be allowed to sort-merge. The pin is (a)
+    // never a nested loop, and (b) at this fixture scale AQE's runtime
+    // stats DO convert both joins to broadcast — if that stops happening
+    // the stats/strategy path drifted.
+    assume(new java.io.File(sfDir).isDirectory)
+    val df = SparkEntry.queries("q_text_bigram_lm")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE no longer broadcasts the count tables at fixture scale:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"count-table join fell back to sort-merge at fixture scale:\n$plan")
+  }
+
   test("sessionization reuses one user_id exchange for windows and rollup") {
     // both window functions and the final groupBy cluster on user_id —
     // HashPartitioning(user_id) satisfies the (user_id, session_no) group,
