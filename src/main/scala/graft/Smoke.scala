@@ -24,9 +24,14 @@ object Smoke {
         df.show(5, truncate = false)
       case Some(name) =>
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        // construct INSIDE the timing loop: for lazy queries that's plan
+        // building (microseconds); for eager ones (corpus_prepare's
+        // checkpointed components) construction IS the work and timing the
+        // final count alone would report a fantasy number
+        var df: org.apache.spark.sql.DataFrame = null
         for (run <- 1 to args.lift(2).map(_.toInt).getOrElse(1)) {
           val t0 = System.nanoTime()
+          df = SparkEntry.queries(name)(spark, sfDir)
           val n = df.count()
           println(s"QUERY=$name RUN=$run ROWS=$n SEC=${(System.nanoTime() - t0) / 1e9}")
         }
