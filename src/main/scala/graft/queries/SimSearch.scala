@@ -127,6 +127,47 @@ object SimSearch {
             round(col("n_found").cast("double") / col("n_true"), 4)).as("recall"))
     }),
 
+    // kNN-graph construction via IVF bucketing: every vector's top-3
+    // neighbours WITHIN its centroid bucket — the ANN workhorse (dedup
+    // graphs, clustering seeds, retrieval eval) as one declarative plan.
+    // Scale shape vs q_sim_ann_lsh: candidate pairs are n²/C for C
+    // centroids and C GROWS with n (C ≈ n/target_occupancy — here 32 for
+    // the fixture; a cluster deployment retunes C, not the plan), where
+    // the LSH banding's bucket count was fixed by the signature width.
+    // Output is O(n·k), linear by construction. The bucket self-join
+    // carries ids only (hard-won rule: broadcast-able id re-fetch beats
+    // carrying vectors through the pair shuffle); the per-vector top-3 is
+    // one window over the bucket-pruned pair set.
+    "q_sim_knn_graph" -> ((s, d) => {
+      val C = 32
+      val K = 3
+      val e = embeds(s, d)
+      val cents = e.where(col("vec_id") < C)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          array_max(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("bucket"))
+      val pairs = assigned.as("x")
+        .join(assigned.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
+      val en = normEmbeds(s, d)
+      pairs
+        .join(en.select(col("vec_id"), col("vn").as("a")), Seq("vec_id"))
+        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")), Seq("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("nbr"))).cast("long"))
+        .where(col("rank") <= K)
+        .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
+    }),
+
     // Real IVF training: 2 deterministic Lloyd iterations (driver-held
     // centroids as broadcast literals, per-dimension mean via posexplode),
     // then the cluster profile of the final assignment. The full ANN build
@@ -323,6 +364,32 @@ object SimSearch {
          |  CASE WHEN t.n > 0 THEN round(CAST(f.n AS DOUBLE) / t.n, 4) END AS recall
          |FROM (SELECT count(*) AS n FROM truth) t
          |CROSS JOIN (SELECT count(*) AS n FROM found) f""".stripMargin,
+
+    "q_sim_knn_graph" ->
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < 32),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |prs AS (
+         |  SELECT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bucket x JOIN bucket y
+         |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+         |sc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN prs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, rank, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+         |      AS BIGINT) AS rank
+         |  FROM sc) WHERE rank <= 3""".stripMargin,
 
     "q_sim_ann_kmeans" -> {
       def dStep(cIn: String, dOut: String, aOut: String) =
