@@ -234,7 +234,14 @@ object Dedup {
       labels = next
     }
     edges.unpersist(blocking = false)
-    labels.withColumnRenamed("label", "cluster")
+    // always hand back a lineage-cut frame: when convergence lands off the
+    // checkpointEvery boundary, `labels` is a cache()d frame whose plan
+    // still carries the trailing iteration chain — consumers would re-plan
+    // (and the cache entry would outlive this call). Same exit discipline
+    // as components().
+    val out = labels.withColumnRenamed("label", "cluster").localCheckpoint()
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram Jaccard over ALL co-shingled pairs: self-join on shingle.

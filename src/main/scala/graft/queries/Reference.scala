@@ -249,6 +249,10 @@ object Reference {
 
     // A1: HLL++ approximate distinct next to the exact count — driver gets
     // a rows-only check (no oracle: estimator values are engine-specific).
+    // `within_3rsd` makes the row self-certifying: the estimate must land
+    // inside 3× the default 5% relative standard deviation — an invariant
+    // of the estimator for ANY partitioning/merge order, same contract
+    // style as q_agg_heavyhitters' ε-bound.
     "q_approx_distinct" -> ((s, d) => {
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -256,6 +260,9 @@ object Reference {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts")
         )
+        .withColumn("within_3rsd",
+          abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.15)
     }),
 
     // sc:218: deterministic synthetic evidence id sha1(concat(...)) —
