@@ -248,6 +248,62 @@ object LlmOps {
         .select(col("lang"), explode(col("ids")).as("doc_id"))
     }),
 
+    // Per-domain document cap (anti-over-representation gate every crawl
+    // pipeline runs before training): keep at most K docs per source, the
+    // K with the smallest salted hash, so no domain dominates the mix.
+    // Same BottomKAgg as q_sample_bottomk but proving the other half of
+    // the contract: the oracle is the obvious row_number() window, and the
+    // Spark plan replaces that per-domain FULL SORT with a bounded
+    // (k-pair) map-side partial agg — at 100 TB a hot domain's window sort
+    // is a straggler task; the bounded agg never materializes the group.
+    "q_sample_domain_cap" -> ((s, d) => {
+      val h = Core.md5Hash64(concat(lit("cap|"), col("doc_id").cast("string")))
+      table(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source_docs"),
+          graft.functions.BottomKAgg.bottomK(
+            h, col("doc_id").cast("string"), 10).as("ids"))
+        .select(col("source"), col("n_source_docs"),
+          explode(col("ids")).as("doc_id"))
+    }),
+
+    // Temperature-rebalanced language mixing (the XLM-R / mT5 recipe):
+    // sample languages ∝ (n_l/N)^α so head languages shrink and tail
+    // languages UPSAMPLE (expected copies c_l > 1 → explode emits whole
+    // repeats; the fractional remainder lands by deterministic hash).
+    // Scale shape: the per-language stats frame is a tiny agg (one
+    // map-side-partial pass), rates ride a broadcast join back — the
+    // corpus itself never shuffles; output rows stream straight out of
+    // the generate. Every arithmetic step is mirrored verbatim in the
+    // DuckDB oracle, with c_l rounded to 6dp on both sides so FP
+    // ulp drift can't flip a floor/threshold.
+    "q_sample_temperature" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      // totals via an unpartitioned window over the (lang-cardinality)
+      // stats frame, NOT a second agg branch: a branch would re-scan the
+      // corpus per consumer (Catalyst doesn't share non-cached subplans),
+      // so the whole query costs exactly two corpus passes — the floor
+      // for any global-stats-then-apply sampler.
+      val all = Window.partitionBy()
+      val rates = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("n_l"))
+        .select(col("lang"),
+          round(pow(col("n_l"), lit(0.5))
+            / sum(pow(col("n_l"), lit(0.5))).over(all)
+            * sum(col("n_l")).over(all) / col("n_l"), 6).as("c"))
+      val h = Core.md5Hash64(
+        concat(lit("temp|"), col("doc_id").cast("string"))) % 10000
+      docs.join(broadcast(rates), "lang")
+        .withColumn("n_copies",
+          floor(col("c")).cast("long") +
+            when(h < floor((col("c") - floor(col("c"))) * 10000)
+              .cast("long"), 1L).otherwise(0L))
+        .where(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+    }),
+
     // Greedy sequence packing (llm.Pack): concatenate docs into fixed-
     // capacity context windows so short docs don't waste padded slots —
     // sharded by id modulo, one streaming pass per shard, three longs of
@@ -854,6 +910,39 @@ object LlmOps {
          |    row_number() OVER (PARTITION BY lang
          |      ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
          |  FROM documents) WHERE rn <= 5""".stripMargin
+    },
+
+    "q_sample_domain_cap" -> {
+      val h = sqlHash64("'cap|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, n_source_docs, doc_id FROM (
+         |  SELECT source, CAST(count(*) OVER (PARTITION BY source)
+         |      AS BIGINT) AS n_source_docs,
+         |    CAST(doc_id AS VARCHAR) AS doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
+         |  FROM documents) WHERE rn <= 10""".stripMargin
+    },
+
+    "q_sample_temperature" -> {
+      val h = sqlHash64("'temp|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH stats AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n_l
+         |  FROM documents GROUP BY lang),
+         |tot AS (
+         |  SELECT sum(n_l) AS n_tot, sum(pow(n_l, 0.5)) AS sum_w
+         |  FROM stats),
+         |rates AS (
+         |  SELECT lang, round(pow(n_l, 0.5) / sum_w * n_tot / n_l, 6) AS c
+         |  FROM stats CROSS JOIN tot),
+         |copies AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(floor(c) AS BIGINT) +
+         |      (CASE WHEN $h % 10000 <
+         |        CAST(floor((c - floor(c)) * 10000) AS BIGINT)
+         |      THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents d JOIN rates USING (lang))
+         |SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy
+         |FROM copies WHERE n_copies > 0""".stripMargin
     },
 
     // row-by-row replay of Pack.packGreedy's fold, partitioned by shard

@@ -244,6 +244,44 @@ object SimSearch {
         .where(col("rn") <= 10)
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    // cluster-then-pairwise — assign embeddings to clusters, compute
+    // pairwise cosine ONLY within a cluster, drop every vector with a
+    // lower-id neighbour ≥ threshold (deterministic keeper = min id per
+    // ε-neighbourhood). Clustering makes the quadratic term Σ n_c²
+    // instead of n²; at 100 TB cluster count grows ∝ n so buckets stay
+    // executor-sized and the in-bucket self-join is the only pair work
+    // (same tractability argument as the paper; same deterministic
+    // stand-in centroids as the IVF family so DuckDB replays the
+    // assignment). Output: per-cluster members vs survivors.
+    "q_dedup_semdedup" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val members = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          array_max(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("bucket"))
+        .where(col("vec_id") >= NCentroids)
+      // unit-normalized vectors ride INTO the self-join (one codegen'd dot
+      // per pair, q_dedup_embed_cosine's layout); the bucket equi-key keeps
+      // the join a hash/SMJ on bucket — never a cross product
+      val mvn = members.join(normEmbeds(s, d), Seq("vec_id"))
+      val dropped = mvn.as("a").join(mvn.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .where(round(Vectors.dotFast(col("a.vn"), col("b.vn")), 6)
+          >= NearDupThreshold)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      members.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_members"),
+          count(when(col("dup").isNull, 1)).as("n_kept"))
+    }),
+
     // Rademacher random projection 64 → 16 dims (Achlioptas-style ±1 JL
     // transform): the dimensionality-reduction step an embedding pipeline
     // runs before LSH/IVF to shrink index width 4×. The 16 sign vectors
@@ -440,6 +478,32 @@ object SimSearch {
          |  SELECT vec_id, cos,
          |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "q_dedup_semdedup" ->
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |mem AS (SELECT vec_id, bucket FROM bucket WHERE vec_id >= $NCentroids),
+         |pc AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN mem ma ON ma.vec_id = a.vec_id
+         |  JOIN mem mb ON mb.vec_id = b.vec_id AND mb.bucket = ma.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |  HAVING ${cosSql("a", "b")} >= $NearDupThreshold),
+         |dropped AS (SELECT DISTINCT v2 AS vec_id FROM pc)
+         |SELECT m.bucket, count(*) AS n_members,
+         |  count(CASE WHEN d.vec_id IS NULL THEN 1 END) AS n_kept
+         |FROM mem m LEFT JOIN dropped d USING (vec_id)
+         |GROUP BY 1""".stripMargin,
 
     "q_sim_ann_ivf2" ->
       s"""WITH $eSql,

@@ -105,6 +105,31 @@ class PlanShapeSpec extends SparkSpec {
       s"count-table join fell back to sort-merge at fixture scale:\n$plan")
   }
 
+  test("temperature sampling: rates ride a broadcast join — the corpus " +
+    "apply side never sort-merge-joins") {
+    // q_sample_temperature's scale contract: the per-language rates frame
+    // (lang-cardinality rows) joins back to the corpus as a BROADCAST; a
+    // SortMergeJoin here means the 100 TB corpus would shuffle on lang —
+    // a handful of giant skewed partitions — to apply a 5-row lookup.
+    val plan = executedPlan("q_sample_temperature")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("semdedup: pair work is the in-bucket equi-join, never a cartesian " +
+    "product") {
+    // SemDeDup's tractability rests on the self-join keying on bucket:
+    // a CartesianProduct here is the O(n²) plan the clustering exists to
+    // avoid. (The centroid-assignment crossJoin against the 1-row
+    // collected centroid frame is a broadcast by construction and is not
+    // what this pin is about.)
+    val plan = executedPlan("q_dedup_semdedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"in-bucket self-join lost its equi-key:\n$plan")
+  }
+
   test("sessionization reuses one user_id exchange for windows and rollup") {
     // both window functions and the final groupBy cluster on user_id —
     // HashPartitioning(user_id) satisfies the (user_id, session_no) group,
