@@ -50,6 +50,33 @@ object SimSearch {
       .withColumn("nrm", sqrt(Vectors.dotFast(col("v"), col("v"))))
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
 
+  /** (vec_id, v, bucket): max-cosine centroid assignment over the first
+    * `nc` vectors as stand-in centroids (ties → higher cid, matching the
+    * oracle's ORDER BY cos DESC, cid DESC). Centroid norms ride IN the
+    * broadcast struct and the row norm is a materialized attribute, so
+    * the per-row argmax pays ONE native DotProduct eval per centroid
+    * instead of three interpreted HOF folds (dot + both norms, the row
+    * norm re-folded per centroid — measured 2× on q_sim_knn_graph).
+    * FP-identical to round(cosine(v,cv),6): DotProduct sums in the same
+    * ascending element order as the HOF fold, and the (nrm·cnrm) product
+    * multiplies the same two sqrt values in the same order.
+    */
+  private def bucketAssign(e: DataFrame, nc: Int): DataFrame = {
+    val cents = e.where(col("vec_id") < nc)
+      .select(struct(col("vec_id").as("cid"), col("v").as("cv"),
+        sqrt(Vectors.dotFast(col("v"), col("v"))).as("cnrm")).as("c"))
+      .groupBy().agg(collect_list(col("c")).as("cents"))
+    e.select(col("vec_id"), col("v"),
+        sqrt(Vectors.dotFast(col("v"), col("v"))).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("cents"), c =>
+          struct(round(Vectors.dotFast(col("v"), c.getField("cv"))
+            / (col("nrm") * c.getField("cnrm")), 6).as("cos"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-dup, brute force: all pairs >= threshold. The
     // O(n^2) ground truth the LSH variant must approximate — small-input /
@@ -142,15 +169,11 @@ object SimSearch {
       val C = 32
       val K = 3
       val e = embeds(s, d)
-      val cents = e.where(col("vec_id") < C)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          array_max(transform(col("cents"), c =>
-            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
-              c.getField("cid").as("cid"))))
-            .getField("cid").as("bucket"))
+      // both self-join branches read the assignment; the frame is two
+      // longs per vector, so caching beats re-running the argmax scan
+      // (Bench/Verify clearCache() between queries)
+      val assigned = bucketAssign(e, C)
+        .select(col("vec_id"), col("bucket")).cache()
       val pairs = assigned.as("x")
         .join(assigned.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
@@ -191,15 +214,7 @@ object SimSearch {
     // broadcast; assignment is a narrow per-row argmax over 8 structs.
     "q_sim_ann_ivf" -> ((s, d) => {
       val e = embeds(s, d)
-      val cents = e.where(col("vec_id") < NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"),
-          array_max(transform(col("cents"), c =>
-            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
-              c.getField("cid").as("cid"))))
-            .getField("cid").as("bucket"))
+      val assigned = bucketAssign(e, NCentroids)
       val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
       assigned
         .where(col("vec_id") >= NCentroids && col("bucket") === 0)
@@ -220,12 +235,7 @@ object SimSearch {
       val cents = e.where(col("vec_id") < NCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
         .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"),
-          array_max(transform(col("cents"), c =>
-            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
-              c.getField("cid").as("cid"))))
-            .getField("cid").as("bucket"))
+      val assigned = bucketAssign(e, NCentroids)
       // the query's top-2 centroids (ties to the higher cid, matching the
       // assignment's array_max tie-break)
       val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
@@ -256,27 +266,22 @@ object SimSearch {
     // assignment). Output: per-cluster members vs survivors.
     "q_dedup_semdedup" -> ((s, d) => {
       val e = embeds(s, d)
-      val cents = e.where(col("vec_id") < NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
-      val members = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          array_max(transform(col("cents"), c =>
-            struct(round(Vectors.cosine(col("v"), c.getField("cv")), 6).as("cos"),
-              c.getField("cid").as("cid"))))
-            .getField("cid").as("bucket"))
-        .where(col("vec_id") >= NCentroids)
       // unit-normalized vectors ride INTO the self-join (one codegen'd dot
       // per pair, q_dedup_embed_cosine's layout); the bucket equi-key keeps
-      // the join a hash/SMJ on bucket — never a cross product
-      val mvn = members.join(normEmbeds(s, d), Seq("vec_id"))
+      // the join a hash/SMJ on bucket — never a cross product. The frame
+      // feeds three consumers (both self-join branches + the final agg),
+      // so it's cached: (id, bucket, vn) per vector, not the corpus.
+      val mvn = bucketAssign(e, NCentroids)
+        .where(col("vec_id") >= NCentroids)
+        .select(col("vec_id"), col("bucket"))
+        .join(normEmbeds(s, d), Seq("vec_id")).cache()
       val dropped = mvn.as("a").join(mvn.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .where(round(Vectors.dotFast(col("a.vn"), col("b.vn")), 6)
           >= NearDupThreshold)
         .select(col("b.vec_id").as("vec_id")).distinct()
-      members.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      mvn.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_members"),
           count(when(col("dup").isNull, 1)).as("n_kept"))
