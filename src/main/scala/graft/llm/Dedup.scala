@@ -146,6 +146,32 @@ object Dedup {
           (col("s1.sz") + col("s2.sz") - col("common")), 4).as("jaccard"))
   }
 
+  /** Asymmetric shingle containment for candidate pairs:
+    * C(A⊆B) = |A∩B| / |A|, both directions. Catches doc-inside-doc
+    * duplication that symmetric Jaccard structurally misses — a 50-token
+    * quote inside a 5000-token article has J ≈ 0.01 but C ≈ 1.0 (the
+    * news/CommonCrawl "quote dedup" gate). Cost shape is identical to
+    * jaccardForPairs: candidate-pair-bounded, shared shingle table.
+    * (MinHash-LSH candidates are Jaccard-biased, so at scale a
+    * containment-first screen seeds candidates from the SMALL side's
+    * shingle sample instead; the verify step here is unchanged.)
+    */
+  def containmentForPairs(pairs: DataFrame, sh: DataFrame,
+                          idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("x"), col("doc1") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("doc2") === col(s"y.$idCol") && col("x.w") === col("y.w"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("s1"), col("doc1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("doc2") === col(s"s2.$idCol"))
+      .select(col("doc1"), col("doc2"),
+        round(col("common").cast("double") / col("s1.sz"), 4).as("cont1"),
+        round(col("common").cast("double") / col("s2.sz"), 4).as("cont2"))
+  }
+
   /** Connected components over near-dup pairs: iterative min-label
     * propagation — every doc converges to the smallest doc_id reachable
     * through the pair graph, giving the canonical keeper per duplicate

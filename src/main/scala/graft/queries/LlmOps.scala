@@ -76,6 +76,20 @@ object LlmOps {
       Dedup.jaccardForPairs(pairs, sh, "doc_id")
     }),
 
+    // Asymmetric containment verify (Dedup.containmentForPairs): for each
+    // LSH candidate pair, |∩|/|A| and |∩|/|B| — the doc-inside-doc signal
+    // symmetric Jaccard misses. Same candidate-bounded cost as the
+    // Jaccard verify, same shared shingle table.
+    "q_dedup_containment" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
+      val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", MinhashSeeds)
+      val pairs = Dedup
+        .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("doc1"), col("doc2"))
+      Dedup.containmentForPairs(pairs, sh, "doc_id")
+    }),
+
     // Dedup clustering: LSH candidates above the similarity bar collapse
     // into connected components; each doc maps to its cluster's canonical
     // keeper (min doc_id). 4 label-propagation iterations bound the handled
@@ -145,6 +159,24 @@ object LlmOps {
     // probability — low-probability-token documents (gibberish, boilerplate
     // soup) surface at the bottom. Two aggregations + one token-frequency
     // join; the corpus total rides a 1-row broadcast.
+    // Token-distribution entropy per doc (H = log2 n − Σ c·log2 c / n):
+    // the quality gate for templated/boilerplate text — a doc that
+    // repeats a 10-word banner 50× scores ~3.3 bits vs ~7+ for prose,
+    // orthogonal to q_text_repetition's top-bigram fraction. Two
+    // map-side-partial hash aggs, no shuffle beyond them. round(4): the
+    // Σ c·log2 c sum order differs between engines (documented FP
+    // contract, same as the cosine family).
+    "q_text_entropy" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          round(log2(sum(col("c")))
+            - sum(col("c").cast("double") * log2(col("c"))) / sum(col("c")),
+            4).as("entropy"))
+    }),
+
     "q_text_lm_score" -> ((s, d) => {
       val toks = table(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
@@ -838,6 +870,16 @@ object LlmOps {
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
     },
 
+    "q_text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |pc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_toks,
+        |  round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 4)
+        |    AS entropy
+        |FROM pc GROUP BY doc_id""".stripMargin,
+
     "q_text_repetition" ->
       s"""WITH bg AS (
          |  SELECT doc_id, ${shingleSqlN(2, distinct = false)}
@@ -1019,6 +1061,37 @@ object LlmOps {
          |  GROUP BY p.doc1, p.doc2)
          |SELECT doc1, doc2,
          |  round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON doc1 = s1.doc_id
+         |JOIN sizes s2 ON doc2 = s2.doc_id""".stripMargin
+    },
+
+    "q_dedup_containment" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql),
+         |sigs AS (
+         |  SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc1, p.doc2, count(*) AS common
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc1
+         |  JOIN sh y ON y.doc_id = p.doc2 AND y.w = x.w
+         |  GROUP BY p.doc1, p.doc2)
+         |SELECT doc1, doc2,
+         |  round(CAST(common AS DOUBLE) / s1.sz, 4) AS cont1,
+         |  round(CAST(common AS DOUBLE) / s2.sz, 4) AS cont2
          |FROM inter
          |JOIN sizes s1 ON doc1 = s1.doc_id
          |JOIN sizes s2 ON doc2 = s2.doc_id""".stripMargin
