@@ -39,6 +39,29 @@ class DedupSpec extends SparkSpec {
     assert(j == ((1L, 2L, 0.75)))
   }
 
+  test("containment is per-side-normalized intersection and bounds jaccard") {
+    // doc5 (a strict shingle-subset span of doc1's text) is fully contained:
+    // cont1 = |∩|/|doc5 shingles| = 1.0 while jaccard stays < 1 — the
+    // asymmetric signal the op exists for. Both directions ≤ 1, and each
+    // containment ≥ the pair's jaccard (|∩|/|A| ≥ |∩|/|A∪B|).
+    val withSub = docs.union(
+      Seq((5L, "quick brown fox jumps over")).toDF("doc_id", "text"))
+    val sh = Dedup.shingleTable(withSub, "doc_id", "text", 3)
+    val pairs = Seq((5L, 1L), (1L, 2L)).toDF("doc1", "doc2")
+    val cont = Dedup.containmentForPairs(pairs, sh, "doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(cont((5L, 1L))._1 == 1.0) // every doc5 trigram appears in doc1
+    assert(cont((5L, 1L))._2 < 1.0)
+    val jac = Dedup.jaccardForPairs(pairs, sh, "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    cont.foreach { case (k, (c1, c2)) =>
+      assert(c1 <= 1.0 && c2 <= 1.0)
+      assert(c1 >= jac(k) && c2 >= jac(k), s"$k: ($c1,$c2) vs ${jac(k)}")
+    }
+  }
+
   test("components collapses pair chains to the min doc id") {
     // chain 1-2-3 plus isolated pair 7-8: two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
