@@ -654,14 +654,19 @@ object LlmOps {
     // consume them, and the pair graph's cache is released as soon as the
     // eager components() call returns.
     "q_corpus_prepare" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
+      // toks materialized behind its own select: five consumers (three
+      // size()s, the length fold, the stopword filter) read the attribute
+      // instead of re-splitting the text per reference (Catalyst
+      // re-evaluates repeated non-attribute subexpressions)
       val survivors = table(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-          size(toks).cast("long").as("n_tokens"),
-          round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
-            / size(toks), 4).as("avg_token_len"),
-          round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
-            / size(toks), 6).as("stopword_ratio"))
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+            .cast("double") / size(col("toks")), 4).as("avg_token_len"),
+          round(size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+            .cast("double") / size(col("toks")), 6).as("stopword_ratio"))
         .where(col("n_tokens").between(10, 1000) &&
           col("avg_token_len").between(2.0, 12.0) &&
           col("stopword_ratio") > 0.0)

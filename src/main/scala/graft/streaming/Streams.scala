@@ -39,6 +39,19 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: every micro-batch's events pick up
+    * their dimension row from a STATIC (batch) table. The static side is
+    * re-evaluated per micro-batch — a slowly-changing dimension backed by
+    * a parquet path refreshes without restarting the query — and the
+    * broadcast hint keeps the stream side shuffle-free: at continuous-
+    * ingest scale the stream never pays an exchange for a lookup-sized
+    * dim. Left join so events with unknown keys survive (dead-letter
+    * them downstream rather than silently dropping).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream correlation join: each event of `a` pairs
     * with same-user events of `b` whose timestamp falls in
     * [a.ts − lookback, a.ts]. Both watermarks PLUS the bounded time-range

@@ -54,6 +54,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream joins each micro-batch against the static dim; " +
+    "unknown keys survive the left join") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[(Timestamp, String)]
+    val enriched = Streams.enrichStream(
+      input.toDF().toDF("ts", "event_type"), dim, "event_type")
+    val q = enriched.writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "click"), (ts(2), "purchase"))
+      q.processAllAvailable()
+      input.addData((ts(3), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_stream")
+        .as[(String, Timestamp, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(rows == Map(
+        "click" -> Some("interaction"),
+        "view" -> Some("impression"),
+        "purchase" -> None)) // unknown key kept, not dropped
+    } finally q.stop()
+  }
+
   test("correlateStreams pairs same-user events within the lookback window only") {
     val s = spark
     import s.implicits._
