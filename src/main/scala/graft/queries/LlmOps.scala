@@ -159,6 +159,25 @@ object LlmOps {
     // probability — low-probability-token documents (gibberish, boilerplate
     // soup) surface at the bottom. Two aggregations + one token-frequency
     // join; the corpus total rides a 1-row broadcast.
+    // Data-dependent quality gating: the filter threshold is a CORPUS
+    // STATISTIC (P25 of per-doc token count), not a hand constant — the
+    // calibration step a production gate re-runs when corpus composition
+    // drifts (new crawl, new source mix). Same two-pass floor as
+    // q_sample_temperature: a tiny exact-percentile agg, the one-row
+    // threshold broadcast back, one filtered pass. Exact percentile ↔
+    // DuckDB quantile_cont (both linear interpolation; integer inputs ×
+    // dyadic fractions are FP-exact).
+    "q_text_quality_calibrated" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val thr = docs.agg(expr("percentile(n_toks, 0.25)").as("p25"))
+      docs.crossJoin(broadcast(thr))
+        .where(col("n_toks").cast("double") >= col("p25"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("n_toks")).as("min_kept_toks"))
+    }),
+
     // Token-distribution entropy per doc (H = log2 n − Σ c·log2 c / n):
     // the quality gate for templated/boilerplate text — a doc that
     // repeats a 10-word banner 50× scores ~3.3 bits vs ~7+ for prose,
@@ -874,6 +893,18 @@ object LlmOps {
          |JOIN sigs x ON doc1 = x.doc_id
          |JOIN sigs y ON doc2 = y.doc_id""".stripMargin
     },
+
+    "q_text_quality_calibrated" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |thr AS (SELECT quantile_cont(n_toks, 0.25) AS p25 FROM docs)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(min(n_toks) AS BIGINT) AS min_kept_toks
+        |FROM docs CROSS JOIN thr
+        |WHERE CAST(n_toks AS DOUBLE) >= p25
+        |GROUP BY lang""".stripMargin,
 
     "q_text_entropy" ->
       """WITH toks AS (
