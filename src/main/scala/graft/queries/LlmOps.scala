@@ -560,9 +560,13 @@ object LlmOps {
       import org.apache.spark.sql.expressions.Window
       val toks = table(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      // tf already holds one row per (doc, w), so df is a re-agg of tf —
+      // NOT a second corpus scan + distinct of the exploded table; tf is
+      // cached because both df and the final join read it (it's the
+      // Zipf-collapsed frame, far smaller than the exploded corpus)
       val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val docFreq = toks.distinct()
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .cache()
+      val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = table(s, d, "documents")
         .agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
@@ -649,10 +653,15 @@ object LlmOps {
     // the same shapes as tf-idf: map-side partial aggs, broadcast-friendly
     // dimension sides.
     "q_text_bigram_lm" -> ((s, d) => {
+      // bi feeds THREE consumers (both count tables + the join-back);
+      // uncached, the shingle explode re-runs per consumer. cache() is
+      // MEMORY_AND_DISK: at corpus scale the exploded table spills like a
+      // shuffle write instead of silently vanishing.
       val bi = table(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
         .select(col("doc_id"), col("g"),
           element_at(split(col("g"), " "), 1).as("w1"))
+        .cache()
       val big = bi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
       val head = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       bi.join(big, Seq("g")).join(head, Seq("w1"))
