@@ -130,6 +130,17 @@ class PlanShapeSpec extends SparkSpec {
       s"in-bucket self-join lost its equi-key:\n$plan")
   }
 
+  test("domain cap runs as a bounded aggregate — no per-domain window sort") {
+    // q_sample_domain_cap's oracle IS the row_number window; the plan's
+    // contract is that Spark-side it stays BottomKAgg (k-pair bounded
+    // buffer, map-side partial). A Window operator appearing here means
+    // someone replaced it with the oracle's shape — a full sort of every
+    // domain, the hot-domain straggler at corpus scale.
+    val plan = executedPlan("q_sample_domain_cap")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
   test("sessionization reuses one user_id exchange for windows and rollup") {
     // both window functions and the final groupBy cluster on user_id —
     // HashPartitioning(user_id) satisfies the (user_id, session_no) group,
