@@ -611,6 +611,38 @@ object LlmOps {
         .where(col("n_docs") >= 2)
     }),
 
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): keep the MINIMUM span hash of
+    // every w-length window over the k-gram rolling hashes, so any
+    // shared substring of ≥ w+k−1 tokens is GUARANTEED a shared
+    // fingerprint while storage drops ~w×. The sampled-yet-guaranteed
+    // middle ground between full span dedup (q_dedup_substring, every
+    // span shuffles) and minhash (no locality guarantee). Same 60-bit
+    // two-stream span hashes as q_dedup_substring; per-row narrow
+    // compute, only fingerprints shuffle.
+    "q_dedup_winnow" -> ((s, d) => {
+      import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
+      val w = 4
+      table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(col("toks"), t => Core.md5Hash64(t) % P).as("th1"),
+          transform(col("toks"),
+            t => Core.md5Hash64(concat(lit("sp2|"), t)) % P).as("th2"))
+        .select(col("doc_id"),
+          zip_with(rollingHash(col("th1"), 8), rollingHash(col("th2"), 8),
+            (a, b) => a * P + b).as("spans"))
+        .where(size(col("spans")) >= w)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("spans")) - (w - 1)),
+            i => array_min(slice(col("spans"), i, lit(w)))))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+    }),
+
     // Deterministic global shuffle for training-data ordering: a stable
     // pseudorandom permutation as (shard, pos) — shard = hash % nShards,
     // pos ranks by hash within the shard. Reproducible across runs,
@@ -1140,6 +1172,38 @@ object LlmOps {
          |FROM inter
          |JOIN sizes s1 ON doc1 = s1.doc_id
          |JOIN sizes s2 ON doc2 = s2.doc_id""".stripMargin
+    },
+
+    "q_dedup_winnow" -> {
+      import org.apache.spark.sql.graft.RollingHash.{B, P}
+      val k = 8
+      val w = 4
+      // direct polynomial formula — identical residues to the rolling form
+      val coefs = (0 until k).map { j =>
+        var c = 1L; for (_ <- 1 until k - j) c = c * B % P; c
+      }
+      def terms(th: String) = (0 until k)
+        .map(j => s"($th[i + $j] * ${coefs(j)} % $P)").mkString(" + ")
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${sqlHash64("t")} % $P) AS th1,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${sqlHash64("'sp2|' || t")} % $P) AS th2
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(th1) - ${k - 1}, 0)),
+         |      i -> ((${terms("th1")}) % $P) * $P + ((${terms("th2")}) % $P)) AS sp
+         |  FROM th),
+         |wins AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(generate_series(1, len(sp) - ${w - 1}),
+         |      i -> list_min(sp[i:i + ${w - 1}])))) AS fp
+         |  FROM spans WHERE len(sp) >= $w)
+         |SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         |FROM wins GROUP BY fp
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
     },
 
     "q_dedup_simhash" -> {
