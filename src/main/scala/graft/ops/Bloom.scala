@@ -65,9 +65,18 @@ object Bloom {
     * BloomAgg's positions with codegen'd built-ins. All-true on a key the
     * build saw; false ⇒ definitely absent.
     */
-  def mightContain(bits: Column, key: Column, mBits: Int, k: Int): Column = {
-    val b1 = pmod(h1(key), lit(BloomAgg.HashRange))
-    val b2 = pmod(h2(key), lit(BloomAgg.HashRange))
+  def mightContain(bits: Column, key: Column, mBits: Int, k: Int): Column =
+    mightContainHashes(bits, h1(key), h2(key), mBits, k)
+
+  /** Same predicate over PRE-HASHED (h1, h2) columns — for callers that
+    * bring their own hash family (e.g. the md5-based portable hashes whose
+    * bit positions a DuckDB oracle can replicate verbatim). The pair must
+    * be the exact columns the matching BloomAgg build aggregated.
+    */
+  def mightContainHashes(bits: Column, hash1: Column, hash2: Column,
+                         mBits: Int, k: Int): Column = {
+    val b1 = pmod(hash1, lit(BloomAgg.HashRange))
+    val b2 = pmod(hash2, lit(BloomAgg.HashRange))
     (0 until k).map { i =>
       val pos = (b1 + lit(i.toLong) * b2) % lit(mBits.toLong)
       // pos is non-negative, so >>6 is the word index and &63 the bit index;

@@ -765,6 +765,104 @@ object LlmOps {
           when(h < 80, "train").when(h < 90, "val").otherwise("test"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // C4/RefinedWeb-style corpus-level LINE dedup with document reassembly:
+    // segment each doc into fixed 10-token "lines" (the fixture has no
+    // newlines), count exact occurrences ACROSS the corpus, drop every
+    // segment seen >= 3 times anywhere, and stitch each doc back together
+    // in position order. This is the op that removes boilerplate
+    // (headers, navbars, license blocks) that whole-doc dedup can't touch.
+    // Scale shape: segments shuffle once for the count (map-side partial),
+    // once for the count join, once for the reassembly groupBy — all keyed,
+    // no all-pairs; reassembly buffers are doc-bounded, never corpus-wide.
+    "q_dedup_lines" -> ((s, d) => {
+      val L = 10
+      val segs = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0L), floor((size(col("toks")) - 1) / lit(L.toDouble))),
+          i => array_join(
+            slice(col("toks"), (i * L + 1).cast("int"), lit(L)), " "))))
+        .toDF("doc_id", "pos", "seg")
+      val segCounts = segs.groupBy(col("seg")).agg(count(lit(1)).as("n_occ"))
+      segs.join(segCounts, Seq("seg"))
+        .where(col("n_occ") < 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ")).as("kept_md5"))
+    }),
+
+    // Benchmark decontamination via Bloom prefilter + exact verify — the
+    // GPT-3-style two-stage shape: build ONE bitset (16 Kbit here; MBs at
+    // any real reference size) over the reference set's 5-gram hashes,
+    // broadcast it, probe every corpus gram at the scan (codegen'd
+    // built-ins, no join), then exact-verify ONLY the bloom survivors
+    // against the broadcast reference grams. The corpus never shuffles:
+    // its only joins are against two broadcast frames, and the exact join
+    // sees fpp*corpus_grams + true hits instead of every gram.
+    // Hashes are md5-based (portable) so the DuckDB oracle rebuilds the
+    // IDENTICAL bitset and reproduces even the false positives —
+    // n_bloom_hits pins the bitset bit-for-bit, n_verified pins the
+    // end-to-end decontamination answer. m is sized for the sf0.01
+    // reference (~1.3k grams -> fpp ~1%); production sizes m from the
+    // reference count via Bloom.bitsFor (the oracle pins one instance).
+    "q_dedup_decon_bloom" -> ((s, d) => {
+      val m = 16384
+      val k = 3
+      def gramHashes(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 5))).as("g"))
+        .select(col("doc_id"), col("g"),
+          Core.md5Hash64(col("g")).as("h1"),
+          Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
+      val docs = table(s, d, "documents")
+      val bits = gramHashes(docs.where(col("source") === "src0"))
+        .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, k)
+          .as("bloom_bits"))
+      val refGrams = docs.where(col("source") === "src0")
+        .select(explode(array_distinct(TextOps.shingles(col("text"), 5))).as("g"))
+        .distinct()
+        .withColumn("v", lit(1L))
+      gramHashes(docs.where(col("source") =!= "src0"))
+        .crossJoin(broadcast(bits))
+        .where(graft.ops.Bloom.mightContainHashes(
+          col("bloom_bits"), col("h1"), col("h2"), m, k))
+        .select(col("doc_id"), col("g"))
+        .join(broadcast(refGrams), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom_hits"),
+          sum(coalesce(col("v"), lit(0L))).as("n_verified"))
+    }),
+
+    // Vocabulary coverage curve — the tokenizer-design question "how many
+    // word types cover X% of token occurrences?" answered for three
+    // targets in one pass. The windows are GLOBAL by construction (a
+    // coverage curve is a global cumsum) but run over the VOCAB table,
+    // which Heaps' law keeps orders of magnitude smaller than the corpus —
+    // the corpus itself sees only the map-side-partial token count.
+    "q_text_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tc = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("w"))
+      tc.select(
+          row_number().over(ord).cast("long").as("rank"),
+          sum(col("c")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum"),
+          sum(col("c")).over(Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("total"))
+        .select(col("rank"), col("cum"), col("total"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("target"))
+        .where(col("cum").cast("double") >= col("target") * col("total"))
+        .groupBy(col("target"))
+        .agg(min(col("rank")).as("vocab_size"),
+          max(col("total")).as("total_tokens"))
     })
   )
 
@@ -900,6 +998,74 @@ object LlmOps {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH segs AS (
+        |  SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(0, CAST(floor((len(string_split(text, ' ')) - 1) / 10.0) AS BIGINT)),
+        |      i -> {'pos': i, 'seg': array_to_string(string_split(text, ' ')[(i*10+1):(i*10+10)], ' ')})) AS u
+        |    FROM documents)),
+        |sc AS (SELECT seg, count(*) AS n_occ FROM segs GROUP BY seg)
+        |SELECT s.doc_id AS doc_id, count(*) AS n_kept,
+        |  md5(string_agg(s.seg, ' ' ORDER BY s.pos)) AS kept_md5
+        |FROM segs s JOIN sc USING (seg)
+        |WHERE n_occ < 3
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // Rebuilds BloomAgg's bitset verbatim (same md5-derived double hashes,
+    // same (b1 + i*b2) % m positions, same 64-bit words — UBIGINT because
+    // DuckDB's signed << 63 raises, the bit patterns are identical), so
+    // n_bloom_hits cross-checks the sketch bit-for-bit INCLUDING its
+    // deterministic false positives; n_verified is the exact stage.
+    "q_dedup_decon_bloom" -> {
+      val hr = 2147483648L // BloomAgg.HashRange
+      val m = 16384
+      val sh5 = shingleSqlN(5, distinct = true)
+      s"""WITH ref_h AS (
+         |  SELECT ${sqlHash64("w")} % $hr AS b1, ${sqlHash64("'bl|' || w")} % $hr AS b2
+         |  FROM (SELECT $sh5 FROM documents WHERE source = 'src0')),
+         |ref_pos AS (
+         |  SELECT (b1 + i * b2) % $m AS p
+         |  FROM ref_h CROSS JOIN (VALUES (0), (1), (2)) AS ks(i)),
+         |words AS (
+         |  SELECT p // 64 AS widx, bit_or(1::UBIGINT << CAST(p % 64 AS INT)) AS wbits
+         |  FROM ref_pos GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, g, i, (b1 + i * b2) % $m AS p
+         |  FROM (SELECT doc_id, w AS g, ${sqlHash64("w")} % $hr AS b1,
+         |               ${sqlHash64("'bl|' || w")} % $hr AS b2
+         |        FROM (SELECT doc_id, $sh5 FROM documents WHERE source <> 'src0'))
+         |  CROSS JOIN (VALUES (0), (1), (2)) AS ks(i)),
+         |hits AS (
+         |  SELECT doc_id, g
+         |  FROM probe LEFT JOIN words ON probe.p // 64 = words.widx
+         |  GROUP BY doc_id, g
+         |  HAVING sum(CASE WHEN (coalesce(wbits, 0::UBIGINT)
+         |                        & (1::UBIGINT << CAST(probe.p % 64 AS INT))) <> 0
+         |             THEN 1 ELSE 0 END) = 3),
+         |refg AS (SELECT DISTINCT w AS g FROM (SELECT $sh5 FROM documents WHERE source = 'src0'))
+         |SELECT h.doc_id AS doc_id, count(*) AS n_bloom_hits,
+         |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
+         |FROM hits h LEFT JOIN refg r USING (g)
+         |GROUP BY h.doc_id""".stripMargin
+    },
+
+    "q_text_vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |ranked AS (SELECT
+        |    row_number() OVER (ORDER BY c DESC, w) AS rank,
+        |    sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS total
+        |  FROM tc)
+        |SELECT CAST(target AS DOUBLE) AS target, min(rank) AS vocab_size,
+        |  CAST(max(total) AS BIGINT) AS total_tokens
+        |FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS t(target)
+        |WHERE CAST(cum AS DOUBLE) >= CAST(target AS DOUBLE) * CAST(total AS DOUBLE)
+        |GROUP BY target""".stripMargin,
 
     "q_text_bpe" -> bpeOracleSql,
 

@@ -99,12 +99,18 @@ object Relational {
     // `percentile` is exact (sort-based) — approx_percentile exists for the
     // sketch path but is estimator-specific, so the oracle pins the exact one.
     "q_agg_percentile" -> ((s, d) => {
+      // Array form shares ONE value buffer across both quantiles — two
+      // scalar percentile() calls each build their own per-group
+      // value map, doubling agg memory for identical output.
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("median_price"),
+          round(element_at(col("ps"), 2), 4).as("p90_price"),
+          col("n_rows"))
     }),
 
     // Histogram-sketch quantiles (graft.functions.HistQuantileAgg): the
