@@ -81,4 +81,42 @@ object Graph {
         col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-point PageRank (damping 0.85, scores in billionths): every
+    * intermediate is an exact integer (DIV floor division), so the result
+    * is identical under ANY partitioning or summation order — a
+    * double-valued PageRank can never be cross-engine hash-exact because
+    * per-node contribution sums land in different orders. Caller must
+    * ensure every node has out-degree >= 1 (e.g. by undirecting — no
+    * dangling-mass term here). Input: (src, dst) distinct edges. Output:
+    * (node, pr_fixed), Σ pr_fixed <= 1e9 with a bounded floor-loss deficit.
+    *
+    * Scale shape: the canonical iterative join+agg — edges cached
+    * hash-partitioned once, each iteration shuffles the node-count score
+    * frame (map-side partial sum), constants ride a 1-row broadcast
+    * (derived columns computed INSIDE the 1-row frame before the join).
+    */
+  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val Array(a, b) = edges.columns
+    val e = edges.select(col(a).as("src"), col(b).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val consts = deg.agg(count(lit(1)).as("n"))
+      .select(expr("CAST(150000000 DIV n AS BIGINT)").as("base"),
+        expr("CAST(1000000000 DIV n AS BIGINT)").as("s0"))
+    val degc = deg.crossJoin(broadcast(consts))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var score = degc
+      .select(col("node"), col("deg"), col("base"), col("s0").as("score"))
+    for (_ <- 1 to iters) {
+      val m = score.join(e, score("node") === e("src"))
+        .select(col("dst").as("node"), expr("score DIV deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      score = m.join(degc, Seq("node"))
+        .select(col("node"), col("deg"), col("base"),
+          (col("base") + expr("85 * m DIV 100")).as("score"))
+    }
+    score.select(col("node"), col("score").as("pr_fixed"))
+  }
 }

@@ -837,6 +837,27 @@ object LlmOps {
           sum(coalesce(col("v"), lit(0L))).as("n_verified"))
     }),
 
+    // DSIR-style importance resampling (Xie et al., arXiv:2302.03169
+    // shape): each document gets a continuous importance weight in [0,1]
+    // from a cheap target-distribution proxy (here 2x stopword ratio,
+    // capped — the weight column is pluggable: any per-doc score slots
+    // in), and is kept with probability = weight via DETERMINISTIC
+    // thresholding — salted md5 of the doc id against floor(w * 1e6).
+    // Unlike rand()-based sampling this is reproducible across runs,
+    // engines, and partitionings, so the oracle pins exact membership.
+    // Scale shape: a shuffle-free per-row filter — the corpus is scanned
+    // once, no agg, no join; pushdown-friendly on the 2 read columns.
+    "q_sample_importance" -> ((s, d) => {
+      val kept = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          least(size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+            .cast("double") * 2 / size(col("toks")), lit(1.0)).as("w"))
+      kept.where((Core.md5Hash64(concat(lit("is|"), col("doc_id").cast("string")))
+          % 1000000) < floor(col("w") * 1000000))
+        .select(col("doc_id"), round(col("w"), 6).as("weight"))
+    }),
+
     // Vocabulary coverage curve — the tokenizer-design question "how many
     // word types cover X% of token occurrences?" answered for three
     // targets in one pass. The windows are GLOBAL by construction (a
@@ -1049,6 +1070,19 @@ object LlmOps {
          |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
          |FROM hits h LEFT JOIN refg r USING (g)
          |GROUP BY h.doc_id""".stripMargin
+    },
+
+    "q_sample_importance" -> {
+      val sw = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    least(len(list_filter(string_split(text, ' '), t -> t IN ($sw))) * 2.0
+         |          / len(string_split(text, ' ')), 1.0) AS w
+         |  FROM documents)
+         |SELECT doc_id, round(w, 6) AS weight
+         |FROM w
+         |WHERE ${sqlHash64("'is|' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      < floor(w * 1000000)""".stripMargin
     },
 
     "q_text_vocab_coverage" ->

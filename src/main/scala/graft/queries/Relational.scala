@@ -634,6 +634,19 @@ object Relational {
       Graph.oneHopReflexive(Graph.adjacency(e))
         .groupBy(col("src"))
         .agg(count(lit(1)).as("n_hops"))
+    }),
+
+    // Fixed-point PageRank (Graph.pagerankFixed — integer arithmetic makes
+    // the iterative score hash-exact across engines; see the op's scaladoc)
+    // over the undirected supplier<->part graph. Part nodes offset by 1e6:
+    // the raw key ranges overlap. Undirecting guarantees out-degree >= 1,
+    // so no dangling-mass term. The oracle unrolls the same 3 iterations.
+    "q_graph_pagerank" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+      Graph.pagerankFixed(
+        li.union(li.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+        iters = 3)
     })
   )
 
@@ -881,6 +894,33 @@ object Relational {
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    // Same three fixed-point iterations unrolled; every intermediate is an
+    // exact integer, so the hash compare tolerates no FP slack at all.
+    "q_graph_pagerank" -> {
+      def iter(prev: String, name: String) =
+        s"""$name AS (
+           |  SELECT d.node AS node, d.deg AS deg, d.base AS base,
+           |    CAST(d.base + (85 * s.m) // 100 AS BIGINT) AS score
+           |  FROM (SELECT e.dst AS node, sum(p.score // p.deg) AS m
+           |        FROM $prev p JOIN edges e ON p.node = e.src GROUP BY e.dst) s
+           |  JOIN degc d ON s.node = d.node)"""
+      s"""WITH edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+         |    UNION ALL
+         |    SELECT l_partkey + 1000000 AS src, l_suppkey AS dst FROM lineitem)),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |c AS (SELECT CAST(150000000 // n AS BIGINT) AS base,
+         |             CAST(1000000000 // n AS BIGINT) AS s0
+         |      FROM (SELECT count(*) AS n FROM deg)),
+         |degc AS (SELECT node, deg, base, s0 FROM deg CROSS JOIN c),
+         |it0 AS (SELECT node, deg, base, s0 AS score FROM degc),
+         |${iter("it0", "it1")},
+         |${iter("it1", "it2")},
+         |${iter("it2", "it3")}
+         |SELECT node, score AS pr_fixed FROM it3""".stripMargin
+    },
 
     "q_source_glob" ->
       """SELECT lang, count(*) AS n_docs,

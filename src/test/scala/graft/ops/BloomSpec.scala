@@ -49,6 +49,23 @@ class BloomSpec extends SparkSpec {
     assert(fps <= 100, s"$fps/2000 false positives — way over 1% design point")
   }
 
+  test("mightContainHashes matches BloomAgg positions for a caller-supplied " +
+    "hash family (no false negatives under md5 hashes)") {
+    // the portable-hash path used by q_dedup_decon_bloom: build and probe
+    // must derive identical bit positions from the SAME (h1, h2) columns
+    val mBits = 64 * 16
+    val k     = 3
+    val hashed = keys.toDF("key").select(
+      graft.ops.Core.md5Hash64(col("key").cast("string")).as("h1"),
+      graft.ops.Core.md5Hash64(concat(lit("x|"), col("key").cast("string"))).as("h2"))
+    val bits = hashed.agg(
+      graft.functions.BloomAgg.bloom(col("h1"), col("h2"), mBits, k).as("bloom_bits"))
+    val misses = hashed.crossJoin(broadcast(bits))
+      .where(!Bloom.mightContainHashes(col("bloom_bits"), col("h1"), col("h2"), mBits, k))
+      .count()
+    assert(misses == 0, s"$misses false negatives under custom hash family")
+  }
+
   test("prefilteredJoin returns exactly the plain join's rows") {
     val big = Seq.tabulate(2000)(i => (i.toLong % 700, s"row$i")).toDF("k", "payload")
     val small = Seq.tabulate(50)(i => (i.toLong * 13, s"dim$i")).toDF("dk", "dim")

@@ -49,6 +49,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangles(Seq((1L, 2L)).toDF("src", "dst")).as[Long].head() == 0L)
   }
 
+  test("pagerankFixed: symmetry, hub dominance, mass conservation") {
+    // star: center 1 <-> leaves 2,3,4 (undirected so out-degree >= 1)
+    val star = Graph.undirect(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst"))
+    val pr = Graph.pagerankFixed(star, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // leaves are mutually symmetric — identical graphs must give
+    // identical integer scores, with NO fp tolerance
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), pr)
+    assert(pr(1L) > pr(2L), s"hub must outrank leaves: $pr")
+    // total mass <= 1e9, deficit only from floor losses: each of the
+    // 4 nodes loses < 1 billionth per DIV, 3 DIV sites, 3 iterations
+    val mass = pr.values.sum
+    assert(mass <= 1000000000L && mass > 1000000000L - 4 * 3 * 3 - 4, mass)
+  }
+
+  test("pagerankFixed: 2-cycle is the uniform fixed point") {
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pagerankFixed(two, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // each node has degree 1 and receives the other's full (damped)
+    // score: base + 0.85 * s0 = 1e9/2*0.15/... = 75e6 + 425e6 = s0 —
+    // the uniform distribution is exactly preserved, no drift ever
+    assert(pr(1L) == pr(2L), pr)
+    assert(pr(1L) == 500000000L, pr)
+  }
+
   test("invertClosure turns ancestors into descendants") {
     val df = Seq(("x", Seq("x", "p")), ("y", Seq("y", "p"))).toDF("id", "ancestors")
     val inv = Graph.invertClosure(df, "id", "ancestors")
