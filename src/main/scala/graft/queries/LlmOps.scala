@@ -837,6 +837,48 @@ object LlmOps {
           sum(coalesce(col("v"), lit(0L))).as("n_verified"))
     }),
 
+    // Sparse tf-idf cosine over LSH candidate pairs — the IR-style
+    // similarity the dense ANN family can't express when vocabulary IS the
+    // feature space. Weights are FIXED-POINT integers (wt = tf *
+    // (100000 DIV df)): dots and norms stay exact under ANY summation
+    // order, and the only doubles are two correctly-rounded IEEE sqrts
+    // and one division — bit-identical across engines. A log-idf double
+    // weighting could flip a floor at the last ulp between engines; the
+    // rational idf is monotone in 1/df and pins the oracle exactly
+    // (resolution floor: df > 100000 weighs 0 — the constant scales with
+    // corpus size in production).
+    // Scale shape: pair work is LSH-candidate-bounded (never all-pairs);
+    // term vectors shuffle once by (doc, term); the weight table is
+    // cached for its three consumers (both dot sides + norms).
+    "q_text_tfidf_cosine" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sigs = Dedup.minhashSigs(docs, "doc_id", "text", 3, MinhashSeeds)
+      val pairs = Dedup
+        .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("doc1"), col("doc2"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val wts = tf.join(dfreq, Seq("w"))
+        .select(col("doc_id"), col("w"), expr("tf * (100000 DIV df)").as("wt"))
+        .cache()
+      val norms = wts.groupBy(col("doc_id"))
+        .agg(sum(col("wt") * col("wt")).as("n2"))
+      val dots = pairs
+        .join(wts.as("a"), col("doc1") === col("a.doc_id"))
+        .join(wts.as("b"),
+          col("doc2") === col("b.doc_id") && col("a.w") === col("b.w"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(sum(col("a.wt") * col("b.wt")).as("dot"))
+      dots
+        .join(norms.as("na"), col("doc1") === col("na.doc_id"))
+        .join(norms.as("nb"), col("doc2") === col("nb.doc_id"))
+        .select(col("doc1"), col("doc2"),
+          round(col("dot") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
+            .as("cos_tfidf"))
+    }),
+
     // DSIR-style importance resampling (Xie et al., arXiv:2302.03169
     // shape): each document gets a continuous importance weight in [0,1]
     // from a cheap target-distribution proxy (here 2x stopword ratio,
@@ -1070,6 +1112,44 @@ object LlmOps {
          |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
          |FROM hits h LEFT JOIN refg r USING (g)
          |GROUP BY h.doc_id""".stripMargin
+    },
+
+    "q_text_tfidf_cosine" -> {
+      val mins = MinhashSeeds
+        .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |wts AS (
+         |  SELECT doc_id, w, tf * (100000 // df) AS wt
+         |  FROM tf JOIN dfreq USING (w)),
+         |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM wts GROUP BY doc_id),
+         |dots AS (
+         |  SELECT doc1, doc2, CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+         |  FROM pairs
+         |  JOIN wts a ON doc1 = a.doc_id
+         |  JOIN wts b ON doc2 = b.doc_id AND a.w = b.w
+         |  GROUP BY doc1, doc2)
+         |SELECT doc1, doc2,
+         |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_tfidf
+         |FROM dots
+         |JOIN norms na ON doc1 = na.doc_id
+         |JOIN norms nb ON doc2 = nb.doc_id""".stripMargin
     },
 
     "q_sample_importance" -> {

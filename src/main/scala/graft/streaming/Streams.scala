@@ -52,6 +52,24 @@ object Streams {
                    key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming Bloom probe — the continuous-ingest half of
+    * q_dedup_decon_bloom: a batch-built bitset (one row of m/8 bytes,
+    * re-read per micro-batch like any slowly-changing dim) filters a
+    * document stream at ingest, tagging rows whose `key` might be in the
+    * reference set. The probe predicate is the same codegen'd built-in
+    * chain as the batch side (ops.Bloom.mightContain), so the stream
+    * never shuffles and never joins anything bigger than one row — the
+    * sketch is the only state, and it lives in the BATCH world.
+    * Emits all rows with a `flagged` column; dropping instead of tagging
+    * is a `.where` away, but tagging keeps the false-positive audit path.
+    */
+  def bloomTagStream(stream: DataFrame, bits: DataFrame, key: String,
+                     mBits: Int, k: Int): DataFrame =
+    stream.crossJoin(broadcast(bits))
+      .withColumn("flagged",
+        graft.ops.Bloom.mightContain(col("bloom_bits"), col(key), mBits, k))
+      .drop("bloom_bits")
+
   /** Watermarked stream-stream correlation join: each event of `a` pairs
     * with same-user events of `b` whose timestamp falls in
     * [a.ts − lookback, a.ts]. Both watermarks PLUS the bounded time-range

@@ -56,6 +56,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("bloom decontamination: corpus meets ONLY broadcasts (bitset + " +
+    "reference grams) — no sort-merge join anywhere") {
+    // the whole design: bitset rides a 1-row broadcast nested-loop join,
+    // the exact verify rides a broadcast hash join; a SortMergeJoin here
+    // means the corpus gram table started shuffling for a join
+    val plan = executedPlan("q_dedup_decon_bloom")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams shuffled into a sort-merge join:\n$plan")
+  }
+
+  test("pagerank: per-iteration joins read the cached edge/degree frames " +
+    "(InMemoryTableScan), not the parquet scan again") {
+    // (join STRATEGY is left to AQE — score⋈edges legitimately becomes a
+    // shuffle join once edges outgrow broadcast; the pin is cache reuse)
+    val plan = executedPlan("q_graph_pagerank")
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
   test("decontamination broadcasts the reference bands — corpus side never " +
     "sort-merge-joins") {
     // the bipartite LSH screen's whole scale story is that the 100 TB

@@ -81,6 +81,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomTagStream flags reference members across micro-batches with " +
+    "no false negatives; sketch rides the broadcast, no stream shuffle") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val mBits = 64 * 32
+    val k = 3
+    val refKeys = (0L until 50L).map(_ * 7)
+    val bits = graft.ops.Bloom.build(
+      refKeys.toDF("key"), org.apache.spark.sql.functions.col("key"), mBits, k)
+    val input = MemoryStream[(Timestamp, Long)]
+    val tagged = Streams.bloomTagStream(
+      input.toDF().toDF("ts", "key"), bits, "key", mBits, k)
+    val q = tagged.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 0L), (ts(2), 7L), (ts(3), 1000003L))
+      q.processAllAvailable()
+      input.addData((ts(4), 343L), (ts(5), 2000003L)) // member + non-member
+      q.processAllAvailable()
+      val rows = spark.table("bloom_stream")
+        .as[(Timestamp, Long, Boolean)].collect()
+        .map(r => r._2 -> r._3).toMap
+      // members MUST flag (bloom contract: no false negatives)
+      assert(rows(0L) && rows(7L) && rows(343L), rows)
+      // the two non-members: at 2048 bits / 150 set positions the fpp is
+      // ~0.03% — a deterministic fixture, so this is a fixed outcome, not
+      // a flaky sample
+      assert(!rows(1000003L) && !rows(2000003L), rows)
+    } finally q.stop()
+  }
+
   test("correlateStreams pairs same-user events within the lookback window only") {
     val s = spark
     import s.implicits._
