@@ -298,6 +298,30 @@ object SimSearch {
     // landing exactly on a round(...,6) half-boundary could flip the 6th
     // decimal. Same trade-off as the cosine queries; if a fixture ever
     // trips it, coarsen to 4 dp on BOTH sides rather than reordering sums.
+    // Product quantization (llm.Pq — Jégou TPAMI'11): codes + total
+    // quantization error per vector. 64 floats → 8 nibble-codes (32×
+    // compression); sample-assigned codebooks keep the oracle exact (swap
+    // in Lloyd-trained ones at the cost of SQL expressibility).
+    "q_embed_pq" -> ((s, d) => {
+      val sub = graft.llm.Pq.subvectors(embeds(s, d))
+      graft.llm.Pq.codes(
+        graft.llm.Pq.assign(sub, graft.llm.Pq.codebook(sub)))
+    }),
+
+    // ADC top-20 for query vector 0: the query precomputes its 8×16
+    // distance LUT (one narrow frame, broadcast), then every database
+    // vector costs 8 lookups — the original floats are never touched
+    // after encoding. The scale story FOR the 32× compressed corpus.
+    "q_sim_pq_adc" -> ((s, d) => {
+      val sub = graft.llm.Pq.subvectors(embeds(s, d))
+      val cw = graft.llm.Pq.codebook(sub)
+      val asg = graft.llm.Pq.assign(sub, cw)
+      val lut = graft.llm.Pq.adcLut(sub.where(col("vec_id") === 0), cw)
+      graft.llm.Pq.adcDistances(asg.where(col("vec_id") =!= 0), lut)
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(20)
+    }),
+
     "q_embed_project" -> ((s, d) => {
       val outDim = 16
       val signs: Seq[Seq[Double]] = (0 until outDim).map(j =>
@@ -344,6 +368,25 @@ object SimSearch {
 
   private def cosSql(a: String, b: String) =
     s"round(sum($a.x * $b.x) / (sqrt(sum($a.x * $a.x)) * sqrt(sum($b.x * $b.x))), 6)"
+
+  /** PQ subspace distances + nearest-code assignment (llm.Pq twin):
+    * subspace j = (i-1)//8, codebook = vectors with id < K.
+    */
+  private val pqCtes =
+    s"""dists AS (
+       |  SELECT s.vec_id, s.j, c.code, sum((s.x - c.x) * (s.x - c.x)) AS dist
+       |  FROM (SELECT vec_id, (i - 1) // ${graft.llm.Pq.SubDim} AS j,
+       |               (i - 1) % ${graft.llm.Pq.SubDim} AS si, x FROM e) s
+       |  JOIN (SELECT (i - 1) // ${graft.llm.Pq.SubDim} AS j, vec_id AS code,
+       |               (i - 1) % ${graft.llm.Pq.SubDim} AS si, x
+       |        FROM e WHERE vec_id < ${graft.llm.Pq.K}) c
+       |    ON s.j = c.j AND s.si = c.si
+       |  GROUP BY 1, 2, 3),
+       |asg AS (
+       |  SELECT vec_id, j, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1)""".stripMargin
 
   /** Hyperplane components as a VALUES relation (p, i 1-based, h). */
   private val hpSql: String = {
@@ -539,6 +582,22 @@ object SimSearch {
 
     // Sign weights derive from the same md5 the Spark side embeds as
     // literals (first 15 hex chars — Vectors.md5Long ≡ sqlHash64).
+    "q_embed_pq" ->
+      s"""WITH $eSql,
+         |$pqCtes
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes,
+         |  round(sum(dist), 4) AS qerr
+         |FROM asg GROUP BY vec_id""".stripMargin,
+
+    "q_sim_pq_adc" ->
+      s"""WITH $eSql,
+         |$pqCtes,
+         |lut AS (SELECT j, code, dist AS pd FROM dists WHERE vec_id = 0)
+         |SELECT a.vec_id AS vec_id, round(sum(l.pd), 4) AS adist
+         |FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+         |WHERE a.vec_id <> 0
+         |GROUP BY 1 ORDER BY 2, 1 LIMIT 20""".stripMargin,
+
     "q_embed_project" ->
       s"""WITH $eSql,
          |w AS (

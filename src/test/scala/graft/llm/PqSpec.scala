@@ -1,0 +1,56 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization invariants (llm.Pq): exact self-coding for
+  * codebook donors, code-range sanity, and ADC consistency with the
+  * assignment distances.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic 24 vectors of Dim floats (codebook donors are ids 0-15)
+  private def emb = {
+    val rows = (0 until 24).map { id =>
+      (id.toLong, (0 until Pq.Dim).map(i =>
+        math.sin(id * 131 + i * 17).toFloat).toArray)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Vectors.vecD(col("embedding")).as("v"))
+  }
+
+  test("codebook donors self-code with zero quantization error") {
+    val sub = Pq.subvectors(emb)
+    val out = Pq.codes(Pq.assign(sub, Pq.codebook(sub)))
+      .where(col("vec_id") < Pq.K)
+      .as[(Long, String, Double)].collect()
+    assert(out.length == Pq.K)
+    out.foreach { case (id, codes, qerr) =>
+      assert(codes == Seq.fill(Pq.M)(id).mkString(","), s"vec $id: $codes")
+      assert(qerr == 0.0, s"vec $id qerr $qerr")
+    }
+  }
+
+  test("every vector gets exactly M codes, all in [0, K)") {
+    val sub = Pq.subvectors(emb)
+    val asg = Pq.assign(sub, Pq.codebook(sub))
+    assert(asg.count() == 24L * Pq.M)
+    assert(asg.where(col("code") < 0 || col("code") >= Pq.K).count() == 0)
+  }
+
+  test("ADC distance for a codebook donor equals the LUT rows its own " +
+    "codes select (M exact lookups)") {
+    val sub = Pq.subvectors(emb)
+    val cw = Pq.codebook(sub)
+    val asg = Pq.assign(sub, cw)
+    val lut = Pq.adcLut(sub.where(col("vec_id") === 0), cw)
+    // vector 5 is a donor: its codes are all 5, so its ADC distance to
+    // query 0 must equal sum_j lut(j, 5)
+    val adc = Pq.adcDistances(asg.where(col("vec_id") === 5), lut)
+      .as[(Long, Double)].head()._2
+    val expected = lut.where(col("code") === 5)
+      .agg(round(sum(col("pd")), 4)).as[Double].head()
+    assert(adc == expected, s"$adc != $expected")
+  }
+}
