@@ -322,6 +322,37 @@ object SimSearch {
         .limit(20)
     }),
 
+    // PQ recall gate — the quality loop on the compressed index, same
+    // shape as q_sim_ann_recall: ADC top-20 vs exact-L2 top-20 for query
+    // vector 0, one audit row. Uniform random embeddings are PQ's WORST
+    // case (nothing for the codebooks to exploit) and the codebooks are
+    // sample-assigned, so the measured recall (~0.25 at sf0.01) is the
+    // honest floor of the 32x-compressed representation, not a tuned
+    // showcase; PqSpec pins it >= 0.1. Truth reuses the exploded-element
+    // group-sum form (the engine's established FP contract), never a
+    // crossJoin against the shared-lineage scan.
+    "q_sim_pq_recall" -> ((s, d) => {
+      val sub = graft.llm.Pq.subvectors(embeds(s, d))
+      val cw = graft.llm.Pq.codebook(sub)
+      val asg = graft.llm.Pq.assign(sub, cw)
+      val lut = graft.llm.Pq.adcLut(sub.where(col("vec_id") === 0), cw)
+      val found = graft.llm.Pq.adcDistances(asg.where(col("vec_id") =!= 0), lut)
+        .orderBy(col("adist"), col("vec_id")).limit(20).select("vec_id")
+      val el = embeds(s, d)
+        .select(col("vec_id"), posexplode(col("v"))).toDF("vec_id", "i", "x")
+      val truth = el.where(col("vec_id") =!= 0)
+        .join(el.where(col("vec_id") === 0)
+          .select(col("i"), col("x").as("qx")), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum((col("x") - col("qx")) * (col("x") - col("qx"))), 4)
+          .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(20).select("vec_id")
+      truth.join(found, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(20L).as("n_true"), col("n_hit"),
+          round(col("n_hit") / 20.0, 4).as("recall"))
+    }),
+
     "q_embed_project" -> ((s, d) => {
       val outDim = 16
       val signs: Seq[Seq[Double]] = (0 until outDim).map(j =>
@@ -597,6 +628,22 @@ object SimSearch {
          |FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
          |WHERE a.vec_id <> 0
          |GROUP BY 1 ORDER BY 2, 1 LIMIT 20""".stripMargin,
+
+    "q_sim_pq_recall" ->
+      s"""WITH $eSql,
+         |$pqCtes,
+         |lut AS (SELECT j, code, dist AS pd FROM dists WHERE vec_id = 0),
+         |found AS (
+         |  SELECT a.vec_id FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id ORDER BY round(sum(l.pd), 4), a.vec_id LIMIT 20),
+         |truth AS (
+         |  SELECT b.vec_id FROM e q JOIN e b ON q.i = b.i AND q.vec_id = 0 AND b.vec_id <> 0
+         |  GROUP BY b.vec_id
+         |  ORDER BY round(sum((q.x - b.x) * (q.x - b.x)), 4), b.vec_id LIMIT 20)
+         |SELECT CAST(20 AS BIGINT) AS n_true, count(*) AS n_hit,
+         |  round(count(*) / 20.0, 4) AS recall
+         |FROM truth JOIN found USING (vec_id)""".stripMargin,
 
     "q_embed_project" ->
       s"""WITH $eSql,

@@ -39,6 +39,21 @@ class PqSpec extends SparkSpec {
     assert(asg.where(col("code") < 0 || col("code") >= Pq.K).count() == 0)
   }
 
+  test("ADC top-20 recall clears the 0.1 floor on the parquet fixture") {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+    val row = graft.queries.SimSearch.queries("q_sim_pq_recall")(spark, sfDir)
+      .collect().head
+    val recall = row.getAs[Double]("recall")
+    assert(row.getAs[Long]("n_hit") <= 20L)
+    // uniform random embeddings + sample codebooks are PQ's worst case;
+    // 0.1 is the honest floor of the 32x compression, deterministic on
+    // this fixture, so a drop is a real argmin/LUT regression, not noise
+    assert(recall >= 0.1, s"PQ ADC recall $recall below floor")
+  }
+
   test("ADC distance for a codebook donor equals the LUT rows its own " +
     "codes select (M exact lookups)") {
     val sub = Pq.subvectors(emb)
