@@ -43,6 +43,28 @@ object Pq {
     sub.where(col("vec_id") < K)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
 
+  /** Lloyd-TRAINED codebooks — the production PQ training path: one
+    * deterministic KMeans.fit per subspace (init = the same first-K
+    * subvectors the sample codebook uses, so each iteration can only
+    * shrink distortion). Returns the same (j, code, cv) shape, so
+    * assign/codes/ADC compose unchanged; swapping this in costs the
+    * oracle its SQL expressibility (PqSpec pins the distortion ordering
+    * instead). Driver state: M × K × SubDim doubles — the KMeans
+    * centroid-collect pattern, bounded and audited in SCALE.md.
+    */
+  def trainedCodebook(sub: DataFrame, iters: Int): DataFrame = {
+    val spark = sub.sparkSession
+    import spark.implicits._
+    val cached = sub.cache()
+    try {
+      (0 until M).flatMap { j =>
+        val e = cached.where(col("j") === j)
+          .select(col("vec_id"), col("sv").as("v"))
+        KMeans.fit(e, K, iters).map { case (c, cv) => (j, c, cv) }
+      }.toDF("j", "code", "cv")
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Nearest codeword per (vector, subspace): (vec_id, j, code, dist).
     * Ties break toward the smaller code id (row_number, not min(dist)
     * alone — both engines order identically).

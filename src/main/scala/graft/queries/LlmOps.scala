@@ -643,6 +643,48 @@ object LlmOps {
         .where(col("n_docs") >= 2)
     }),
 
+    // Content-defined chunking dedup (the FastCDC/LBFS family, after
+    // Muthitacharoen et al. SOSP'01): chunk boundaries fall where the
+    // 4-token rolling hash satisfies `span % 64 < 8` (avg chunk ≈ 8+k
+    // tokens), so an INSERTION only shifts boundaries locally — the
+    // chunks after it re-align and still dedup, where q_dedup_lines'
+    // fixed-width segments would all shift and miss. Chunk identity is
+    // portable md5 of the joined tokens; boundary hashes ride the native
+    // O(n) RollingHash. Per-row narrow compute; only (chunk_md5, doc_id)
+    // shuffles for the map-side-partial count.
+    "q_dedup_cdc_chunks" -> ((s, d) => {
+      import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
+      val k = 4
+      table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          transform(col("toks"), t => Core.md5Hash64(t) % P).as("th"))
+        .select(col("doc_id"), col("toks"), rollingHash(col("th"), k).as("spans"))
+        .select(col("doc_id"), col("toks"),
+          // cut after token c+k-1 wherever span c matches; the doc end is
+          // always a cut; guard the size=0 case (sequence(1,0) DESCENDS)
+          array_sort(array_distinct(concat(
+            when(size(col("spans")) > 0,
+              transform(
+                filter(sequence(lit(1), size(col("spans"))),
+                  i => element_at(col("spans"), i) % 64 < 8),
+                c => c + (k - 1)))
+              .otherwise(array().cast("array<int>")),
+            array(size(col("toks")))))).as("ends"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ends"))), idx => {
+            val start = when(idx === 1, lit(1))
+              .otherwise(element_at(col("ends"), idx - 1) + 1)
+            md5(array_join(
+              slice(col("toks"), start,
+                element_at(col("ends"), idx) - start + 1), " "))
+          })).as("chunk_md5"))
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+        .where(col("n_occ") >= 2)
+    }),
+
     // Deterministic global shuffle for training-data ordering: a stable
     // pseudorandom permutation as (shard, pos) — shard = hash % nShards,
     // pos ranks by hash within the shard. Reproducible across runs,
@@ -1112,6 +1154,43 @@ object LlmOps {
          |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
          |FROM hits h LEFT JOIN refg r USING (g)
          |GROUP BY h.doc_id""".stripMargin
+    },
+
+    "q_dedup_cdc_chunks" -> {
+      import org.apache.spark.sql.graft.RollingHash.{B, P}
+      val k = 4
+      // direct polynomial formula — identical residues to the rolling form
+      val coefs = (0 until k).map { j =>
+        var c = 1L; for (_ <- 1 until k - j) c = c * B % P; c
+      }
+      val terms = (0 until k)
+        .map(j => s"(th[i + $j] * ${coefs(j)} % $P)").mkString(" + ")
+      s"""WITH th AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    list_transform(string_split(text, ' '), t -> ${sqlHash64("t")} % $P) AS th
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(generate_series(1, greatest(len(th) - ${k - 1}, 0)),
+         |      i -> ($terms) % $P) AS spans
+         |  FROM th),
+         |ce AS (
+         |  SELECT doc_id, toks,
+         |    list_sort(list_distinct(list_concat(
+         |      list_transform(
+         |        list_filter(generate_series(1, len(spans)), i -> spans[i] % 64 < 8),
+         |        c -> c + ${k - 1}),
+         |      [len(toks)]))) AS ends
+         |  FROM sp),
+         |chunks AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ends)),
+         |    idx -> md5(array_to_string(
+         |      toks[(CASE WHEN idx = 1 THEN 1 ELSE ends[idx - 1] + 1 END):(ends[idx])],
+         |      ' ')))) AS chunk_md5
+         |  FROM ce)
+         |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |  min(doc_id) AS first_doc
+         |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
     },
 
     "q_text_tfidf_cosine" -> {

@@ -54,6 +54,20 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ ADC recall $recall below floor")
   }
 
+  test("Lloyd-trained codebooks never increase total distortion vs the " +
+    "sample codebooks they start from") {
+    val sub = Pq.subvectors(emb)
+    def totalErr(cw: org.apache.spark.sql.DataFrame): Double =
+      Pq.codes(Pq.assign(sub, cw))
+        .agg(sum(col("qerr"))).as[Double].head()
+    val sampleErr = totalErr(Pq.codebook(sub))
+    val trainedErr = totalErr(Pq.trainedCodebook(sub, iters = 2))
+    // Lloyd from the same init is monotone non-increasing; the 1e-6
+    // centroid rounding can wiggle the last digits, hence the epsilon
+    assert(trainedErr <= sampleErr + 1e-3,
+      s"training increased distortion: $trainedErr > $sampleErr")
+  }
+
   test("ADC distance for a codebook donor equals the LUT rows its own " +
     "codes select (M exact lookups)") {
     val sub = Pq.subvectors(emb)
