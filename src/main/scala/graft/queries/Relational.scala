@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Core, Graph, Scoring}
 
@@ -636,6 +636,46 @@ object Relational {
         .agg(count(lit(1)).as("n_hops"))
     }),
 
+    // SCD type-2 merge (the warehouse MERGE INTO pattern, Delta-free):
+    // an updates snapshot lands on the current dimension — changed keys
+    // close their old version and insert a new one, unknown keys insert,
+    // no-op updates pass through. ONE full-outer join + a per-row branch
+    // explode produces all three row classes in a single pass (the naive
+    // three-branch form scans the join output three times). Versioning
+    // columns are synthetic batch ids; at 100 TB the join is the one
+    // shuffle and the dimension would be bucketed on the key.
+    // Updates are derived deterministically from the fixture (every 10th
+    // key changes segment, every 100th key re-inserts offset by 1e6).
+    "q_etl_scd2_merge" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val dim = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      val updates = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(col("c_mktsegment"), lit("-v2")).as("seg"))
+        .unionByName(cust.where(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            col("c_mktsegment").as("seg")))
+      def ver(k: Column, seg: Column, from: Long, to: Column, cur: Boolean) =
+        struct(k.as("k"), seg.as("seg"), lit(from).as("valid_from"),
+          to.as("valid_to"), lit(cur).as("is_current"))
+      val nullTo = lit(null).cast("long")
+      dim.as("d")
+        .join(updates.as("u"), col("d.k") === col("u.k"), "full_outer")
+        .select(explode(
+          when(col("u.k").isNull,
+            array(ver(col("d.k"), col("d.seg"), 0L, nullTo, cur = true)))
+          .when(col("d.k").isNull,
+            array(ver(col("u.k"), col("u.seg"), 1L, nullTo, cur = true)))
+          .when(col("d.seg") === col("u.seg"),
+            array(ver(col("d.k"), col("d.seg"), 0L, nullTo, cur = true)))
+          .otherwise(array(
+            ver(col("d.k"), col("d.seg"), 0L, lit(1L), cur = false),
+            ver(col("u.k"), col("u.seg"), 1L, nullTo, cur = true)))).as("r"))
+        .select(col("r.k").as("k"), col("r.seg").as("seg"),
+          col("r.valid_from"), col("r.valid_to"), col("r.is_current"))
+    }),
+
     // Fixed-point PageRank (Graph.pagerankFixed — integer arithmetic makes
     // the iterative score hash-exact across engines; see the op's scaladoc)
     // over the undirected supplier<->part graph. Part nodes offset by 1e6:
@@ -894,6 +934,28 @@ object Relational {
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_etl_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k, c_mktsegment || '-v2' AS seg
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        |j AS (
+        |  SELECT d.k AS dk, d.seg AS dseg, u.k AS uk, u.seg AS useg
+        |  FROM dim d FULL OUTER JOIN upd u ON d.k = u.k)
+        |SELECT dk AS k, dseg AS seg, CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        |FROM j WHERE dk IS NOT NULL AND (uk IS NULL OR dseg = useg)
+        |UNION ALL
+        |SELECT dk, dseg, CAST(0 AS BIGINT), CAST(1 AS BIGINT), false
+        |FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND dseg <> useg
+        |UNION ALL
+        |SELECT uk, useg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+        |FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR dseg <> useg)""".stripMargin,
 
     // Same three fixed-point iterations unrolled; every intermediate is an
     // exact integer, so the hash compare tolerates no FP slack at all.
