@@ -636,6 +636,52 @@ object Relational {
         .agg(count(lit(1)).as("n_hops"))
     }),
 
+    // Ordered conversion funnel (view → click → purchase, strictly later
+    // stages only) via the min-chain form: stage N is one conditional
+    // min-agg joined against stage N-1's timestamps. Deliberately NOT the
+    // collect_list-and-fold form — per-user arrays are unbounded under
+    // bot traffic at 100 TB, while the min chain is three keyed
+    // aggregations with map-side partials and bounded state everywhere.
+    "q_events_funnel" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, Seq("user_id")).where(col("t") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).where(col("t") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+      s1.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(s2.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(s3.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Z-order (Morton) layout audit — the multi-dimensional data-skipping
+    // story: interleave the low 16 bits of (l_partkey, l_suppkey), bucket
+    // by z-range, and emit BOTH dimensions' min/max per bucket. Narrow
+    // ranges on both columns at once are what make one physical order
+    // serve predicates on either key — the property a single-column sort
+    // can't have. Pure bit arithmetic (shift/and/or), so the oracle is
+    // exact; at 100 TB the z value is the sort key handed to a
+    // range-partitioned write and these per-bucket min/max ARE the
+    // file-skipping statistics.
+    "q_layout_zorder" -> ((s, d) => {
+      def z(p: Column, sCol: Column): Column = (0 until 16).map { b =>
+        shiftleft(shiftright(p, b).bitwiseAND(1), 2 * b) +
+          shiftleft(shiftright(sCol, b).bitwiseAND(1), 2 * b + 1)
+      }.reduce(_ + _)
+      table(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .select(col("p"), col("sk"), z(col("p"), col("sk")).as("zv"))
+        .groupBy(shiftright(col("zv"), 10).as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+          min(col("sk")).as("s_min"), max(col("sk")).as("s_max"))
+    }),
+
     // SCD type-2 merge (the warehouse MERGE INTO pattern, Delta-free):
     // an updates snapshot lands on the current dimension — changed keys
     // close their old version and insert a new one, unknown keys insert,
@@ -934,6 +980,33 @@ object Relational {
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS neighbours,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT user_id, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT user_id, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT '1_view' AS stage, user_id FROM s1
+        |  UNION ALL SELECT '2_click', user_id FROM s2
+        |  UNION ALL SELECT '3_purchase', user_id FROM s3)
+        |GROUP BY stage""".stripMargin,
+
+    "q_layout_zorder" -> {
+      val zTerms = (0 until 16).map(b =>
+        s"(((p >> $b) & 1) << ${2 * b}) + (((sk >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH ps AS (SELECT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |zt AS (SELECT p, sk, $zTerms AS zv FROM ps)
+         |SELECT zv >> 10 AS z_bucket, count(*) AS n_rows,
+         |  min(p) AS p_min, max(p) AS p_max,
+         |  min(sk) AS s_min, max(sk) AS s_max
+         |FROM zt GROUP BY 1""".stripMargin
+    },
 
     "q_etl_scd2_merge" ->
       """WITH dim AS (
