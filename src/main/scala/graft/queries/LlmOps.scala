@@ -399,20 +399,24 @@ object LlmOps {
     }),
 
     // Text quality stats: token counts, mean token length, stopword ratio.
+    // toks materializes behind its own select (Catalyst re-evaluates
+    // repeated non-attribute subexpressions — the inline form re-split the
+    // text 4x per row); mean token length is EXACT arithmetic, no fold:
+    // for any single-char split, sum(len(token)) = len(text) - (n - 1).
     "q_text_stats" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
-      table(s, d, "documents").select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_calc"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-        round(
-          aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks), 4
-        ).as("avg_token_len"),
-        round(
-          size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / size(toks), 6
-        ).as("stopword_ratio")
-      )
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          col("n_chars_calc"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+          round((col("n_chars_calc") - size(col("toks")) + 1).cast("double")
+            / size(col("toks")), 4).as("avg_token_len"),
+          round(size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+            .cast("double") / size(col("toks")), 6).as("stopword_ratio"))
     }),
 
     // Gopher/C4-style quality gate: compose the stats into keep/drop rules
@@ -420,15 +424,17 @@ object LlmOps {
     // standard pre-training corpus filter. Pure composition of codegen'd
     // builtins; the gates push down as ordinary predicates.
     "q_text_quality_filter" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
       table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          TextOps.tokens(col("text")).as("toks"))
         .select(
           col("doc_id"), col("lang"),
-          size(toks).cast("long").as("n_tokens"),
-          round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
-            / size(toks), 4).as("avg_token_len"),
-          round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
-            / size(toks), 6).as("stopword_ratio"))
+          size(col("toks")).cast("long").as("n_tokens"),
+          round((col("nc") - size(col("toks")) + 1).cast("double")
+            / size(col("toks")), 4).as("avg_token_len"),
+          round(size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+            .cast("double") / size(col("toks")), 6).as("stopword_ratio"))
         .where(col("n_tokens").between(10, 1000) &&
           col("avg_token_len").between(2.0, 12.0) &&
           col("stopword_ratio") > 0.0)
@@ -765,8 +771,8 @@ object LlmOps {
           TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           size(col("toks")).cast("long").as("n_tokens"),
-          round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-            .cast("double") / size(col("toks")), 4).as("avg_token_len"),
+          round((length(col("text")) - size(col("toks")) + 1).cast("double")
+            / size(col("toks")), 4).as("avg_token_len"),
           round(size(filter(col("toks"), t => t.isInCollection(Stopwords)))
             .cast("double") / size(col("toks")), 6).as("stopword_ratio"))
         .where(col("n_tokens").between(10, 1000) &&
@@ -1580,7 +1586,7 @@ object LlmOps {
         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-        |  round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+        |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS avg_token_len,
         |  round(CAST(len(list_filter(string_split(text, ' '),
         |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
@@ -1597,7 +1603,7 @@ object LlmOps {
       """SELECT * FROM (
         |  SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+        |    round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |      / len(string_split(text, ' ')), 4) AS avg_token_len,
         |    round(CAST(len(list_filter(string_split(text, ' '),
         |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
@@ -1794,7 +1800,7 @@ object LlmOps {
         """q0 AS (
           |  SELECT doc_id, lang, n_chars, text,
           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          |    round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+          |    round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
           |      / len(string_split(text, ' ')), 4) AS avg_token_len,
           |    round(CAST(len(list_filter(string_split(text, ' '),
           |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)

@@ -143,6 +143,48 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // Full CUBE — all four grouping sets in one pass (Expand feeds a
+    // single hash agg; no 4x re-scan of the fact table).
+    "q_agg_cube" -> ((s, d) => {
+      table(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // Deequ-style declarative data-quality audit: each constraint is one
+    // conditional count over a SINGLE scan (completeness, range,
+    // uniqueness via count-minus-distinct) except referential integrity,
+    // which is the broadcast anti-join. One compact violations row per
+    // constraint — the shape a 100 TB data contract check must have (no
+    // per-row violation materialization unless a constraint fails).
+    "q_quality_constraints" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val scan = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("range_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("range_discount"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))).as("dup_line_keys"))
+      val orphans = li.join(table(s, d, "part"),
+          li("l_partkey") === col("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_part_orphans"))
+      scan.select(
+          explode(array(
+            struct(lit("null_qty").as("constraint"), col("null_qty").as("violations")),
+            struct(lit("range_qty").as("constraint"), col("range_qty").as("violations")),
+            struct(lit("range_discount").as("constraint"), col("range_discount").as("violations")),
+            struct(lit("dup_line_keys").as("constraint"), col("dup_line_keys").as("violations")))).as("r"),
+          col("n_rows"))
+        .select(col("r.constraint").as("constraint"),
+          col("r.violations").as("violations"), col("n_rows"))
+        .unionByName(orphans.select(lit("fk_part_orphans").as("constraint"),
+          col("fk_part_orphans").as("violations"), lit(null).cast("long").as("n_rows")))
+    }),
+
     // Misra-Gries heavy hitters on the driver record (rows-only by
     // contract: reported counts are merge-order-dependent, so no byte-exact
     // SQL oracle exists). The fixture is engineered so the OUTPUT is still
@@ -812,6 +854,29 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_quality_constraints" ->
+      """WITH scan AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS range_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS range_discount,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber, l_partkey)) AS dup_line_keys
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT count(*) AS v FROM lineitem l
+        |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_partkey IS NULL)
+        |SELECT 'null_qty' AS "constraint", null_qty AS violations, n_rows FROM scan
+        |UNION ALL SELECT 'range_qty', range_qty, n_rows FROM scan
+        |UNION ALL SELECT 'range_discount', range_discount, n_rows FROM scan
+        |UNION ALL SELECT 'dup_line_keys', dup_line_keys, n_rows FROM scan
+        |UNION ALL SELECT 'fk_part_orphans', v, CAST(NULL AS BIGINT) FROM orph""".stripMargin,
 
     "q_window_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
