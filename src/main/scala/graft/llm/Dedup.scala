@@ -240,7 +240,7 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .select(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
