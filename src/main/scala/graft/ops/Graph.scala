@@ -99,7 +99,12 @@ object Graph {
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val Array(a, b) = edges.columns
+    // repartition on src BEFORE caching: upstream ops (distinct) leave the
+    // frame partitioned by (src, dst), and a cache in that layout forces a
+    // fresh edge-side exchange in EVERY iteration's join — pre-hashing on
+    // the join key makes the per-iteration shuffle the score frame only
     val e = edges.select(col(a).as("src"), col(b).as("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val consts = deg.agg(count(lit(1)).as("n"))
