@@ -782,6 +782,10 @@ object LlmOps {
         .agg(expr("min_by(struct(doc_id, lang, n_chars, text), doc_id)").as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
           col("r.n_chars").as("n_chars"), col("r.text").as("text"))
+        // checkpoint in doc_id layout, not the exact-dedup's text_md5
+        // layout: the minhash sig agg clusters on doc_id and reads the
+        // checkpoint exchange-free (explode preserves partitioning)
+        .repartition(col("doc_id"))
         .localCheckpoint()
       val sigs = Dedup.minhashSigs(survivors, "doc_id", "text", 3, MinhashSeeds)
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
@@ -908,6 +912,10 @@ object LlmOps {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // (A/B'd: repartition(doc_id) before this cache measured flat and
+      // ADDED an exchange — the dot-side joins broadcast the candidate
+      // pairs, so wts never shuffles for them at any scale, and only the
+      // norms agg pays one exchange. Left in the join's natural layout.)
       val wts = tf.join(dfreq, Seq("w"))
         .select(col("doc_id"), col("w"), expr("tf * (100000 DIV df)").as("wt"))
         .cache()
