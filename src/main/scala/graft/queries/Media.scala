@@ -34,6 +34,26 @@ object Media {
         Multimodal.mediaFromDocuments(s, table(s, d, "documents")), 128, 128)
         .toDF()),
 
+    // Cross-media frame-level dedup — the reused-clip/still detector:
+    // hash every 256-byte frame (stub granularity, same frame walk as
+    // q_media_frames), then the canonical hash-groupBy. Only
+    // (frame_md5, media_id) pairs shuffle — payload bytes never leave
+    // the scan. With a real codec the md5 runs on decoded frame pixels
+    // inside the same mapPartitions boundary; the dedup plan is
+    // unchanged.
+    "q_media_frame_dedup" -> ((s, d) => {
+      val nFrames =
+        expr("(octet_length(encode(text, 'UTF-8')) + 255) div 256").cast("int")
+      table(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          explode(transform(sequence(lit(0), nFrames - 1),
+            i => md5(col("text").substr(i * 256 + 1, lit(256))))).as("frame_md5"))
+        .groupBy(col("frame_md5"))
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"), min(col("media_id")).as("first_media"))
+        .where(col("n_media") >= 2)
+    }),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -69,6 +89,16 @@ object Media {
          |       * (64 + ascii(substr(text, 2, 1)) % 64)) AS BIGINT) AS est_bytes,
          |  ${h("text")} AS checksum
          |FROM documents""".stripMargin,
+
+    "q_media_frame_dedup" ->
+      """SELECT frame_md5, count(DISTINCT media_id) AS n_media,
+        |  count(*) AS n_frames, min(media_id) AS first_media
+        |FROM (
+        |  SELECT doc_id AS media_id, unnest(list_transform(
+        |    generate_series(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) - 1),
+        |    i -> md5(text[(i*256 + 1):(i*256 + 256)]))) AS frame_md5
+        |  FROM documents)
+        |GROUP BY 1 HAVING count(DISTINCT media_id) >= 2""".stripMargin,
 
     "q_media_features" -> {
       val cols = (0 until 4)
