@@ -58,4 +58,39 @@ object TextOps {
       )
       when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Content-defined chunking (the q_dedup_cdc_chunks core, extracted so
+    * the FastCDC property — insertions shift boundaries only LOCALLY — is
+    * spec-testable): boundaries fall after token c+k-1 wherever the
+    * k-token rolling hash satisfies `span % modulus < target`. Returns one
+    * row per chunk: (idCol, pos, chunk_md5), chunks in document order.
+    * Each derived array materializes behind its own select (Catalyst
+    * re-evaluates repeated non-attribute subexpressions).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int, modulus: Int, target: Int): DataFrame = {
+    import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        transform(col("toks"), t => Core.md5Hash64(t) % P).as("th"))
+      .select(col(idCol), col("toks"), rollingHash(col("th"), k).as("spans"))
+      .select(col(idCol), col("toks"),
+        array_sort(array_distinct(concat(
+          when(size(col("spans")) > 0,
+            transform(
+              filter(sequence(lit(1), size(col("spans"))),
+                i => element_at(col("spans"), i) % modulus < target),
+              c => c + (k - 1)))
+            .otherwise(array().cast("array<int>")),
+          array(size(col("toks")))))).as("ends"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("ends"))), idx => {
+          val start = when(idx === 1, lit(1))
+            .otherwise(element_at(col("ends"), idx - 1) + 1)
+          md5(array_join(
+            slice(col("toks"), start, element_at(col("ends"), idx) - start + 1),
+            " "))
+        })))
+      .toDF(idCol, "pos", "chunk_md5")
+  }
 }

@@ -659,32 +659,8 @@ object LlmOps {
     // O(n) RollingHash. Per-row narrow compute; only (chunk_md5, doc_id)
     // shuffles for the map-side-partial count.
     "q_dedup_cdc_chunks" -> ((s, d) => {
-      import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
-      val k = 4
-      table(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          transform(col("toks"), t => Core.md5Hash64(t) % P).as("th"))
-        .select(col("doc_id"), col("toks"), rollingHash(col("th"), k).as("spans"))
-        .select(col("doc_id"), col("toks"),
-          // cut after token c+k-1 wherever span c matches; the doc end is
-          // always a cut; guard the size=0 case (sequence(1,0) DESCENDS)
-          array_sort(array_distinct(concat(
-            when(size(col("spans")) > 0,
-              transform(
-                filter(sequence(lit(1), size(col("spans"))),
-                  i => element_at(col("spans"), i) % 64 < 8),
-                c => c + (k - 1)))
-              .otherwise(array().cast("array<int>")),
-            array(size(col("toks")))))).as("ends"))
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ends"))), idx => {
-            val start = when(idx === 1, lit(1))
-              .otherwise(element_at(col("ends"), idx - 1) + 1)
-            md5(array_join(
-              slice(col("toks"), start,
-                element_at(col("ends"), idx) - start + 1), " "))
-          })).as("chunk_md5"))
+      TextOps.cdcChunks(table(s, d, "documents"), "doc_id", "text",
+          k = 4, modulus = 64, target = 8)
         .groupBy(col("chunk_md5"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))

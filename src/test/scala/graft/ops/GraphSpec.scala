@@ -65,6 +65,19 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1000000000L && mass > 1000000000L - 4 * 3 * 3 - 4, mass)
   }
 
+  test("pagerankFixed is partitioning-invariant: identical integer scores " +
+    "under different physical layouts") {
+    val edges = Graph.undirect(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 1L)
+    ).toDF("src", "dst"))
+    def run(parts: Int): Map[Long, Long] =
+      Graph.pagerankFixed(edges.repartition(parts), iters = 3)
+        .as[(Long, Long)].collect().toMap
+    // the fixed-point claim with teeth: ANY partitioning (and so any
+    // summation order) must produce bit-identical integer scores
+    assert(run(1) == run(7))
+  }
+
   test("pagerankFixed: 2-cycle is the uniform fixed point") {
     val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val pr = Graph.pagerankFixed(two, iters = 5)
