@@ -150,6 +150,29 @@ class PlanShapeSpec extends SparkSpec {
       s"in-bucket self-join lost its equi-key:\n$plan")
   }
 
+  test("knn graph: neighbour candidates come from the bucket equi-join, " +
+    "never a cartesian product") {
+    // The n²/C candidate bound rests on the self-join keying on bucket; a
+    // CartesianProduct is the all-pairs plan IVF bucketing exists to avoid.
+    // (The 1-row collected-centroid crossJoin inside bucketAssign is a
+    // broadcast by construction and is not what this pin is about, so no
+    // BroadcastNestedLoopJoin assertion here.)
+    val plan = executedPlan("q_sim_knn_graph")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"bucket self-join lost its equi-key:\n$plan")
+  }
+
+  test("tfidf-cosine: every join is an equi-join — pair work stays " +
+    "LSH-candidate-bounded") {
+    // The sparse-cosine verify joins weight/norm tables back to the LSH
+    // candidate pairs on doc ids; any nested-loop or cartesian here means
+    // a join key was lost and the verify went corpus×corpus.
+    val plan = executedPlan("q_text_tfidf_cosine")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("domain cap runs as a bounded aggregate — no per-domain window sort") {
     // q_sample_domain_cap's oracle IS the row_number window; the plan's
     // contract is that Spark-side it stays BottomKAgg (k-pair bounded
