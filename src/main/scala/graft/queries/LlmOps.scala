@@ -178,6 +178,33 @@ object LlmOps {
         .agg(count(lit(1)).as("n_kept"), min(col("n_toks")).as("min_kept_toks"))
     }),
 
+    // CCNet-style head/middle/tail bucketing, PER LANGUAGE (arXiv:1911.00359
+    // splits each language's crawl by perplexity percentile; per-doc token
+    // count stands in as the score — integer, so bucket-edge comparisons
+    // can't flip on an engine ulp the way a float perplexity could). The
+    // scale-correct shape: thresholds from one lang-keyed percentile agg
+    // broadcast back, bucket assignment a per-row CASE — no ntile, which
+    // would global-sort every language partition. P25/P75 are dyadic, so
+    // linear interpolation over integer inputs is FP-exact in both engines
+    // (same contract as q_text_quality_calibrated). At 100 TB the exact
+    // percentile (which buffers the group's values) swaps for
+    // approx_percentile — same plan shape, mergeable sketch buffer.
+    "q_text_ccnet_buckets" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val thr = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_toks, 0.25)").as("p25"),
+          expr("percentile(n_toks, 0.75)").as("p75"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .withColumn("bucket",
+          when(col("n_toks").cast("double") <= col("p25"), lit("tail"))
+            .when(col("n_toks").cast("double") <= col("p75"), lit("middle"))
+            .otherwise(lit("head")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+    }),
+
     // Token-distribution entropy per doc (H = log2 n − Σ c·log2 c / n):
     // the quality gate for templated/boilerplate text — a doc that
     // repeats a 10-word banner 50× scores ~3.3 bits vs ~7+ for prose,
@@ -1295,6 +1322,26 @@ object LlmOps {
         |FROM docs CROSS JOIN thr
         |WHERE CAST(n_toks AS DOUBLE) >= p25
         |GROUP BY lang""".stripMargin,
+
+    "q_text_ccnet_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |thr AS (
+        |  SELECT lang, quantile_cont(n_toks, 0.25) AS p25,
+        |    quantile_cont(n_toks, 0.75) AS p75
+        |  FROM docs GROUP BY lang)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
+        |FROM (
+        |  SELECT docs.lang,
+        |    CASE WHEN CAST(n_toks AS DOUBLE) <= p25 THEN 'tail'
+        |         WHEN CAST(n_toks AS DOUBLE) <= p75 THEN 'middle'
+        |         ELSE 'head' END AS bucket,
+        |    n_toks
+        |  FROM docs JOIN thr USING (lang))
+        |GROUP BY lang, bucket""".stripMargin,
 
     "q_text_entropy" ->
       """WITH toks AS (

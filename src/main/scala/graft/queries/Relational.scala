@@ -230,6 +230,46 @@ object Relational {
       )
     }),
 
+    // RANGE (value-interval) window frame — the time-based sibling of the
+    // ROWS frame above: per (user, event_type), the trailing-1-hour event
+    // count and value sum, frame bounded by the ORDER-BY value, not row
+    // offsets. Ties (equal ts) are peers — every row in the frame of each,
+    // identical semantics in both engines. The summed measure is
+    // floor(value*100) cents: IEEE multiply + floor are bit-identical
+    // everywhere, and integer sums are exact under any frame-buffer
+    // evaluation order (Spark walks the frame, DuckDB segment-trees it —
+    // a double sum could differ in ulps; cents cannot).
+    "q_window_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+    }),
+
+    // Wide→long melt (unpivot): three lineitem measures into (measure,
+    // value) rows, re-aggregated per flag. Plans as a single-scan Expand
+    // (each input row fans to 3 in-flight, never materialized) feeding a
+    // map-side-partial hash agg — at 100 TB this is one pass over the
+    // fact table, not three UNION'd scans like the SQL oracle spells.
+    "q_etl_unpivot" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("value")), 2).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Bucketed range join (ops.RangeJoin): order totals against overlapping
     // price bands. The naive theta form plans as a nested-loop join —
     // O(points × intervals); bucketizing restores a shuffle-local equi-join
@@ -886,6 +926,25 @@ object Relational {
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id, event_type, ts_us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_etl_unpivot" ->
+      """SELECT l_returnflag, measure, round(sum(value), 2) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY l_returnflag, measure""".stripMargin,
 
     "q_range_join_bands" ->
       """SELECT band_id, count(*) AS n_orders,

@@ -116,6 +116,19 @@ object Scalars {
           size(filter(col("qtys"), x => x >= 25)).cast("long").as("n_big"),
           round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 2).as("total_qty")
         )
+    }),
+
+    // Ordinality-preserving generator (posexplode): leading tokens of each
+    // document with their positions. The position comes from the generator
+    // itself — no window/row_number pass — and the pos<3 gate lands in the
+    // generator's output filter, so each doc contributes ≤3 rows however
+    // long its text is. Per-row narrow compute; no shuffle at all.
+    "q_scalar_posexplode" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.llm.TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+        .where(col("pos") < 3)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
     })
   )
 
@@ -176,6 +189,12 @@ object Scalars {
         |  array_to_string(list_sort(list(l_quantity)), ',') AS qtys,
         |  CAST(count(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_big,
         |  round(sum(l_quantity), 2) AS total_qty
-        |FROM lineitem GROUP BY l_orderkey""".stripMargin
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q_scalar_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |CROSS JOIN generate_series(1, 3) t(i)
+        |WHERE i <= len(toks)""".stripMargin
   )
 }

@@ -125,6 +125,40 @@ class PlanShapeSpec extends SparkSpec {
       s"count-table join fell back to sort-merge at fixture scale:\n$plan")
   }
 
+  test("unpivot plans as a single-scan Expand, one exchange (the agg's)") {
+    // the melt must stay one pass over the fact table — three UNION'd
+    // scans (the oracle's spelling) would read it three times
+    val plan = executedPlan("q_etl_unpivot")
+    assert(plan.contains("Expand"), plan)
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("range-frame window shuffles once on its partition keys") {
+    val plan = executedPlan("q_window_range")
+    assert(plan.contains("Window"), plan)
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("posexplode query is shuffle-free — generator + filter only") {
+    val plan = executedPlan("q_scalar_posexplode")
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), s"narrow per-row op shuffled:\n$plan")
+  }
+
+  test("ccnet bucketing: per-lang thresholds ride a broadcast join — the " +
+    "corpus apply side never sort-merge-joins") {
+    // same contract as temperature sampling: a SortMergeJoin here means
+    // the corpus shuffles on lang (a handful of giant skewed partitions)
+    // to apply a lang-cardinality lookup
+    val plan = executedPlan("q_text_ccnet_buckets")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("temperature sampling: rates ride a broadcast join — the corpus " +
     "apply side never sort-merge-joins") {
     // q_sample_temperature's scale contract: the per-language rates frame
