@@ -236,6 +236,45 @@ object LlmOps {
           count(lit(1)).as("n_tokens"))
     }),
 
+    // Trained quality classifier (the fastText/DCLM-style filtering step):
+    // multinomial Naive Bayes with add-one smoothing, weak-supervised by
+    // lang='en'. Training IS aggregation — per-token class counts — so the
+    // "model" is a vocab-sized weight table (one ln per token, computed as
+    // a single ratio of exact integer products) broadcast back over the
+    // exploded corpus. Per-token weights are fixed-point micronats
+    // (round(ln·1e6) → bigint), so each doc's score is an exact integer
+    // sum under ANY summation order — hash-exact across engines, where a
+    // double sum could flip the 6dp rounding. Corpus-side work is one
+    // explode + one broadcast join + one per-doc agg; nothing but the
+    // (doc_id, token) stream ever shuffles.
+    "q_text_nb_classifier" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val toks = docs.select(col("doc_id"), (col("lang") === "en").as("pos"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val cnt = toks.groupBy(col("w")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("c_neg"))
+      val tot = cnt.agg(sum(col("c_pos")).as("tp"), sum(col("c_neg")).as("tn"),
+        count(lit(1)).as("v"))
+      val wts = cnt.crossJoin(broadcast(tot))
+        .select(col("w"),
+          round(log(((col("c_pos") + 1).cast("double") * (col("tn") + col("v"))) /
+            ((col("c_neg") + 1).cast("double") * (col("tp") + col("v")))) * 1e6)
+            .cast("long").as("wt"))
+      val pri = docs.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
+        .select(round(log(col("np").cast("double") / col("nn")) * 1e6)
+          .cast("long").as("prior"))
+      toks.join(broadcast(wts), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score_fp"))
+        .crossJoin(broadcast(pri))
+        .select(col("doc_id"), col("n_tokens"),
+          round((col("prior") + col("score_fp")) / lit(1e6), 6).as("nb_score"),
+          ((col("prior") + col("score_fp")) > 0).as("pred_en"))
+    }),
+
     // Deterministic hash split — the reproducible train/val/test assignment
     // every training-data pipeline needs: bucket = md5(doc_id) mod 100, so
     // membership is stable across runs, engines, and partitionings (RNG
@@ -1374,6 +1413,35 @@ object LlmOps {
         |  count(*) AS n_tokens
         |FROM toks JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    "q_text_nb_classifier" ->
+      """WITH lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tl AS (SELECT t.doc_id, t.w, l.pos FROM toks t JOIN lab l USING (doc_id)),
+        |cnt AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+        |  FROM tl GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(c_pos) AS BIGINT) AS tp,
+        |    CAST(sum(c_neg) AS BIGINT) AS tn, count(*) AS v FROM cnt),
+        |wts AS (
+        |  SELECT w, CAST(round(ln(((c_pos + 1.0) * (tn + v)) /
+        |    ((c_neg + 1.0) * (tp + v))) * 1000000) AS BIGINT) AS wt
+        |  FROM cnt CROSS JOIN tot),
+        |pri AS (
+        |  SELECT CAST(round(ln(
+        |    (1.0 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) /
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) * 1000000) AS BIGINT)
+        |    AS prior
+        |  FROM documents)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round((p.prior + CAST(sum(wt) AS BIGINT)) / 1000000.0, 6) AS nb_score,
+        |  (p.prior + CAST(sum(wt) AS BIGINT)) > 0 AS pred_en
+        |FROM tl t JOIN wts USING (w) CROSS JOIN pri p
+        |GROUP BY t.doc_id, p.prior""".stripMargin,
 
     "q_sample_split" -> {
       val h = s"${sqlHash64("'split|' || CAST(doc_id AS VARCHAR)")} % 100"

@@ -40,13 +40,18 @@ object Reference {
           TopKAgg.topK(col("genetics"), 100).as("g_topk"),
           TopKAgg.topK(col("europepmc"), 100).as("l_topk")
         )
+        // Hoist the per-source folds to attributes BEFORE the combine:
+        // harmonicCombine references each argument ~3x (array + guard +
+        // fold), and Catalyst re-evaluates repeated non-attribute
+        // subexpressions — inlined, each interpreted fold ran 6x per row.
         .select(
           col("target_id"), col("disease_id"), col("evidence_count"),
-          round(
-            Scoring.harmonicCombine(
-              Scoring.harmonicFold(col("g_topk")),
-              Scoring.harmonicFold(col("l_topk"))
-            ), 6).as("harmonic")
+          Scoring.harmonicFold(col("g_topk")).as("g_h"),
+          Scoring.harmonicFold(col("l_topk")).as("l_h"))
+        .select(
+          col("target_id"), col("disease_id"), col("evidence_count"),
+          round(Scoring.harmonicCombine(col("g_h"), col("l_h")), 6)
+            .as("harmonic")
         )
         .where(col("harmonic") > 0.1)
     }),
@@ -128,12 +133,16 @@ object Reference {
           count(lit(1)).as("evidence_count"),
           TopKAgg.topK(col("genetics"), 100).as("g_topk"),
           TopKAgg.topK(col("europepmc"), 100).as("l_topk"))
+        // Same fold-hoist as q_ref_associations: attributes, not inlined
+        // fold trees, feed the combine (Catalyst duplicates the latter).
         .select(
           col("target_id"), col("whitelist_id"), col("evidence_count"),
-          round(
-            Scoring.harmonicCombine(
-              Scoring.harmonicFold(col("g_topk")),
-              Scoring.harmonicFold(col("l_topk"))), 6).as("harmonic"))
+          Scoring.harmonicFold(col("g_topk")).as("g_h"),
+          Scoring.harmonicFold(col("l_topk")).as("l_h"))
+        .select(
+          col("target_id"), col("whitelist_id"), col("evidence_count"),
+          round(Scoring.harmonicCombine(col("g_h"), col("l_h")), 6)
+            .as("harmonic"))
         .where(col("harmonic") > 0.1)
     }),
 

@@ -152,6 +152,70 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    // the two single-column marginals plus the grand total, one Expand →
+    // one hash agg pass (no per-set re-scan). grouping_id disambiguates
+    // set-produced nulls from data nulls, the standard SQL contract.
+    "q_agg_grouping_sets" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // Robust (median/MAD) per-group outlier audit — the data-quality twin
+    // of the z-score check that a few extreme values can't poison. Two
+    // tiny stats aggs (segment count is bounded) broadcast back; the
+    // fact table is scanned, never sorted. Monetary values go through
+    // integer cents so the 0.5-quantile midpoint interpolation is
+    // FP-exact in both engines (same contract as the calibrated gate);
+    // 3.0*mad and the abs-deviation compares are then exact too.
+    "q_quality_outliers" -> ((s, d) => {
+      val c = table(s, d, "customer")
+        .select(col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val med = c.groupBy(col("c_mktsegment"))
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val stats = c.join(broadcast(med), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("med"),
+          abs(col("cents").cast("double") - col("med")).as("dev"))
+        .groupBy(col("c_mktsegment"))
+        .agg(first(col("med")).as("med"), expr("percentile(dev, 0.5)").as("mad"))
+      c.join(broadcast(stats), Seq("c_mktsegment"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(abs(col("cents").cast("double") - col("med")) >
+            lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+          round(first(col("med")) / 100.0, 4).as("median_bal"),
+          round(first(col("mad")) / 100.0, 4).as("mad_bal"))
+    }),
+
+    // Time-series gap fill with LOCF (last observation carried forward):
+    // per-user daily calendar generated from that user's own [min,max]
+    // span (per-key generate — bounded by span, no global calendar
+    // cross join), left join to observations, forward fill via
+    // last(ignoreNulls) over a per-key ordered frame. The window sorts
+    // within user partitions only — keyed shuffles, no global sort.
+    "q_ts_gapfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 4).as("day_value"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+          col("day_value").isNull.as("is_gap"))
+    }),
+
     // Deequ-style declarative data-quality audit: each constraint is one
     // conditional count over a SINGLE scan (completeness, range,
     // uniqueness via count-minus-distinct) except referential integrity,
@@ -899,6 +963,54 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // GROUPING() bit order matches Spark's grouping_id: first listed
+    // column is the most significant bit.
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q_quality_outliers" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |med AS (
+        |  SELECT c_mktsegment, quantile_cont(cents, 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |st AS (
+        |  SELECT c.c_mktsegment, any_value(m.med) AS med,
+        |    quantile_cont(abs(c.cents - m.med), 0.5) AS mad
+        |  FROM c JOIN med m USING (c_mktsegment) GROUP BY c.c_mktsegment)
+        |SELECT c.c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN abs(c.cents - s.med) > 3.0 * s.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(any_value(s.med) / 100.0, 4) AS median_bal,
+        |  round(any_value(s.mad) / 100.0, 4) AS mad_bal
+        |FROM c JOIN st s USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q_ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    round(avg(value), 4) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1))
+        |SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+        |  last_value(dd.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  dd.day_value IS NULL AS is_gap
+        |FROM cal c LEFT JOIN daily dd
+        |  ON c.user_id = dd.user_id AND c.day = dd.day""".stripMargin,
 
     "q_quality_constraints" ->
       """WITH scan AS (
