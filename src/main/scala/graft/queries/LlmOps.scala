@@ -90,6 +90,19 @@ object LlmOps {
       Dedup.containmentForPairs(pairs, sh, "doc_id")
     }),
 
+    // EXACT similarity self-join via prefix filtering (AllPairs/PPJoin,
+    // Bayardo WWW'07) — the lossless alternative to MinHash-LSH: rarest-
+    // first df ordering, join on prefix shingles only, candidate-bounded
+    // verify. Because the filter has NO false negatives, the oracle is
+    // simply the brute-force all-pairs definition — the query's equality
+    // to it IS the losslessness proof on this corpus. τ = 3/5 held as a
+    // rational so both engines compare integers, never doubles.
+    "q_dedup_prefix_filter" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
+      Dedup.exactSimilarPairs(sh, "doc_id", 3, 5)
+    }),
+
     // Dedup clustering: LSH candidates above the similarity bar collapse
     // into connected components; each doc maps to its cluster's canonical
     // keeper (min doc_id). 4 label-propagation iterations bound the handled
@@ -1637,6 +1650,26 @@ object LlmOps {
          |JOIN sizes s1 ON doc1 = s1.doc_id
          |JOIN sizes s2 ON doc2 = s2.doc_id""".stripMargin
     },
+
+    // Brute-force all-pairs at τ = 3/5 — the DEFINITION the prefix-filter
+    // join must reproduce exactly (losslessness). Threshold compare is
+    // integer cross-multiplied on both sides; jacc itself is an IEEE
+    // division of two exact integers, correctly rounded in both engines.
+    "q_dedup_prefix_filter" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc1, doc2, sa.sz AS n_a, sb.sz AS n_b, n_inter,
+         |  round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+         |    AS jacc
+         |FROM inter
+         |JOIN sz sa ON doc1 = sa.doc_id
+         |JOIN sz sb ON doc2 = sb.doc_id
+         |WHERE 5 * n_inter >= 3 * (sa.sz + sb.sz - n_inter)""".stripMargin,
 
     "q_dedup_winnow" -> {
       import org.apache.spark.sql.graft.RollingHash.{B, P}

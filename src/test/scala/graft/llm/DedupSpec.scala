@@ -97,4 +97,47 @@ class DedupSpec extends SparkSpec {
     assert(all((1L, 4L)) == 1.0)
     assert(!all.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
   }
+
+  test("prefix-filter join is lossless: exactSimilarPairs ≡ brute force on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Random 5-25-word docs from a 12-word vocabulary: dense enough that
+    // many pairs co-shingle but few clear τ — the regime where a buggy
+    // prefix length actually LOSES pairs (every kept pair also checks the
+    // filter; every brute-force pair must survive it).
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val doc = Gen.choose(5, 25).flatMap(n => Gen.listOfN(n, word))
+    for (trial <- 0 until 3) {
+      val texts = (0 until 40).map { i =>
+        val ws = doc.pureApply(Gen.Parameters.default, Seed(1000L * trial + i))
+        (i.toLong, ws.mkString(" "))
+      }
+      val corpus = texts.toDF("doc_id", "text")
+      val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+      val got = Dedup.exactSimilarPairs(sh, "doc_id", 1, 2)
+        .select("doc1", "doc2", "n_inter")
+        .as[(Long, Long, Long)].collect().toSet
+      // brute-force definition, same τ = 1/2, integer predicate
+      val sets = texts.map { case (id, t) =>
+        id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        ni = (sets(a) & sets(b)).size.toLong
+        if 2 * ni >= (sets(a).size + sets(b).size - ni)
+      } yield (a, b, ni)).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("prefix-filter candidates are a superset of true pairs and pruned vs all-pairs") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val cand = Dedup.prefixFilterPairs(sh, "doc_id", 3, 5)
+      .as[(Long, Long)].collect().toSet
+    // true τ ≥ 0.6 pairs on the fixture: (1,2) at 0.75 and (1,4) at 1.0
+    assert(Set((1L, 2L), (1L, 4L)).subsetOf(cand))
+    // doc3 shares no shingle with anything — no candidate can contain it
+    assert(!cand.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
 }
