@@ -288,6 +288,72 @@ object LlmOps {
           ((col("prior") + col("score_fp")) > 0).as("pred_en"))
     }),
 
+    // Sorted-neighborhood dedup (Hernández & Stolfo SIGMOD'95) — the
+    // sort-based blocking family, complementing hash blocking (LSH) and
+    // prefix filtering: records sorted by a fuzzy key compare only within
+    // a sliding window of w positions. Expressed scale-first as
+    // blocking + in-block SNM: the coarse key (lang, first 8 chars)
+    // partitions, row_number orders within each block by (text, doc_id)
+    // — KEYED windows only, never a global sort — and the w-window pairs
+    // come from a bounded self-join on block + position distance. Exact
+    // Jaccard verifies candidates (pair-bounded). Deterministic: the sort
+    // key embeds the unique doc_id tiebreak, so the window content — and
+    // therefore the candidate set — is engine-independent.
+    "q_dedup_sorted_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = 4 // SNM window: compare each record to the next w-1
+      val docs = table(s, d, "documents")
+      val keyed = docs.select(col("doc_id"),
+        col("lang"), substring(col("text"), 1, 8).as("blk"),
+        col("text"))
+      val rn = keyed.select(col("doc_id"), col("lang"), col("blk"),
+        row_number().over(Window.partitionBy(col("lang"), col("blk"))
+          .orderBy(col("text"), col("doc_id"))).cast("long").as("rn"))
+      val pairs = rn.as("a").join(rn.as("b"),
+          col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+            col("b.rn") > col("a.rn") &&
+            col("b.rn") <= col("a.rn") + lit(w - 1L))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"))
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      Dedup.jaccardForPairs(pairs, sh, "doc_id")
+        .where(col("jaccard") >= 0.5)
+    }),
+
+    // PMI collocation extraction (Church & Hanks, CL'90) — the classic
+    // "which word pairs co-occur more than chance" lexicon builder.
+    // PMI = ln(c12·N / (cL·cR)) with cL/cR the first/second-position
+    // MARGINALS of the bigram-count table, so the probability space is
+    // self-consistent and every count is an exact integer. The corpus
+    // sees ONE explode + ONE groupBy; marginals and N are re-aggregations
+    // of the (vocab²-bounded) bigram-count table, never a second corpus
+    // scan — the same re-agg trick as tfidf's df. Scores are fixed-point
+    // micronats (round(ln·1e6) → bigint), the nb_classifier contract:
+    // identical integers on both engines, then one exact division out.
+    "q_text_pmi" -> ((s, d) => {
+      val big = table(s, d, "documents")
+        .select(explode(TextOps.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c12"))
+        .select(
+          element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"), col("c12"))
+        .cache() // 4 consumers: both marginals, N, and the scored output
+      val cl = big.groupBy(col("w1")).agg(sum(col("c12")).as("c_l"))
+      val cr = big.groupBy(col("w2")).agg(sum(col("c12")).as("c_r"))
+      val n = big.agg(sum(col("c12")).as("nn"))
+      big.where(col("c12") >= 3)
+        .join(broadcast(cl), Seq("w1"))
+        .join(broadcast(cr), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"), col("c_l"), col("c_r"),
+          // cast BEFORE multiplying: c12·N at corpus scale overflows
+          // bigint (ANSI would throw); the doubles stay exact at any
+          // oracle scale (products ≪ 2^53) so both engines agree bitwise
+          (round(log(col("c12").cast("double") * col("nn") /
+            (col("c_l").cast("double") * col("c_r"))) * 1e6).cast("long") /
+            lit(1000000.0)).as("pmi"))
+    }),
+
     // Deterministic hash split — the reproducible train/val/test assignment
     // every training-data pipeline needs: bucket = md5(doc_id) mod 100, so
     // membership is stable across runs, engines, and partitionings (RNG
@@ -1455,6 +1521,53 @@ object LlmOps {
         |  (p.prior + CAST(sum(wt) AS BIGINT)) > 0 AS pred_en
         |FROM tl t JOIN wts USING (w) CROSS JOIN pri p
         |GROUP BY t.doc_id, p.prior""".stripMargin,
+
+    // Same window/block/tiebreak definitions; the candidate set is the
+    // algorithm's DEFINITION so both engines compute it identically.
+    "q_dedup_sorted_neighborhood" ->
+      s"""WITH rn AS (
+         |  SELECT doc_id, lang, substr(text, 1, 8) AS blk,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY lang, substr(text, 1, 8)
+         |      ORDER BY text, doc_id) AS BIGINT) AS rn
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS doc1,
+         |    greatest(a.doc_id, b.doc_id) AS doc2
+         |  FROM rn a JOIN rn b ON a.lang = b.lang AND a.blk = b.blk
+         |    AND b.rn > a.rn AND b.rn <= a.rn + 3),
+         |sh AS (SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc1, p.doc2, count(*) AS common
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc1
+         |  JOIN sh y ON y.doc_id = p.doc2 AND y.w = x.w
+         |  GROUP BY 1, 2)
+         |SELECT doc1, doc2,
+         |  round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON doc1 = s1.doc_id
+         |JOIN sizes s2 ON doc2 = s2.doc_id
+         |WHERE round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4)
+         |  >= 0.5""".stripMargin,
+
+    "q_text_pmi" ->
+      s"""WITH big AS (
+         |  SELECT string_split(w, ' ')[1] AS w1, string_split(w, ' ')[2] AS w2,
+         |    count(*) AS c12
+         |  FROM (SELECT doc_id, ${shingleSqlN(2, distinct = false)}
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |cl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_l FROM big GROUP BY 1),
+         |cr AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c_r FROM big GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM big)
+         |SELECT w1, w2, c12, c_l, c_r,
+         |  CAST(round(ln(CAST(c12 * nn AS DOUBLE) / (c_l * c_r)) * 1000000)
+         |    AS BIGINT) / 1000000.0 AS pmi
+         |FROM big JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+         |WHERE c12 >= 3""".stripMargin,
 
     "q_sample_split" -> {
       val h = s"${sqlHash64("'split|' || CAST(doc_id AS VARCHAR)")} % 100"

@@ -249,6 +249,60 @@ object Relational {
           col("fk_part_orphans").as("violations"), lit(null).cast("long").as("n_rows")))
     }),
 
+    // ANALYZE-style column profiler — the statistics pass a warehouse
+    // runs before planning (null counts, NDV, min/max per column) as ONE
+    // scan: multiple count(distinct) columns share a single Expand pass,
+    // the plan Spark itself uses for ANALYZE TABLE. Monetary min/max go
+    // through integer cents; string columns profile lexically. At corpus
+    // scale the exact NDVs swap for approx_count_distinct (HLL — one pass,
+    // no Expand; q_approx_distinct is that path's contract), the same
+    // exact→sketch trade documented for the percentile family.
+    "q_stats_profile" -> ((s, d) => {
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val wide = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          nulls("o_orderkey").as("nul1"),
+          countDistinct(col("o_orderkey")).as("ndv1"),
+          min(col("o_orderkey")).as("mn1"), max(col("o_orderkey")).as("mx1"),
+          nulls("o_custkey").as("nul2"),
+          countDistinct(col("o_custkey")).as("ndv2"),
+          min(col("o_custkey")).as("mn2"), max(col("o_custkey")).as("mx2"),
+          nulls("price_cents").as("nul3"),
+          countDistinct(col("price_cents")).as("ndv3"),
+          min(col("price_cents")).as("mn3"), max(col("price_cents")).as("mx3"),
+          nulls("o_orderstatus").as("nul4"),
+          countDistinct(col("o_orderstatus")).as("ndv4"),
+          min(col("o_orderstatus")).as("smn4"),
+          max(col("o_orderstatus")).as("smx4"),
+          nulls("o_orderpriority").as("nul5"),
+          countDistinct(col("o_orderpriority")).as("ndv5"),
+          min(col("o_orderpriority")).as("smn5"),
+          max(col("o_orderpriority")).as("smx5"))
+      def num(name: String, i: Int) = struct(
+        lit(name).as("col_name"),
+        col(s"nul$i").as("n_nulls"), col(s"ndv$i").as("ndv"),
+        col(s"mn$i").as("min_num"), col(s"mx$i").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+      def str(name: String, i: Int) = struct(
+        lit(name).as("col_name"),
+        col(s"nul$i").as("n_nulls"), col(s"ndv$i").as("ndv"),
+        lit(null).cast("long").as("min_num"),
+        lit(null).cast("long").as("max_num"),
+        col(s"smn$i").as("min_str"), col(s"smx$i").as("max_str"))
+      wide.select(col("n_rows"), explode(array(
+          num("o_orderkey", 1), num("o_custkey", 2), num("price_cents", 3),
+          str("o_orderstatus", 4), str("o_orderpriority", 5))).as("r"))
+        .select(col("r.col_name").as("col_name"), col("n_rows"),
+          col("r.n_nulls").as("n_nulls"), col("r.ndv").as("ndv"),
+          col("r.min_num").as("min_num"), col("r.max_num").as("max_num"),
+          col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+    }),
+
     // Misra-Gries heavy hitters on the driver record (rows-only by
     // contract: reported counts are merge-order-dependent, so no byte-exact
     // SQL oracle exists). The fixture is engineered so the OUTPUT is still
@@ -1029,6 +1083,33 @@ object Relational {
         |UNION ALL SELECT 'range_discount', range_discount, n_rows FROM scan
         |UNION ALL SELECT 'dup_line_keys', dup_line_keys, n_rows FROM scan
         |UNION ALL SELECT 'fk_part_orphans', v, CAST(NULL AS BIGINT) FROM orph""".stripMargin,
+
+    "q_stats_profile" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS ndv,
+        |  min(o_orderkey) AS min_num, max(o_orderkey) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM base
+        |UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey), min(o_custkey), max(o_custkey),
+        |  NULL, NULL FROM base
+        |UNION ALL SELECT 'price_cents', count(*), count(*) - count(price_cents),
+        |  count(DISTINCT price_cents), min(price_cents), max(price_cents),
+        |  NULL, NULL FROM base
+        |UNION ALL SELECT 'o_orderstatus', count(*),
+        |  count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  min(o_orderstatus), max(o_orderstatus) FROM base
+        |UNION ALL SELECT 'o_orderpriority', count(*),
+        |  count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  min(o_orderpriority), max(o_orderpriority) FROM base""".stripMargin,
 
     "q_window_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
