@@ -227,4 +227,39 @@ class PlanShapeSpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning")
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("prefix-filter join: the df-rank table rides a broadcast and no " +
+    "join in the plan is a nested loop") {
+    // the rank table is vocab-bounded by design and must reach the shingle
+    // stream as a broadcast — a sort-merge there would shuffle the whole
+    // corpus once more per consumer; the candidate self-join and verify
+    // joins must stay equi-joins
+    assume(new java.io.File(sfDir).isDirectory)
+    val df = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df-rank join lost its broadcast:\n$plan")
+  }
+
+  test("stats profile is ONE scan: the five exact NDVs share an Expand") {
+    // multiple count(distinct) columns must compile to a single Expand
+    // over one parquet scan — a UNION-per-column spelling (the oracle's)
+    // would read the table five times
+    val plan = executedPlan("q_stats_profile")
+    val scans = plan.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("sorted-neighborhood: keyed windows only — no single-partition " +
+    "global sort window") {
+    // the SNM order is per (lang, blk) block; a partition-less Window
+    // (global row_number) would serialize the corpus through one task
+    val plan = executedPlan("q_dedup_sorted_neighborhood")
+    assert(!plan.contains("SinglePartition"),
+      s"global (single-partition) exchange appeared in SNM plan:\n$plan")
+  }
 }
