@@ -882,6 +882,90 @@ object Relational {
           min(col("sk")).as("s_min"), max(col("sk")).as("s_max"))
     }),
 
+    // 2D Pareto skyline (Börzsönyi ICDE'01) — minimize price, maximize
+    // quantity: the dominance frontier no single aggregate expresses.
+    // The sweep-line identity makes it windowable: a point survives iff
+    // its qty beats every strictly-cheaper point's best qty. Expressed
+    // two-pass so the FACT table never globally sorts: (1) per-x best-y
+    // (keyed agg); (2) within price BLOCKS a keyed strict-prefix running
+    // max; (3) across blocks a running max over the (block-count-bounded)
+    // block-max table, broadcast back — the same block+prefix pattern as
+    // the percentile two-pass. Only the tiny deduped-x frame ever sees a
+    // window; every threshold is an exact integer (cents / whole units).
+    "q_skyline_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = table(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .distinct()
+      val gy = pts.groupBy(col("price_cents"))
+        .agg(max(col("qty")).as("best_qty"))
+        .withColumn("blk", floor(col("price_cents") / 100000L).cast("long"))
+      val wb = Window.partitionBy(col("blk")).orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val loc = gy.select(col("price_cents"), col("best_qty"), col("blk"),
+        max(col("best_qty")).over(wb).as("lp"))
+      val bmax = gy.groupBy(col("blk")).agg(max(col("best_qty")).as("bm"))
+      val wk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bmax.select(col("blk"), max(col("bm")).over(wk).as("bp"))
+      loc.join(broadcast(bpre), Seq("blk"))
+        .where(col("best_qty") >
+          greatest(coalesce(col("lp"), lit(Long.MinValue)),
+            coalesce(col("bp"), lit(Long.MinValue))))
+        .select(col("price_cents"), col("best_qty").as("qty"))
+    }),
+
+    // Merkle-style cross-replica table diff (anti-entropy reconciliation):
+    // compare two 100 TB table versions WITHOUT shipping either. Stage 1:
+    // each side folds to B bucket sketches — count + bit_xor of a 60-bit
+    // row fingerprint. XOR is a commutative group op: order-independent,
+    // overflow-free (where sum would wrap under ANSI), and map-side
+    // combinable, so the shuffle carries B rows per side TOTAL. Stage 2:
+    // only rows in the (few) differing buckets are re-fetched — bucket
+    // list broadcast, full-outer join on the key classifies each row as
+    // deleted / inserted / changed. With the table laid out by bucket,
+    // stage 2 reads d/B of the data; the sim here drifts version B
+    // deterministically (price +1 on key%97, rows dropped on key%101) so
+    // both engines derive identical replicas from one parquet.
+    "q_etl_table_diff" -> ((s, d) => {
+      val buckets = 64L
+      val a = table(s, d, "orders")
+      val b = a.where(col("o_orderkey") % 101 =!= 0L)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0L, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      def fp(df: DataFrame) = df.select(
+        col("o_orderkey"),
+        (Core.md5Hash64(concat(lit("td|"), col("o_orderkey").cast("string")))
+          % buckets).as("bucket"),
+        Core.md5Hash64(concat_ws("|", col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long"),
+          col("o_orderstatus"))).as("rh"))
+      val fa = fp(a)
+      val fb = fp(b)
+      def sketch(df: DataFrame) = df.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          call_function("bit_xor", col("rh")).as("x"))
+      val dif = sketch(fa).as("sa")
+        .join(sketch(fb).as("sb"), Seq("bucket"), "full_outer")
+        .where(
+          coalesce(col("sa.n"), lit(-1L)) =!= coalesce(col("sb.n"), lit(-1L)) ||
+            coalesce(col("sa.x"), lit(0L)) =!= coalesce(col("sb.x"), lit(0L)))
+        .select(col("bucket"))
+      val da = fa.join(broadcast(dif), Seq("bucket"))
+        .select(col("o_orderkey"), col("rh").as("rh_a"))
+      val db = fb.join(broadcast(dif), Seq("bucket"))
+        .select(col("o_orderkey"), col("rh").as("rh_b"))
+      da.join(db, Seq("o_orderkey"), "full_outer")
+        .where(col("rh_a").isNull || col("rh_b").isNull ||
+          col("rh_a") =!= col("rh_b"))
+        .select(col("o_orderkey"),
+          when(col("rh_b").isNull, "deleted")
+            .when(col("rh_a").isNull, "inserted")
+            .otherwise("changed").as("change_type"))
+    }),
+
     // SCD type-2 merge (the warehouse MERGE INTO pattern, Delta-free):
     // an updates snapshot lands on the current dimension — changed keys
     // close their old version and insert a new one, unknown keys insert,
@@ -1324,6 +1408,64 @@ object Relational {
          |  min(sk) AS s_min, max(sk) AS s_max
          |FROM zt GROUP BY 1""".stripMargin
     },
+
+    // One-pass sweep spelling of the same dominance definition: a point
+    // is on the frontier iff no strictly-cheaper point has ≥ its qty.
+    "q_skyline_pareto" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |gy AS (
+        |  SELECT price_cents, max(qty) AS best_qty FROM pts GROUP BY 1),
+        |sw AS (
+        |  SELECT price_cents, best_qty,
+        |    max(best_qty) OVER (ORDER BY price_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom
+        |  FROM gy)
+        |SELECT price_cents, best_qty AS qty
+        |FROM sw WHERE dom IS NULL OR best_qty > dom""".stripMargin,
+
+    "q_etl_table_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |fa AS (
+        |  SELECT o_orderkey,
+        |    CAST('0x' || substr(md5('td|' || CAST(o_orderkey AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 64 AS bucket,
+        |    CAST('0x' || substr(md5(concat_ws('|', o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus)),
+        |      1, 15) AS BIGINT) AS rh
+        |  FROM a),
+        |fb AS (
+        |  SELECT o_orderkey,
+        |    CAST('0x' || substr(md5('td|' || CAST(o_orderkey AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 64 AS bucket,
+        |    CAST('0x' || substr(md5(concat_ws('|', o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus)),
+        |      1, 15) AS BIGINT) AS rh
+        |  FROM b),
+        |sa AS (SELECT bucket, count(*) AS n, bit_xor(rh) AS x FROM fa GROUP BY 1),
+        |sb AS (SELECT bucket, count(*) AS n, bit_xor(rh) AS x FROM fb GROUP BY 1),
+        |dif AS (
+        |  SELECT coalesce(sa.bucket, sb.bucket) AS bucket
+        |  FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+        |  WHERE coalesce(sa.n, -1) <> coalesce(sb.n, -1)
+        |     OR coalesce(sa.x, 0) <> coalesce(sb.x, 0)),
+        |da AS (SELECT fa.o_orderkey, fa.rh AS rh_a FROM fa JOIN dif USING (bucket)),
+        |db AS (SELECT fb.o_orderkey, fb.rh AS rh_b FROM fb JOIN dif USING (bucket))
+        |SELECT coalesce(da.o_orderkey, db.o_orderkey) AS o_orderkey,
+        |  CASE WHEN rh_b IS NULL THEN 'deleted'
+        |       WHEN rh_a IS NULL THEN 'inserted'
+        |       ELSE 'changed' END AS change_type
+        |FROM da FULL OUTER JOIN db ON da.o_orderkey = db.o_orderkey
+        |WHERE rh_a IS NULL OR rh_b IS NULL OR rh_a <> rh_b""".stripMargin,
 
     "q_etl_scd2_merge" ->
       """WITH dim AS (
