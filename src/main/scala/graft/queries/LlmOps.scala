@@ -288,6 +288,26 @@ object LlmOps {
           ((col("prior") + col("score_fp")) > 0).as("pred_en"))
     }),
 
+    // Compression-ratio quality gate (the Gopher/DCLM "compressibility"
+    // filter): deflate(text)/raw bytes. Catches LONG-range templating the
+    // token-entropy gate can't see (entropy reads the unigram histogram;
+    // boilerplate repeats whole sentences). Rows-only by contract — SQL
+    // has no zlib — semantics pinned by DeflateLenSpec; the signal rides
+    // the codegen'd graft_deflate_len expression (a per-thread Deflater,
+    // no UDF serialization), so the scan stays one whole-stage pass.
+    "q_text_compress_ratio" -> ((s, d) => {
+      val z = org.apache.spark.sql.graft.GraftSql.deflateLen(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          z.as("z_bytes"))
+        .select(col("doc_id"), col("n_bytes"), col("z_bytes"),
+          when(col("n_bytes") > 0,
+            round(col("z_bytes").cast("double") / col("n_bytes"), 4))
+            .as("ratio"),
+          (col("z_bytes") * 4 < col("n_bytes")).as("flag_templated"))
+    }),
+
     // Sorted-neighborhood dedup (Hernández & Stolfo SIGMOD'95) — the
     // sort-based blocking family, complementing hash blocking (LSH) and
     // prefix filtering: records sorted by a fuzzy key compare only within

@@ -73,4 +73,8 @@ object GraftSql {
   /** Codegen'd dot product of two array<double> columns. */
   def dotFast(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** DEFLATE-compressed byte count of a string column. */
+  def deflateLen(s: Column): Column =
+    column(DeflateLen(expression(s)))
 }

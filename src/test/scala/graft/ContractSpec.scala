@@ -17,9 +17,11 @@ class ContractSpec extends SparkSpec {
     // q_approx_distinct: HLL estimates are engine-specific;
     // q_evidence_sha1: DuckDB has no sha1;
     // q_agg_heavyhitters: MG counts are merge-order-dependent — the query
-    //   emits only merge-order-invariant guarantees (presence + ε-bound)
+    //   emits only merge-order-invariant guarantees (presence + ε-bound);
+    // q_text_compress_ratio: SQL has no zlib — DeflateLenSpec pins it
     assert(rowsOnly ==
-      Set("q_approx_distinct", "q_evidence_sha1", "q_agg_heavyhitters"),
+      Set("q_approx_distinct", "q_evidence_sha1", "q_agg_heavyhitters",
+        "q_text_compress_ratio"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 
