@@ -120,6 +120,41 @@ object LlmOps {
       Dedup.components(pairs, iters = 4)
     }),
 
+    // Multi-pass blocking entity resolution — the production ER recipe
+    // (Papadakis et al. survey): UNION complementary blocking passes, then
+    // verify once. LSH (hash blocking — catches scattered token overlap)
+    // ∪ sorted-neighborhood (order blocking — catches shared-prefix pairs
+    // banding can miss when signature agreement dips), exact-Jaccard
+    // verify on the union, min-label components for the entity clusters.
+    // Each pass is its own verified operator elsewhere in this file; the
+    // composition adds one distinct + the shared verify, and the shingle
+    // table is cached across signature build and verify.
+    "q_dedup_multipass" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
+      val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", MinhashSeeds)
+      val lsh = Dedup
+        .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("doc1"), col("doc2"))
+      val rn = docs.select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 8).as("blk"), col("text"))
+        .select(col("doc_id"), col("lang"), col("blk"),
+          row_number().over(Window.partitionBy(col("lang"), col("blk"))
+            .orderBy(col("text"), col("doc_id"))).cast("long").as("rn"))
+      val snm = rn.as("a").join(rn.as("b"),
+          col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+            col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + lit(3L))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"))
+      val cand = lsh.unionByName(snm).distinct()
+      val verified = Dedup.jaccardForPairs(cand, sh, "doc_id")
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      Dedup.components(verified, iters = 4)
+    }),
+
     // Benchmark decontamination: corpus docs sharing an LSH band bucket
     // with a reference set (here: source 'src0' plays the held-out
     // benchmark). The bipartite join never pairs corpus×corpus — at real
@@ -1254,6 +1289,65 @@ object LlmOps {
   private lazy val componentsOracleSql: String =
     s"$componentsCtes\nSELECT doc_id, label AS cluster FROM l4"
 
+  /** Multi-pass ER oracle: LSH ∪ SNM candidates, exact-Jaccard verify,
+    * four unrolled min-label propagation CTEs (the componentsCtes
+    * pattern, re-derived here because the candidate set differs).
+    */
+  private lazy val multipassOracleSql: String = {
+    val mins = MinhashSeeds
+      .map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    val iterations = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT ed.s AS doc_id, min(l${i - 1}.label) AS label
+         |  FROM ed JOIN l${i - 1} ON l${i - 1}.doc_id = ed.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql),
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |lshc AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |rn AS (
+       |  SELECT doc_id, lang, substr(text, 1, 8) AS blk,
+       |    row_number() OVER (
+       |      PARTITION BY lang, substr(text, 1, 8)
+       |      ORDER BY text, doc_id) AS rn
+       |  FROM documents),
+       |snmc AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc1,
+       |    greatest(a.doc_id, b.doc_id) AS doc2
+       |  FROM rn a JOIN rn b ON a.lang = b.lang AND a.blk = b.blk
+       |    AND b.rn > a.rn AND b.rn <= a.rn + 3),
+       |cand AS (SELECT doc1, doc2 FROM lshc UNION SELECT doc1, doc2 FROM snmc),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc1, c.doc2, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc1
+       |  JOIN sh y ON y.doc_id = c.doc2 AND y.w = x.w
+       |  GROUP BY 1, 2),
+       |p2 AS (
+       |  SELECT doc1, doc2 FROM inter
+       |  JOIN sizes s1 ON doc1 = s1.doc_id
+       |  JOIN sizes s2 ON doc2 = s2.doc_id
+       |  WHERE round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4)
+       |    >= 0.5),
+       |v AS (SELECT doc1 AS doc_id FROM p2 UNION SELECT doc2 FROM p2),
+       |ed AS (
+       |  SELECT doc1 AS s, doc2 AS t FROM p2
+       |  UNION ALL SELECT doc2, doc1 FROM p2
+       |  UNION ALL SELECT doc_id, doc_id FROM v),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM v),
+       |$iterations
+       |SELECT doc_id, label AS cluster FROM l4""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
@@ -1718,6 +1812,8 @@ object LlmOps {
     },
 
     "q_dedup_components" -> componentsOracleSql,
+
+    "q_dedup_multipass" -> multipassOracleSql,
 
     // Shared legitimately: the fixture's cluster diameters are < 4, so the
     // 4-iteration unrolled propagation IS the fixpoint on this data.
