@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Core
 import graft.llm.{Dedup, TextOps}
@@ -407,6 +407,34 @@ object LlmOps {
           (round(log(col("c12").cast("double") * col("nn") /
             (col("c_l").cast("double") * col("c_r"))) * 1e6).cast("long") /
             lit(1000000.0)).as("pmi"))
+    }),
+
+    // χ² term-class association — feature selection for trained quality
+    // classifiers (the step between q_text_nb_classifier's counts and a
+    // compact model): 2×2 contingency of token × weak label,
+    // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). With d = tn−b, c = tp−a the
+    // cross term folds to a·tn − b·tp. All arithmetic rides decimal(38,0)
+    // (HUGEINT on the oracle side), so the final double is a quotient of
+    // exactly-agreed integers — deterministic at any corpus size. Same
+    // one-explode/one-groupBy corpus cost as the NB trainer.
+    "q_text_chi2_terms" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select((col("lang") === "en").as("pos"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+      val cnt = toks.groupBy(col("w")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("b"))
+      val tot = cnt.agg(sum(col("a")).as("tp"), sum(col("b")).as("tn"))
+      def dd(c: Column) = c.cast("decimal(38,0)")
+      val delta = dd(col("a")) * dd(col("tn")) - dd(col("b")) * dd(col("tp"))
+      val num = (dd(col("tp")) + dd(col("tn"))) * delta * delta
+      val den = (dd(col("a")) + dd(col("b"))) *
+        (dd(col("tp")) + dd(col("tn")) - dd(col("a")) - dd(col("b"))) *
+        dd(col("tp")) * dd(col("tn"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("w"), col("a"), col("b"),
+          when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+            .as("chi2"))
     }),
 
     // Deterministic hash split — the reproducible train/val/test assignment
@@ -1606,6 +1634,30 @@ object LlmOps {
         |  count(*) AS n_tokens
         |FROM toks JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    "q_text_chi2_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+        |tl AS (SELECT t.w, l.pos FROM toks t JOIN lab l USING (doc_id)),
+        |cnt AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM tl GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS tp, CAST(sum(b) AS BIGINT) AS tn
+        |  FROM cnt)
+        |SELECT w, a, b,
+        |  CASE WHEN CAST(a + b AS HUGEINT) * (tp + tn - a - b) * tp * tn > 0
+        |    THEN round(
+        |      CAST(CAST(tp + tn AS HUGEINT) *
+        |        CAST(a * tn - b * tp AS HUGEINT) *
+        |        CAST(a * tn - b * tp AS HUGEINT) AS DOUBLE) /
+        |      CAST(CAST(a + b AS HUGEINT) * (tp + tn - a - b) * tp * tn
+        |        AS DOUBLE), 4)
+        |  END AS chi2
+        |FROM cnt CROSS JOIN tot""".stripMargin,
 
     "q_text_nb_classifier" ->
       """WITH lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),

@@ -882,6 +882,48 @@ object Relational {
           min(col("sk")).as("s_min"), max(col("sk")).as("s_max"))
     }),
 
+    // Pearson correlation matrix of four lineitem measures in ONE scan:
+    // 15 moment aggregates (sums, squares, cross products) over integer
+    // fixed-point columns, all map-side combinable — no Expand, no second
+    // pass. corr is then DERIVED from exact integer moments:
+    // (n·Σxy − ΣxΣy) / √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²). The moments ride
+    // decimal(38,0) (HUGEINT on the oracle side) so every intermediate is
+    // exact at any row count, and the final doubles are quotients of
+    // exactly-agreed integers — deterministic where the builtin corr()'s
+    // streaming co-moments would differ by summation order.
+    "q_stats_corr" -> ((s, d) => {
+      val b = table(s, d, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"),
+        round(col("l_discount") * 10000).cast("long").as("dd"),
+        round(col("l_tax") * 10000).cast("long").as("t"))
+      def dec(c: String) = col(c).cast("decimal(19,0)")
+      val cols = Seq("q", "p", "dd", "t")
+      val sums = cols.map(c => sum(dec(c)).as(s"s_$c"))
+      val sqs = cols.map(c => sum(dec(c) * dec(c)).as(s"ss_$c"))
+      val crosses = cols.combinations(2).toSeq.map { case Seq(x, y) =>
+        sum(dec(x) * dec(y)).as(s"sx_${x}_$y")
+      }
+      val wide = b.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        (sums ++ sqs ++ crosses): _*)
+      def corrOf(x: String, y: String) = {
+        val num = (col("n") * col(s"sx_${x}_$y") -
+          col(s"s_$x") * col(s"s_$y")).cast("double")
+        val vx = (col("n") * col(s"ss_$x") -
+          col(s"s_$x") * col(s"s_$x")).cast("double")
+        val vy = (col("n") * col(s"ss_$y") -
+          col(s"s_$y") * col(s"s_$y")).cast("double")
+        struct(lit(x).as("var_x"), lit(y).as("var_y"),
+          round(num / (sqrt(vx) * sqrt(vy)), 6).as("corr"))
+      }
+      val pairs = cols.combinations(2).toSeq.map { case Seq(x, y) =>
+        corrOf(x, y)
+      }
+      wide.select(explode(array(pairs: _*)).as("r"))
+        .select(col("r.var_x").as("var_x"), col("r.var_y").as("var_y"),
+          col("r.corr").as("corr"))
+    }),
+
     // 2D Pareto skyline (Börzsönyi ICDE'01) — minimize price, maximize
     // quantity: the dominance frontier no single aggregate expresses.
     // The sweep-line identity makes it windowable: a point survives iff
@@ -1407,6 +1449,37 @@ object Relational {
          |  min(p) AS p_min, max(p) AS p_max,
          |  min(sk) AS s_min, max(sk) AS s_max
          |FROM zt GROUP BY 1""".stripMargin
+    },
+
+    // Same exact-integer moment algebra; HUGEINT sums stand in for the
+    // decimal(38,0) accumulators. Generated so the pair list and formula
+    // can never drift from the Spark side.
+    "q_stats_corr" -> {
+      val cols = Seq("q", "p", "dd", "t")
+      val moments =
+        (Seq("count(*) AS n") ++
+          cols.map(c => s"sum($c) AS s_$c") ++
+          cols.map(c => s"sum($c * $c) AS ss_$c") ++
+          cols.combinations(2).toSeq.map { case Seq(x, y) =>
+            s"sum($x * $y) AS sx_${x}_$y"
+          }).mkString(",\n    ")
+      val rows = cols.combinations(2).toSeq.map { case Seq(x, y) =>
+        s"""SELECT '$x' AS var_x, '$y' AS var_y,
+           |  round(CAST(n * sx_${x}_$y - s_$x * s_$y AS DOUBLE) /
+           |    (sqrt(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE)) *
+           |     sqrt(CAST(n * ss_$y - s_$y * s_$y AS DOUBLE))), 6) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH b AS (
+         |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         |    CAST(round(l_discount * 10000) AS BIGINT) AS dd,
+         |    CAST(round(l_tax * 10000) AS BIGINT) AS t
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT $moments
+         |  FROM b)
+         |$rows""".stripMargin
     },
 
     // One-pass sweep spelling of the same dominance definition: a point
