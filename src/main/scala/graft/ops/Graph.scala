@@ -124,4 +124,55 @@ object Graph {
     }
     score.select(col("node"), col("score").as("pr_fixed"))
   }
+
+  /** Fixed-round k-core peeling (Seidman '83) with a scale-adaptive
+    * threshold k = floor(mean degree) = |directed edges| DIV |nodes|:
+    * each round recomputes degrees over the surviving edge set and deletes
+    * every node below k together with its incident edges — the cascade
+    * that defines the core (a node can start above k and fall below it as
+    * its neighbours peel). Emits one summary row per round
+    * (round, k, n_alive, n_edges) so the result stays informative even
+    * when the core empties. The fixed round count keeps the plan static
+    * and the cross-engine oracle an unrolled CTE (pagerankFixed's trick);
+    * k rides exact integer division, so every output cell is an integer
+    * and the compare tolerates no FP slack.
+    *
+    * Input must already be undirected (both directions present).
+    *
+    * 100 TB shape: per round one keyed degree count (map-side partial)
+    * plus two broadcast semi-joins against the shrinking alive set —
+    * edges are hash-partitioned on src ONCE before the round-0 persist,
+    * and broadcast semi-joins preserve that layout, so no round
+    * re-shuffles the big side; each round's surviving frame persists in
+    * the same layout for its two consumers (next round's degree agg and
+    * its own summary count).
+    */
+  def kcoreRounds(undirected: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var edges = undirected.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kf = edges
+      .agg(count(lit(1)).as("m"), countDistinct(col("src")).as("nv"))
+      .select(expr("CAST(m DIV nv AS BIGINT)").as("k"))
+    val rows = (1 to rounds).map { r =>
+      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kf))
+        .where(col("deg") >= col("k"))
+        .select(col("src").as("node"))
+      val next = edges
+        .join(broadcast(alive.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .join(broadcast(alive.select(col("node").as("dst"))),
+          Seq("dst"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val row = alive.agg(count(lit(1)).as("n_alive"))
+        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(kf))
+        .select(lit(r.toLong).as("round"), col("k"),
+          col("n_alive"), col("n_edges"))
+      edges = next
+      row
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

@@ -1059,8 +1059,101 @@ object Relational {
       Graph.pagerankFixed(
         li.union(li.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
         iters = 3)
+    }),
+
+    // k-core decomposition (3 peeling rounds, k = floor(mean degree)) over
+    // the same user co-occurrence graph as q_graph_triangles. The adaptive
+    // k makes the cascade real at every SF (measured sf0.01: 150 -> 81 ->
+    // 9 -> 0 alive); see Graph.kcoreRounds for the per-round shape.
+    "q_graph_kcore" -> ((s, d) => {
+      val occ = table(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 300").as("win"),
+          col("event_type"), col("user_id"))
+        .distinct()
+      val e = occ.as("a")
+        .join(occ.as("b"),
+          col("a.win") === col("b.win") &&
+            col("a.event_type") === col("b.event_type") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+        .distinct()
+      Graph.kcoreRounds(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+        rounds = 3)
+    }),
+
+    // Daily cohort retention matrix — the product-analytics staple: cohort
+    // = a user's first active day, each later active day lands in
+    // (cohort, day_offset), cell = distinct users. One (user_id, day)
+    // distinct, then cohort via a partition-wide window min (same user_id
+    // exchange feeds the window AND dedup's co-group) — no join back, and
+    // after the window the frame is already one row per (user, day), so
+    // the cell count is a plain count, not a countDistinct Expand.
+    "q_events_retention" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = table(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      act
+        .withColumn("cohort",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Market-basket pair mining with a-priori pruning (Agrawal/Srikant
+    // VLDB'94 downward closure): only items frequent on their own
+    // (support >= 33 orders) enter the per-order pair self-join, so the
+    // quadratic step runs on the pruned basket, not the raw one (sf0.01:
+    // 612 of 2000 parts survive the gate). The frequent set is a
+    // broadcast join carrying each item's support, so pair support AND
+    // both item supports come out of one aggregation — lift is derivable
+    // downstream from exact integers without a total-count singleton join.
+    "q_basket_pairs" -> ((s, d) => {
+      val items = table(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 33)
+      val fi = items.join(broadcast(freq), Seq("p"))
+      fi.as("a")
+        .join(fi.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("pair_n"),
+          min(col("a.n")).as("n1"), min(col("b.n")).as("n2"))
+        .where(col("pair_n") >= 2)
+    }),
+
+    // Benford first-digit audit — the fraud/data-quality screen: observed
+    // first-significant-digit shares of l_extendedprice vs the Benford
+    // expectation log10(1 + 1/d). Digits come from integer-cents string
+    // prefixes (no log10 on data, which engines round differently); the
+    // expected column is a Scala-computed literal interpolated into BOTH
+    // plans, so the compare is exact. One scan, 9-row output.
+    "q_stats_benford" -> ((s, d) => {
+      val digits = table(s, d, "lineitem")
+        .select(substring(
+          round(col("l_extendedprice") * 100).cast("long").cast("string"),
+          1, 1).cast("long").as("digit"))
+      val expCol = (1 to 9).foldLeft(lit(null).cast("double")) {
+        case (acc, dd) =>
+          when(col("digit") === dd, lit(benfordPct(dd))).otherwise(acc)
+      }
+      digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(digits.agg(count(lit(1)).as("tot"))))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("pct"),
+          expCol.as("benford_pct"))
     })
   )
+
+  /** log10(1 + 1/d) rounded to 6 places — shared verbatim by the Spark
+    * plan and the generated oracle so the literal can never drift.
+    */
+  private def benfordPct(d: Int): Double =
+    math.round(math.log10(1 + 1.0 / d) * 1e6) / 1e6
 
   val oracle: Map[String, String] = Map(
     "q_window_rankfns" ->
@@ -1646,6 +1739,77 @@ object Relational {
         |  SELECT l_suppkey AS src, l_partkey AS hop FROM lineitem
         |  UNION
         |  SELECT l_suppkey AS src, l_suppkey AS hop FROM lineitem)
-        |GROUP BY src""".stripMargin
+        |GROUP BY src""".stripMargin,
+
+    // Unrolled 3-round peel, same integer-exact k; each round's alive set
+    // and surviving edges are their own CTE pair, summary rows UNION ALL.
+    "q_graph_kcore" -> {
+      def round(prevU: String, r: Int) =
+        s"""d$r AS (SELECT s, count(*) AS c FROM $prevU GROUP BY 1),
+           |a$r AS (SELECT s FROM d$r, kv WHERE c >= k),
+           |u$r AS (SELECT p.s, p.d FROM $prevU p
+           |        JOIN a$r x ON p.s = x.s JOIN a$r y ON p.d = y.s)"""
+      def row(r: Int) =
+        s"""SELECT CAST($r AS BIGINT) AS round, k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM a$r) AS n_alive,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM u$r) AS n_edges
+           |FROM kv"""
+      s"""WITH occ AS (
+         |  SELECT DISTINCT CAST(floor(epoch(ts)/300) AS BIGINT) AS win,
+         |    event_type, user_id FROM events),
+         |e AS (
+         |  SELECT DISTINCT a.user_id AS s, b.user_id AS d
+         |  FROM occ a JOIN occ b
+         |    ON a.win = b.win AND a.event_type = b.event_type
+         |    AND a.user_id < b.user_id),
+         |u0 AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+         |kv AS (SELECT CAST(count(*) // count(DISTINCT s) AS BIGINT) AS k
+         |       FROM u0),
+         |${round("u0", 1)},
+         |${round("u1", 2)},
+         |${round("u2", 3)}
+         |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}""".stripMargin
+    },
+
+    "q_events_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort
+        |  FROM act)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |f AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS n
+        |  FROM it GROUP BY 1 HAVING count(*) >= 33),
+        |fi AS (SELECT it.o, it.p, f.n FROM it JOIN f USING (p))
+        |SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS pair_n,
+        |  min(a.n) AS n1, min(b.n) AS n2
+        |FROM fi a JOIN fi b ON a.o = b.o AND a.p < b.p
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // Expected shares share graft.queries.Relational.benfordPct's exact
+    // literals via interpolation — the two plans cannot drift.
+    "q_stats_benford" -> {
+      val cases = (1 to 9)
+        .map(dd => s"WHEN $dd THEN ${math.round(math.log10(1 + 1.0 / dd) * 1e6) / 1e6}")
+        .mkString(" ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM lineitem),
+         |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d)
+         |SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 6) AS pct,
+         |  CASE digit $cases END AS benford_pct
+         |FROM c CROSS JOIN t""".stripMargin
+    }
   )
 }
