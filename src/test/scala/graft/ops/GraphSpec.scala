@@ -89,6 +89,29 @@ class GraphSpec extends SparkSpec {
     assert(pr(1L) == 500000000L, pr)
   }
 
+  test("kcoreRounds cascades: peeling a leaf exposes its neighbour") {
+    // K4 on {1,2,3,4} + path 1-5, 5-6. Mean degree = 16/6 -> k=2.
+    // Round 1 peels 6 (deg 1); round 2 peels 5 (its degree FELL to 1 when
+    // 6 left — the cascade); round 3 is the fixed point (the 4-clique).
+    val edges = Graph.undirect(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (1L, 5L), (5L, 6L)).toDF("src", "dst"))
+    val rows = Graph.kcoreRounds(edges, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 2L, 5L, 14L), (2L, 2L, 4L, 12L),
+      (3L, 2L, 4L, 12L)))
+  }
+
+  test("kcoreRounds fixed point: a cycle at k = mean degree peels nothing") {
+    val n = 5L
+    val edges = Graph.undirect(
+      (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst"))
+    val rows = Graph.kcoreRounds(edges, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 2L, 5L, 10L), (2L, 2L, 5L, 10L),
+      (3L, 2L, 5L, 10L)))
+  }
+
   test("invertClosure turns ancestors into descendants") {
     val df = Seq(("x", Seq("x", "p")), ("y", Seq("y", "p"))).toDF("id", "ancestors")
     val inv = Graph.invertClosure(df, "id", "ancestors")
