@@ -1146,6 +1146,100 @@ object Relational {
         .select(col("digit"), col("n"),
           round(col("n").cast("double") / col("tot"), 6).as("pct"),
           expCol.as("benford_pct"))
+    }),
+
+    // Last-touch attribution — the ads-analytics staple, and a second
+    // domain for the custom AsOfJoin operator: each purchase backward
+    // as-of joins to the user's latest preceding view/click, revenue is
+    // credited to that channel ('none' when no touch precedes). One merge
+    // pass over co-partitioned sorted sides — no per-row window re-scan.
+    // Revenue sums integer cents so the rollup is order-independent.
+    "q_events_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.graft.AsOf
+      val ev = table(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id").as("t_user"), col("ts").as("t_ts"))
+        .agg(max(col("event_type")).as("t_type"))
+      AsOf.join(purchases, touches, "user_id", "t_user", "ts", "t_ts")
+        .groupBy(coalesce(col("t_type"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("rev_cents"))
+    }),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // (clickstream modelling / anomalous-flow detection): lag pairs on one
+    // (user_id) sort, then a type²-bounded count table; transition
+    // probabilities are exact integer quotients via a window total over
+    // the tiny matrix, so the doubles agree cross-engine.
+    "q_events_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cnt = table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      cnt.withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+    }),
+
+    // Incremental aggregate maintenance — the materialized-view pattern:
+    // keep a mergeable state table (count, integer-cent sum) over the
+    // frozen base, aggregate only the delta, and full-outer merge the two
+    // states; derived measures (avg) come off the merged state. The oracle
+    // is the DIRECT full-table aggregate, so the green row PROVES
+    // merge ≡ rescan. At 100 TB the base state is a key-sized table and
+    // only the delta partition is ever scanned.
+    "q_etl_incremental_agg" -> ((s, d) => {
+      val cut = to_timestamp(lit("1999-01-01"))
+      val o = table(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def state(df: DataFrame) = df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val base = state(o.where(col("o_orderdate") < cut))
+        .select(col("prio"), col("n").as("n_b"), col("sc").as("c_b"))
+      val delta = state(o.where(col("o_orderdate") >= cut))
+        .select(col("prio"), col("n").as("n_d"), col("sc").as("c_d"))
+      base.join(delta, Seq("prio"), "full_outer")
+        .select(col("prio"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
+            .as("sum_cents"))
+        .select(col("prio"), col("n_orders"), col("sum_cents"),
+          round(col("sum_cents").cast("double") / col("n_orders") / 100.0, 4)
+            .as("avg_price"))
+    }),
+
+    // Key-skew diagnostic — the profiler that decides salting/AQE-skew
+    // settings BEFORE a 100 TB join: per-key count distribution summary
+    // (max, exact p50/p99, hot-key count at >2x mean via the integer
+    // cross-multiplication n*n_keys > 2*total — no double mean). The
+    // per-key count table persists for its three consumers; everything
+    // downstream of it is key-cardinality-sized.
+    "q_stats_skew" -> ((s, d) => {
+      val counts = table(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .persist()
+      val tot = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("total_rows"))
+      val hot = counts.crossJoin(broadcast(tot))
+        .where(col("n") * col("n_keys") > lit(2L) * col("total_rows"))
+        .agg(count(lit(1)).as("n_hot"))
+      val stats = counts.agg(max(col("n")).as("max_n"),
+        expr("percentile(n, array(0.5, 0.99))").as("ps"))
+      tot.crossJoin(broadcast(stats)).crossJoin(broadcast(hot))
+        .select(col("n_keys"), col("total_rows"), col("max_n"),
+          round(element_at(col("ps"), 1), 4).as("p50_n"),
+          round(element_at(col("ps"), 2), 4).as("p99_n"),
+          col("n_hot"))
     })
   )
 
@@ -1810,6 +1904,60 @@ object Relational {
          |SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 6) AS pct,
          |  CASE digit $cases END AS benford_pct
          |FROM c CROSS JOIN t""".stripMargin
-    }
+    },
+
+    "q_events_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, CAST(ts AS TIMESTAMP) AS t_ts,
+        |    max(event_type) AS t_type
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+        |SELECT coalesce(t_type, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.t_user AND p.ts >= t.t_ts
+        |GROUP BY 1""".stripMargin,
+
+    "q_events_markov" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
+
+    // The DIRECT full-table aggregate: a green row proves the engine's
+    // base+delta state merge reproduces the rescan exactly.
+    "q_etl_incremental_agg" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100.0, 4) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_stats_skew" ->
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(sum(n) AS BIGINT) AS total_rows FROM c),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hot
+        |      FROM c, t WHERE n * n_keys > 2 * total_rows),
+        |s AS (SELECT CAST(max(n) AS BIGINT) AS max_n,
+        |             round(quantile_cont(n, 0.5), 4) AS p50_n,
+        |             round(quantile_cont(n, 0.99), 4) AS p99_n FROM c)
+        |SELECT n_keys, total_rows, max_n, p50_n, p99_n, n_hot
+        |FROM t CROSS JOIN s CROSS JOIN h""".stripMargin
   )
 }
