@@ -262,4 +262,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"global (single-partition) exchange appeared in SNM plan:\n$plan")
   }
+
+  test("attribution runs through the custom AsOfJoin exec — no window " +
+    "re-scan, no nested loop") {
+    val plan = executedPlan("q_events_attribution")
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("basket pairs: the frequent-item gate is a broadcast join and the " +
+    "pair step an equi-join") {
+    // the a-priori prune must ride a broadcast (the frequent set is
+    // key-sized); the per-order pairing must stay an equi-join on o —
+    // a cartesian here is the quadratic blowup the gate exists to avoid
+    val plan = executedPlan("q_basket_pairs")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("k-core rounds: alive-set filters are broadcast semi-joins — the " +
+    "edge frame never re-sorts through a shuffle join") {
+    // each peel round meets the shrinking alive set as BroadcastHashJoin
+    // LeftSemi on the edges' existing layout; a SortMergeJoin appearing
+    // means a round started re-shuffling the big side
+    val plan = executedPlan("q_graph_kcore")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("skew profiler: everything after the per-key count is broadcast — " +
+    "no shuffle join over the key table") {
+    val plan = executedPlan("q_stats_skew")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
