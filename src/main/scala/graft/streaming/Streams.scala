@@ -160,6 +160,56 @@ object Streams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, tsMs: Long)
+  case class FunnelState(s1: Option[Long], s2: Option[Long], s3: Option[Long])
+  case class FunnelSnapshot(user_id: Long, stage: Int)
+
+  /** Streaming twin of q_events_funnel's min-chain: per-user ordered-stage
+    * progression (stage N only counts strictly after stage N-1's entry),
+    * held as three Option[Long] timestamps of bounded per-user state and
+    * emitted as the user's current stage depth each micro-batch (Update
+    * mode — the sink's last snapshot per user is the funnel position).
+    *
+    * Equivalence contract: under per-user ts-ordered arrival (the keyed
+    * Kafka-partition reality) the final snapshots match the batch
+    * min-chain exactly — in ts order the first qualifying event IS the
+    * min, so the fold and the min-agg agree; each micro-batch is sorted
+    * before folding, so disorder WITHIN a batch is also tolerated. Only
+    * late events that cross micro-batch boundaries can diverge — a
+    * watermarked buffer would close that gap at the cost of emit latency.
+    *
+    * 100 TB shape: state is 3 longs per ACTIVE user regardless of event
+    * volume; no shuffle beyond the groupByKey hash exchange. Dormant-user
+    * GC would add ProcessingTimeTimeout eviction, dropping users whose
+    * funnel can no longer change.
+    */
+  def funnelStages(events: Dataset[FunnelEvent],
+                   stages: Seq[String] = Seq("view", "click", "purchase"))
+  : Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    require(stages.size == 3, s"exactly 3 stages: $stages")
+    val Seq(t1, t2, t3) = stages
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          batch.toSeq.sortBy(e => (e.tsMs, e.event_type)).foreach { e =>
+            if (e.event_type == t1 && s.s1.isEmpty)
+              s = s.copy(s1 = Some(e.tsMs))
+            else if (e.event_type == t2 && s.s2.isEmpty &&
+              s.s1.exists(e.tsMs > _))
+              s = s.copy(s2 = Some(e.tsMs))
+            else if (e.event_type == t3 && s.s3.isEmpty &&
+              s.s2.exists(e.tsMs > _))
+              s = s.copy(s3 = Some(e.tsMs))
+          }
+          state.update(s)
+          Iterator(FunnelSnapshot(uid,
+            Seq(s.s1, s.s2, s.s3).takeWhile(_.isDefined).size))
+      }
+  }
+
   case class Event(user_id: Long, value: Double)
   case class RunningState(n: Long, total: Double)
   case class RunningSnapshot(user_id: Long, n_events: Long, total_value: Double)

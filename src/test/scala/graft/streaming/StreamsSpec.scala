@@ -280,4 +280,57 @@ class StreamsSpec extends SparkSpec {
       assert(latest(2L) == Streams.RunningSnapshot(2L, 1L, 10.0))
     } finally q.stop()
   }
+
+  test("funnelStages advances per-user stages across micro-batches, " +
+    "strictly-after only") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // user 1: view then a SAME-ts click (must NOT count: strictly after)
+      // user 2: click with no preceding view (must NOT count)
+      input.addData(
+        Streams.FunnelEvent(1L, "view", 100L),
+        Streams.FunnelEvent(1L, "click", 100L),
+        Streams.FunnelEvent(2L, "click", 50L))
+      q.processAllAvailable()
+      // batch 2: user 1 completes; user 2's view opens stage 1 only
+      // (its earlier click is gone — cross-batch order is the contract)
+      input.addData(
+        Streams.FunnelEvent(1L, "click", 200L),
+        Streams.FunnelEvent(1L, "purchase", 300L),
+        Streams.FunnelEvent(2L, "view", 60L))
+      q.processAllAvailable()
+      val latest = spark.table("funnel_stages")
+        .as[Streams.FunnelSnapshot].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.map(_.stage).max }
+      assert(latest(1L) == 3, latest)
+      assert(latest(2L) == 1, latest)
+    } finally q.stop()
+  }
+
+  test("funnelStages sorts within a micro-batch: disorder inside one " +
+    "batch matches the batch min-chain") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("funnel_disorder")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Streams.FunnelEvent(7L, "purchase", 30L),
+        Streams.FunnelEvent(7L, "click", 20L),
+        Streams.FunnelEvent(7L, "view", 10L))
+      q.processAllAvailable()
+      val stage = spark.table("funnel_disorder")
+        .as[Streams.FunnelSnapshot].collect().map(_.stage).max
+      assert(stage == 3)
+    } finally q.stop()
+  }
 }
