@@ -72,9 +72,13 @@ object Graph {
       .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
       .join(deg.select(col("u").as("dst"), col("d").as("dt")), Seq("dst"))
     val srcFirst = struct(col("ds"), col("src")) < struct(col("dt"), col("dst"))
+    // 3 wedge-join consumers: without the persist each reference re-derives
+    // the whole orientation lineage (dedup + degree joins) at runtime —
+    // A/B Smoke ×3 warm sf0.1: 2.4-2.9 s bare vs 1.2-1.5 s persisted
     val oriented = withDeg.select(
       when(srcFirst, col("src")).otherwise(col("dst")).as("s"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     oriented.as("e1")
       .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
       .join(oriented.as("e3"),
