@@ -179,4 +179,38 @@ object Graph {
     }
     rows.reduce(_ unionByName _)
   }
+
+  /** Fixed-round BFS from a deterministic seed (the minimum node id):
+    * round r labels every unreached neighbour of the round-(r-1) frontier
+    * with distance r. Integer distances, deterministic seed, static plan —
+    * the oracle unrolls the same rounds (min-distance semantics fall out
+    * of the anti-join: a node is labelled the FIRST round it is seen).
+    *
+    * 100 TB shape: classic frontier expansion — edges hash-partitioned on
+    * src once and persisted; each round joins the (small) frontier against
+    * the edge cache as a broadcast, then anti-joins the (node-sized)
+    * visited set, also broadcast while the reachable set is sparse. The
+    * per-round shuffle is frontier-sized, never edge-sized.
+    */
+  def bfsRounds(undirected: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = undirected.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = e.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var visited = seed.persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seed
+    for (r <- 1 to rounds) {
+      val next = e.join(broadcast(frontier.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.unionByName(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next
+    }
+    visited
+  }
 }

@@ -1240,6 +1240,40 @@ object Relational {
           round(element_at(col("ps"), 1), 4).as("p50_n"),
           round(element_at(col("ps"), 2), 4).as("p99_n"),
           col("n_hot"))
+    }),
+
+    // 3-round BFS distances from the minimum node over the undirected
+    // supplier<->part graph (part ids offset) — frontier expansion with
+    // broadcast semi/anti joins; see Graph.bfsRounds for the shape. The
+    // first round a node is seen IS its shortest distance, so integer
+    // distances are exact without any min-reduction.
+    "q_graph_bfs" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000L).as("dst"))
+      Graph.bfsRounds(
+        li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct(),
+        rounds = 3)
+    }),
+
+    // Deterministic per-group mode: count table + rank with an explicit
+    // total order (count DESC, value ASC) — engines' builtin mode()
+    // functions leave ties unspecified, this spelling pins them. The
+    // count table is (groups x distinct values)-sized, so the window sees
+    // a collapsed frame, never the fact table.
+    "q_agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n_rows").desc, col("qty"))))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"),
+          col("n_rows"))
     })
   )
 
@@ -1958,6 +1992,41 @@ object Relational {
         |             round(quantile_cont(n, 0.5), 4) AS p50_n,
         |             round(quantile_cont(n, 0.99), 4) AS p99_n FROM c)
         |SELECT n_keys, total_rows, max_n, p50_n, p99_n, n_hot
-        |FROM t CROSS JOIN s CROSS JOIN h""".stripMargin
+        |FROM t CROSS JOIN s CROSS JOIN h""".stripMargin,
+
+    // Same unrolled frontier rounds; NOT IN over the visited CTE gives the
+    // first-seen (= shortest) distance exactly like the anti-join.
+    "q_graph_bfs" -> {
+      def round(r: Int) =
+        s"""f$r AS (
+           |  SELECT DISTINCT e.dst AS node FROM e
+           |  JOIN n${r - 1} f ON e.src = f.node),
+           |n$r AS (
+           |  SELECT node, CAST($r AS BIGINT) AS dist FROM f$r
+           |  WHERE node NOT IN (SELECT node FROM v${r - 1})),
+           |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM n$r)"""
+      s"""WITH e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+         |    UNION ALL
+         |    SELECT l_partkey + 1000000 AS src, l_suppkey AS dst FROM lineitem)),
+         |n0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+         |v0 AS (SELECT * FROM n0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, dist FROM v3""".stripMargin
+    },
+
+    "q_agg_mode" ->
+      """SELECT l_returnflag, qty AS mode_qty, n_rows FROM (
+        |  SELECT l_returnflag, qty, n_rows,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n_rows DESC, qty) AS rk
+        |  FROM (
+        |    SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |      CAST(count(*) AS BIGINT) AS n_rows
+        |    FROM lineitem GROUP BY 1, 2))
+        |WHERE rk = 1""".stripMargin
   )
 }

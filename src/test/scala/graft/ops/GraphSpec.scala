@@ -112,6 +112,18 @@ class GraphSpec extends SparkSpec {
       (3L, 2L, 5L, 10L)))
   }
 
+  test("bfsRounds labels first-seen distance and stops at the round bound") {
+    // path 1-2-3-4-5 plus a shortcut 1-3: node 3 must get dist 1 via the
+    // shortcut (first seen wins), node 4 dist 2, node 5 dist 3; nothing
+    // beyond round 3 — and the seed is min(node) = 1.
+    val edges = Graph.undirect(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+        .toDF("src", "dst"))
+    val d = Graph.bfsRounds(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
   test("invertClosure turns ancestors into descendants") {
     val df = Seq(("x", Seq("x", "p")), ("y", Seq("y", "p"))).toDF("id", "ancestors")
     val inv = Graph.invertClosure(df, "id", "ancestors")
