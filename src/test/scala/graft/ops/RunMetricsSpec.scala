@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RunMetrics
+
+/** Shuffle-volume ground truth via task metrics: these specs pin the
+  * MEASURED movement of operators whose whole point is not moving data —
+  * the runtime complement to PlanShapeSpec's static pins.
+  */
+class RunMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a broadcast join moves zero shuffle records") {
+    val big = spark.range(0, 10000).select(col("id"), (col("id") % 7).as("k"))
+    val dim = spark.range(0, 7).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("label"))
+    // noop sink: a count() would itself shuffle its partial states and
+    // pollute the zero-assert
+    val (_, m) = RunMetrics.measure(spark) {
+      big.join(broadcast(dim), Seq("k"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(m.shuffleWriteRecords == 0L, m)
+    assert(m.tasks > 0L, m)
+  }
+
+  test("a groupBy shuffles at most one record per group per map partition") {
+    // map-side partial aggregation: the exchange carries partial states,
+    // never the input rows — 10k rows over 7 groups must shuffle far
+    // fewer records than the input
+    val df = spark.range(0, 10000).select((col("id") % 7).as("k"))
+    val (_, m) = RunMetrics.measure(spark) {
+      df.groupBy(col("k")).agg(count(lit(1))).collect()
+    }
+    assert(m.shuffleWriteRecords > 0L, m)
+    assert(m.shuffleWriteRecords <= 7L * 32L, m) // groups x max map tasks
+  }
+
+  test("pagerank iterations shuffle score frames, not the edge cache") {
+    // star graph: hub 0 <-> 1000 leaves, undirected = 2000 edges. The
+    // edge frame shuffles ONCE (the pre-cache repartition); each of the 3
+    // iterations then shuffles only node-count partial sums. If an
+    // iteration re-shuffled the cached edges, the write volume would be
+    // ~3x the edge count on top of the baseline.
+    val edges = Graph.undirect(
+      (1L to 1000L).map(l => (0L, l)).toDF("src", "dst"))
+    val (_, m) = RunMetrics.measure(spark) {
+      Graph.pagerankFixed(edges, iters = 3).collect()
+    }
+    // one edge repartition (2000) + distinct pre-shuffle + per-iteration
+    // node-sized frames (~1001 each, partial-agg-combined): well under
+    // two edge-sized passes; 3 edge re-shuffles would add 6000+ records
+    assert(m.shuffleWriteRecords < 2L * 2000L + 4L * 1001L,
+      s"edge cache appears to re-shuffle per iteration: $m")
+  }
+}
