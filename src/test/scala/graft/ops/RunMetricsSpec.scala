@@ -54,4 +54,37 @@ class RunMetricsSpec extends SparkSpec {
     assert(m.shuffleWriteRecords < 2L * 2000L + 4L * 1001L,
       s"edge cache appears to re-shuffle per iteration: $m")
   }
+
+  test("k-core rounds move the edge set once; peels ride broadcasts") {
+    // 2000 directed edges; mean degree 2*2000/1001 -> k=3: the hub
+    // survives, every leaf peels in round 1. Edge-sized shuffle happens
+    // exactly once (the pre-cache repartition + the distinct that feeds
+    // it); the three rounds contribute only degree partials and 1-row
+    // summary frames.
+    val edges = Graph.undirect(
+      (1L to 1000L).map(l => (0L, l)).toDF("src", "dst"))
+    val (rows, m) = RunMetrics.measure(spark) {
+      Graph.kcoreRounds(edges, rounds = 3).collect()
+    }
+    assert(rows.length == 3)
+    assert(m.shuffleWriteRecords < 3L * 2000L,
+      s"a peel round appears to re-shuffle the edge frame: $m")
+  }
+
+  test("bloom prefilter probes at the scan: only build-side partials " +
+    "shuffle, never the probed fact rows") {
+    val fact = spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") * 2).as("payload"))
+    val dim = spark.range(0, 100).select((col("id") * 100).as("k"))
+    val mBits = Bloom.bitsFor(100, 0.01)
+    val k = Bloom.hashesFor(mBits, 100)
+    val (n, m) = RunMetrics.measure(spark) {
+      Bloom.prefilter(fact, "k", dim, "k", mBits, k)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // the only exchange is the bitset build's single-partition agg: a
+    // handful of partial-bitset rows, nothing fact-sized
+    assert(m.shuffleWriteRecords < 100L,
+      s"fact rows leaked into a shuffle before the bloom probe: $m")
+  }
 }
