@@ -1274,6 +1274,60 @@ object Relational {
         .where(col("rk") === 1)
         .select(col("l_returnflag"), col("qty").as("mode_qty"),
           col("n_rows"))
+    }),
+
+    // Count-Min sketch (Cormode-Muthukrishnan '05), 4x256, fully
+    // deterministic: buckets come from the portable md5 hash family, so
+    // the WHOLE sketch — build and probe — replicates in the oracle and
+    // the row is hash-exact, estimates included (est >= true always; the
+    // spec-free proof is in the output itself). Build = one 4x-explode +
+    // a 1024-cell count table; probes meet it as a broadcast. At 100 TB
+    // the counter table is mergeable state (like the bloom bitset) and
+    // the fact side never shuffles.
+    "q_agg_countmin" -> ((s, d) => {
+      val W = 256L
+      val rowBuckets = explode(array((0 until 4).map(i =>
+        struct(lit(i).as("r"), col(s"b$i").as("b"))): _*)).as("rb")
+      val hashed = table(s, d, "lineitem").select(
+        col("l_partkey") +: (0 until 4).map(i =>
+          pmod(Core.md5Hash64(
+            concat(lit(s"cms$i|"), col("l_partkey").cast("string"))),
+            lit(W)).as(s"b$i")): _*)
+        .persist()
+      val counters = hashed.select(rowBuckets)
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val keys = hashed
+        .groupBy(col("l_partkey"), col("b0"), col("b1"), col("b2"),
+          col("b3"))
+        .agg(count(lit(1)).as("n_true"))
+      keys.select(col("l_partkey"), col("n_true"), rowBuckets)
+        .select(col("l_partkey"), col("n_true"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+        .join(broadcast(counters), Seq("r", "b"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("n_true")).as("n_true"), min(col("c")).as("est_cms"))
+    }),
+
+    // Exact distinct counting as mergeable bitmaps (the roaring-bitmap
+    // warehouse accelerator, in pure relational form): key k sets bit
+    // (k mod 64) of word (k div 64); bit_or merges words in any order;
+    // popcount-sum reads the cardinality. Equivalence to countDistinct is
+    // pinned in EquivalenceSpec; the oracle replicates the word math in
+    // UBIGINT (DuckDB raises on 1::BIGINT << 63 — identical bit patterns
+    // either way). Unlike countDistinct's Expand, the shuffle carries
+    // (group, word) partial bitmaps — dense keys compress 64:1.
+    "q_agg_bitmap_distinct" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          shiftright(col("l_partkey"), 6).as("w"),
+          call_function("shiftleft", lit(1L),
+            (col("l_partkey") % 64).cast("int")).as("bit"))
+        .groupBy(col("l_returnflag"), col("w"))
+        .agg(call_function("bit_or", col("bit")).as("word"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(call_function("bit_count", col("word")))
+          .cast("long").as("n_distinct"))
     })
   )
 
@@ -2027,6 +2081,45 @@ object Relational {
         |    SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
         |      CAST(count(*) AS BIGINT) AS n_rows
         |    FROM lineitem GROUP BY 1, 2))
-        |WHERE rk = 1""".stripMargin
+        |WHERE rk = 1""".stripMargin,
+
+    // The full sketch replicated: same md5 bucket family, same 4x256
+    // counter build, same min-probe — estimates are hash-compared, not
+    // just the exact counts.
+    "q_agg_countmin" -> {
+      def bucket(i: Int) =
+        s"${LlmOps.sqlHash64(s"'cms$i|' || CAST(l_partkey AS VARCHAR)")} % 256"
+      val hashCols = (0 until 4).map(i => s"${bucket(i)} AS b$i").mkString(",\n    ")
+      def fanout(src: String, cols: String) = (0 until 4)
+        .map(i => s"SELECT $cols $i AS r, b$i AS b FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH h AS (
+         |  SELECT l_partkey,
+         |    $hashCols
+         |  FROM lineitem),
+         |inc AS (
+         |  SELECT r, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM (${fanout("h", "")}) GROUP BY 1, 2),
+         |k AS (
+         |  SELECT l_partkey, b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM h GROUP BY 1, 2, 3, 4, 5),
+         |p AS (${fanout("k", "l_partkey, n_true,")})
+         |SELECT l_partkey, CAST(min(n_true) AS BIGINT) AS n_true,
+         |  CAST(min(c) AS BIGINT) AS est_cms
+         |FROM p JOIN inc USING (r, b) GROUP BY 1""".stripMargin
+    },
+
+    // UBIGINT word math (DuckDB raises on 1::BIGINT << 63; the bit
+    // patterns are identical, so bit_or/bit_count agree with Spark's
+    // signed longs).
+    "q_agg_bitmap_distinct" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_partkey // 64 AS w,
+        |    (CAST(1 AS UBIGINT) << CAST(l_partkey % 64 AS INTEGER)) AS bit
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_returnflag, w, bit_or(bit) AS word FROM w GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct
+        |FROM agg GROUP BY 1""".stripMargin
   )
 }

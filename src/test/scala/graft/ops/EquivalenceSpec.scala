@@ -57,4 +57,27 @@ class EquivalenceSpec extends SparkSpec {
       assert(math.abs(arrayForm - windowForm) < 1e-9)
     }
   }
+
+  test("bitmap word-popcount distinct equals countDistinct, including " +
+    "bit 63") {
+    // keys straddle word boundaries and hit k % 64 == 63 (the sign bit of
+    // a long word — the case DuckDB's UBIGINT twin exists for)
+    val keys = (Seq(0L, 1L, 63L, 64L, 127L, 128L, 191L, 4095L) ++
+      Seq(63L, 127L, 0L)).map(k => (if (k % 2 == 0) "a" else "b", k))
+    val df = keys.toDF("g", "k")
+    val bitmap = df
+      .select(col("g"), shiftright(col("k"), 6).as("w"),
+        call_function("shiftleft", lit(1L),
+          (col("k") % 64).cast("int")).as("bit"))
+      .groupBy(col("g"), col("w"))
+      .agg(call_function("bit_or", col("bit")).as("word"))
+      .groupBy(col("g"))
+      .agg(sum(call_function("bit_count", col("word")))
+        .cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    val direct = df.groupBy(col("g"))
+      .agg(countDistinct(col("k")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bitmap == direct, s"$bitmap vs $direct")
+  }
 }
