@@ -29,12 +29,22 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // A throwing query must NOT yield a plausible time: recording
+      // elapsed-to-exception once let 15 broken queries masquerade as
+      // healthy 0.05 s entries in an official bench. Record -1 instead
+      // and surface the name in an errors list.
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          errors += name
+          -1.0
+        }
       }
       // Queries that .cache() intermediates would otherwise pin them for the
       // REST of the suite: the heap fills with dead cached blocks early
@@ -49,16 +59,19 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Total sums only the queries that RAN; broken ones stay visible as -1
+    // per-query and as an errors list, never as a free ride in the total.
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-query detail goes to a file + an EARLIER stdout line; the FINAL
     // stdout line is deliberately short (<200 bytes) because the driver's
     // tail capture clips long lines (r1's 2.5 KB one-liner parsed as null).
-    val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"detail","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
     println(detail)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

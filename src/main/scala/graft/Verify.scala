@@ -17,11 +17,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD in the artifact, not just stderr: a query that
+    // throws leaves no parquet dir, and a checker that only walks dirs then
+    // under-counts silently (this shrank two rounds' correctness records).
+    // So: record every failure in _ERRORS.json and the full registered key
+    // set in _QUERIES.json — the checker diffs dumped dirs against the key
+    // set so "missing" is a visible failure, not an absence.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       // Same lesson as Bench: queries that cache intermediates would
       // otherwise pin dead blocks for the rest of the dump and every
@@ -43,6 +51,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_QUERIES.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/_ERRORS.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Deliberately rc 0 even with failures: the dump itself completed, and a
+    // nonzero rc could make a driver skip the DuckDB compare and lose the
+    // 150+ queries that DID pass. The checker turns _QUERIES/_ERRORS into
+    // explicit MISSING failures and rc 1.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -15,18 +15,28 @@ object Core {
   /** Explicit-schema parquet scan of a driver testdata table (TESTDATA.md).
     * Parquet footer supplies the schema — no inference pass (SURVEY §1.3).
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default: the SESSION must set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (all graft mains and TestSpark do, in their builders — a query function
-    * mutating session conf would be a hidden global and a race under
-    * concurrent execution). The long nanos convert with integer division —
-    * ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 mantissa, so a
-    * floating-point path would corrupt the microseconds.
+    * `events.ts` has shipped as two physical parquet types across fixture
+    * generations: TIMESTAMP(NANOS) (read as BIGINT nanos under the session
+    * conf `spark.sql.legacy.parquet.nanosAsLong=true`, which all graft mains
+    * and TestSpark set) and TIMESTAMP(MICROS) (reads natively as a timestamp).
+    * Branch on the SCANNED type so either fixture vintage loads: a BIGINT
+    * `ts` converts with integer division (ns-since-epoch ≈ 1.7e18 exceeds
+    * double's 2^53 mantissa, so a floating-point path would corrupt the
+    * microseconds); a TIMESTAMP_NTZ `ts` casts to TIMESTAMP — every consumer
+    * (unix_micros, window(), range frames) was written against TimestampType,
+    * and with the session timezone pinned to UTC the cast preserves the
+    * wall-clock value bit-for-bit, matching what the DuckDB oracle reads.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

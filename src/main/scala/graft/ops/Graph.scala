@@ -170,7 +170,7 @@ object Graph {
           Seq("dst"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val row = alive.agg(count(lit(1)).as("n_alive"))
-        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
         .crossJoin(broadcast(kf))
         .select(lit(r.toLong).as("round"), col("k"),
           col("n_alive"), col("n_edges"))

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * - embeddings: elementwise Rademacher sign flip per (copy, dimension) —
   *   norms preserved exactly, expected cross-copy cosine 0, so the ANN
   *   near-dup rate stays per-copy instead of exploding;
-  * - events: ids/users offset, raw nanos `ts` passed through UNCONVERTED
-  *   (Core.table's `div 1000` contract needs the long form on disk).
+  * - events: ids/users offset, `ts` passed through UNCONVERTED in whatever
+  *   physical form the source fixture uses (long nanos or timestamp[us] —
+  *   Core.table branches on the scanned type either way).
   *
   * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
   */

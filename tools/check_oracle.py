@@ -34,6 +34,21 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # Cross-check the dump against the FULL registered query set: a query
+    # that threw during Verify leaves no parquet dir, and walking only dirs
+    # silently under-counts (rounds 5 and 6 both shipped shrunken records
+    # this way). _QUERIES.json lists every SparkEntry.queries key;
+    # _ERRORS.json carries the exception messages.
+    qpath = os.path.join(out_dir, "_QUERIES.json")
+    epath = os.path.join(out_dir, "_ERRORS.json")
+    registered = set(json.load(open(qpath))) if os.path.exists(qpath) else set()
+    errs = json.load(open(epath)) if os.path.exists(epath) else {}
+    dumped = {n for n in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(registered - dumped):
+        msg = errs.get(name, "no parquet dir and no recorded error")
+        print(f"{'MISSING':>10} {name}: {msg[:160]}")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
