@@ -22,21 +22,31 @@ object Smoke {
         val df = SparkEntry.entry(spark)
         println(s"ENTRY_ROWS=${df.count()}")
         df.show(5, truncate = false)
-      case Some(name) =>
+      case Some(names) =>
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-        // construct INSIDE the timing loop: for lazy queries that's plan
-        // building (microseconds); for eager ones (corpus_prepare's
-        // checkpointed components) construction IS the work and timing the
-        // final count alone would report a fantasy number
-        var df: org.apache.spark.sql.DataFrame = null
-        for (run <- 1 to args.lift(2).map(_.toInt).getOrElse(1)) {
-          val t0 = System.nanoTime()
-          df = SparkEntry.queries(name)(spark, sfDir)
-          val n = df.count()
-          println(s"QUERY=$name RUN=$run ROWS=$n SEC=${(System.nanoTime() - t0) / 1e9}")
+        // comma-separated names share one JVM/session: batch smokes would
+        // otherwise pay ~30 s of sbt+JVM+session startup PER query
+        val queries = names.split(',').map(_.trim).filter(_.nonEmpty)
+        queries.foreach { name =>
+          // construct INSIDE the timing loop: for lazy queries that's plan
+          // building (microseconds); for eager ones (corpus_prepare's
+          // checkpointed components) construction IS the work and timing the
+          // final count alone would report a fantasy number
+          var df: org.apache.spark.sql.DataFrame = null
+          for (run <- 1 to args.lift(2).map(_.toInt).getOrElse(1)) {
+            val t0 = System.nanoTime()
+            df = SparkEntry.queries(name)(spark, sfDir)
+            val n = df.count()
+            println(s"QUERY=$name RUN=$run ROWS=$n SEC=${(System.nanoTime() - t0) / 1e9}")
+          }
+          // cached frames from one query must not distort the next (same
+          // lesson as Bench); single-query runs keep the full plan dump
+          spark.catalog.clearCache()
+          if (queries.length == 1) {
+            df.show(10, truncate = false)
+            df.explain("formatted")
+          }
         }
-        df.show(10, truncate = false)
-        df.explain("formatted")
     }
     spark.stop()
   }

@@ -78,9 +78,26 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + off(c))
         .withColumn("l_partkey", col("l_partkey") + off(c))
         .withColumn("l_suppkey", col("l_suppkey") + off(c)))
-    replicate("events")((df, c) =>
-      df.withColumn("event_id", col("event_id") + off(c))
-        .withColumn("user_id", col("user_id") + off(c)))
+    // ts MUST decorrelate along with the ids: the fixture spans 30 days, and
+    // replicating users into the SAME wall-clock windows multiplies every
+    // (time-window, event_type) co-occurrence group by `factor` — the
+    // derived user-pair graph then grows ~factor², which OOM'd triangle
+    // counting at 10× (measured r7). A copy-sized time shift models the
+    // realistic shape — 10× more events over a longer horizon — so graph
+    // sizes grow linearly like a real corpus. 64 days > the 30-day span;
+    // works on both physical vintages (long nanos / timestamp[us]).
+    replicate("events")((df, c) => {
+      val shiftDays = c.toLong * 64L
+      val shifted = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", col("ts") + lit(shiftDays * 86400L * 1000000000L))
+        case _ =>
+          df.withColumn("ts", col("ts") + expr(s"INTERVAL $shiftDays DAYS"))
+      }
+      shifted
+        .withColumn("event_id", col("event_id") + off(c))
+        .withColumn("user_id", col("user_id") + off(c))
+    })
 
     replicate("documents")((df, c) =>
       if (c == 0) df
