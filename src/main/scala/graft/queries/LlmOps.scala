@@ -668,6 +668,35 @@ object LlmOps {
           col("stopword_ratio") > 0.0)
     }),
 
+    // Gopher-style rule filter (Rae et al. 2021, §A1.1), adapted to the
+    // fixture's whitespace corpus: word-count bounds, mean-word-length
+    // bounds (free arithmetic on length(text) and size(toks) — the
+    // single-char-split identity, no per-token fold), alphabetic-word
+    // fraction, and distinct-stopword presence. Emits every rule metric
+    // plus the conjunctive pass flag so downstream mixing can re-weight
+    // individual rules without recomputing. Per-row narrow compute, no
+    // shuffle; the stopword set rides as a literal array (array_intersect
+    // gives DISTINCT stopwords hit, matching Gopher's "contains at least
+    // 2 of ..." phrasing).
+    "q_text_gopher_rules" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("nc"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_words"),
+          round((col("nc") - size(col("toks")) + 1).cast("double")
+            / size(col("toks")), 4).as("mean_word_len"),
+          round(size(filter(col("toks"), t => t.rlike("[a-z]")))
+            .cast("double") / size(col("toks")), 6).as("frac_alpha"),
+          size(array_intersect(col("toks"), typedLit(Stopwords)))
+            .cast("long").as("n_stop"))
+        .withColumn("passes",
+          (col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("frac_alpha") >= 0.8 &&
+            col("n_stop") >= 2).cast("long"))
+    }),
+
     // PII-style scrubbing: mask URLs, emails, and digit runs with regex
     // replacement (the standard pre-training redaction pass). md5 of the
     // scrubbed text pins byte-exact agreement with the oracle.
@@ -2025,6 +2054,24 @@ object LlmOps {
         |WHERE n_tokens BETWEEN 10 AND 1000
         |  AND avg_token_len BETWEEN 2.0 AND 12.0
         |  AND stopword_ratio > 0.0""".stripMargin,
+
+    "q_text_gopher_rules" ->
+      """SELECT doc_id, lang, n_words, mean_word_len, frac_alpha, n_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND frac_alpha >= 0.8 AND n_stop >= 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS passes
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS frac_alpha,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to')))) AS BIGINT) AS n_stop
+        |  FROM documents)""".stripMargin,
 
     "q_text_scrub" ->
       """SELECT doc_id,

@@ -447,6 +447,26 @@ object Relational {
           round(col("value"), 4).as("a_value"), round(col("b_value"), 4).as("b_value"))
     }),
 
+    // Batch twin of Streams.dedupStream (dropDuplicatesWithinWatermark):
+    // first-occurrence-wins dedup per (user_id, event_type). Batch
+    // dropDuplicates keeps an ARBITRARY row, so the deterministic twin is
+    // min(struct(ts, event_id)) per key — in event-time order that is
+    // exactly the row the streaming state store keeps, and it's
+    // hash-exact for the oracle where dropDuplicates never could be. One
+    // keyed shuffle with map-side partial min; state per key is one
+    // struct, the same bound the watermark enforces on the stream side.
+    "q_stream_dedup_batch" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          struct(col("ts"), col("event_id")).as("occ"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("occ")).as("first_occ"), count(lit(1)).as("n_seen"))
+        .select(col("user_id"), col("event_type"),
+          col("first_occ.event_id").as("first_event_id"),
+          unix_micros(col("first_occ.ts")).as("first_ts_us"),
+          col("n_seen"))
+    }),
+
     // Gap-based sessionization — the classic event-analytics operator:
     // lag() finds inactivity gaps > 30 min, a running sum of gap markers
     // numbers the sessions, then one groupBy rolls each session up. Both
@@ -1567,6 +1587,17 @@ object Relational {
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts
         |  AND b.event_id <> a.event_id""".stripMargin,
+
+    "q_stream_dedup_batch" ->
+      """SELECT user_id, event_type, first_event_id, first_ts_us, n_seen
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    CAST(event_id AS BIGINT) AS first_event_id,
+        |    epoch_us(ts) AS first_ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_seen
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q_window_sessionize" ->
       """SELECT user_id, session_no, count(*) AS n_events,

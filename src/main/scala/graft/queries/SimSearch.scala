@@ -353,6 +353,44 @@ object SimSearch {
           round(col("n_hit") / 20.0, 4).as("recall"))
     }),
 
+    // IVF-PQ (FAISS IndexIVFPQ shape, no-residual variant): the coarse
+    // quantizer prunes candidates to the query's nprobe=2 nearest centroid
+    // buckets, then the 32×-compressed PQ codes rank ONLY those candidates
+    // through the broadcast ADC LUT — after encoding, neither stage touches
+    // the original floats. This is the composition that actually runs at
+    // 100 TB: IVF cuts the scan to nprobe/NC of the corpus, PQ cuts the
+    // per-candidate cost to M lookups and the stored bytes 32×. Scale
+    // shape: centroids, probes, and LUT are all broadcast; the only
+    // shuffles are the code regroup and the candidate equi-join on vec_id
+    // (AQE takes it broadcast at fixture scale). Residual encoding (PQ on
+    // v − centroid) swaps one select in; it costs the oracle nothing
+    // structurally but is omitted to keep the codebook CTE shared with the
+    // pq_adc family.
+    "q_sim_ivfpq" -> ((s, d) => {
+      val e = embeds(s, d)
+      val assigned = bucketAssign(e, NCentroids)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = qv.crossJoin(broadcast(cents))
+        .select(explode(slice(reverse(array_sort(transform(col("cents"), c =>
+          struct(round(Vectors.cosine(col("qv"), c.getField("cv")), 6).as("cos"),
+            c.getField("cid").as("cid"))))), 1, 2)).as("p"))
+        .select(col("p.cid").as("bucket"))
+      val candidates = assigned
+        .where(col("vec_id") >= NCentroids)
+        .join(broadcast(probes), Seq("bucket"))
+        .select(col("vec_id"))
+      val sub = graft.llm.Pq.subvectors(e)
+      val cw = graft.llm.Pq.codebook(sub)
+      val asg = graft.llm.Pq.assign(sub, cw)
+      val lut = graft.llm.Pq.adcLut(sub.where(col("vec_id") === 0), cw)
+      graft.llm.Pq.adcDistances(asg.join(candidates, Seq("vec_id")), lut)
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(20)
+    }),
+
     "q_embed_project" -> ((s, d) => {
       val outDim = 16
       val signs: Seq[Seq[Double]] = (0 until outDim).map(j =>
@@ -644,6 +682,31 @@ object SimSearch {
          |SELECT CAST(20 AS BIGINT) AS n_true, count(*) AS n_hit,
          |  round(count(*) / 20.0, 4) AS recall
          |FROM truth JOIN found USING (vec_id)""".stripMargin,
+
+    "q_sim_ivfpq" ->
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc WHERE vec_id = 0) WHERE rn <= 2),
+         |$pqCtes,
+         |lut AS (SELECT j, code, dist AS pd FROM dists WHERE vec_id = 0)
+         |SELECT a.vec_id AS vec_id, round(sum(l.pd), 4) AS adist
+         |FROM asg a
+         |JOIN bucket bk ON bk.vec_id = a.vec_id
+         |JOIN probes p ON p.cid = bk.bucket
+         |JOIN lut l ON a.j = l.j AND a.code = l.code
+         |WHERE a.vec_id >= $NCentroids
+         |GROUP BY 1 ORDER BY 2, 1 LIMIT 20""".stripMargin,
 
     "q_embed_project" ->
       s"""WITH $eSql,
