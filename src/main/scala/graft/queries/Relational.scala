@@ -467,6 +467,29 @@ object Relational {
           col("n_seen"))
     }),
 
+    // Native session-window sessionization — Spark's dedicated
+    // SessionWindow operator (the same construct Structured Streaming
+    // uses for stateful sessions, usable in batch): one groupBy on
+    // session_window(ts, gap) + user_id, no lag/running-sum window pair.
+    // Plan: a single (user_id) exchange feeding UpdatingSessionsExec —
+    // sessions merge in one sorted pass, which is exactly the streaming
+    // state-store algorithm and shares the scale shape of the lag form
+    // (q_window_sessionize) while being half the plan. Semantics differ
+    // from the lag form ONLY at an exact-gap boundary: session_window
+    // closes at prev_ts + gap exclusive (a gap of exactly 30 min starts
+    // a NEW session), so the oracle's is_new uses >=, not >.
+    "q_window_session_native" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"), col("duration_us"))
+    }),
+
     // Gap-based sessionization — the classic event-analytics operator:
     // lag() finds inactivity gaps > 30 min, a running sum of gap markers
     // numbers the sessions, then one groupBy rolls each session up. Both
@@ -602,6 +625,46 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+    }),
+
+    // TPC-H Q5-shaped star join — the canonical 6-table plan-quality
+    // probe: local-supplier revenue per nation for one region and a
+    // 2-year date slice. The declarative form hands Catalyst everything
+    // that matters at 100 TB: the date filter pushes into the orders
+    // scan, nation/region ride explicit broadcast hints (true constant-
+    // size dims), while customer/supplier — which SCALE with the corpus
+    // in TPC-H — are left to AQE: it broadcasts them at fixture scale
+    // and falls back to keyed shuffles when they outgrow the threshold,
+    // which a hard-coded hint would wrongly pin forever. The
+    // c_nationkey = s_nationkey "local supplier" predicate rides the
+    // join, not a post-filter. Revenue folds to integer cents before
+    // summation so the oracle is hash-exact under any order.
+    "q_join_star_q5" -> ((s, d) => {
+      val ord = table(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_c4"))
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = table(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(s, d, "nation")
+      val reg = table(s, d, "region").where(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_c4")).as("revenue_c4"),
+          count(lit(1)).as("n_items"))
     }),
 
     // A9/A10: pivot with explicit value list + na.fill(0).
@@ -1599,6 +1662,23 @@ object Relational {
         |    count(*) OVER (PARTITION BY user_id, event_type) AS n_seen
         |  FROM events) WHERE rn = 1""".stripMargin,
 
+    "q_window_session_native" ->
+      """SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS session_no
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |          >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_no""".stripMargin,
+
     "q_window_sessionize" ->
       """SELECT user_id, session_no, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
@@ -1614,6 +1694,23 @@ object Relational {
         |      THEN 1 ELSE 0 END AS is_new
         |    FROM events))
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_star_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_c4,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     "q_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag

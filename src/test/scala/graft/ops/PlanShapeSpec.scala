@@ -228,6 +228,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("star q5: date slice pushes into the orders scan and the fact " +
+    "side never nested-loop-joins") {
+    // the 6-table star must stay all-equi-join (broadcast or shuffled is
+    // AQE's call per side — both are fine; a nested loop is not), and the
+    // 2-year o_orderdate slice must reach the parquet scan as a pushed
+    // filter instead of surviving as a post-scan Filter over full IO
+    val plan = executedPlan("q_join_star_q5")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("native session window: one user_id exchange feeds the session " +
+    "merge — no second shuffle for the agg") {
+    val plan = executedPlan("q_window_session_native")
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("prefix-filter join: the df-rank table rides a broadcast and no " +
     "join in the plan is a nested loop") {
     // the rank table is vocab-bounded by design and must reach the shingle
