@@ -467,6 +467,36 @@ object Relational {
           col("n_seen"))
     }),
 
+    // Volume-anomaly detection over event-rate buckets — the ops-analytics
+    // staple (alert when a 5-min bucket's event count deviates from its
+    // type's norm). Exact cross-engine z-scores without FP variance: with
+    // integer bucket counts x_i, n_b buckets, S1 = Σx, S2 = Σx², the
+    // z-score folds to z = (n_b·x − S1) / sqrt(n_b·S2 − S1²) — numerator
+    // and radicand are exact integers, IEEE sqrt of an exact integer is
+    // correctly rounded in both engines, and one final division keeps the
+    // whole score hash-exact (same contract as pagerank/tfidf fixed-point).
+    // Scale shape: the fact table folds to (type × bucket) counts in one
+    // keyed agg; the per-type moments are a second agg over THAT frame
+    // (type-cardinality-sized) broadcast back — the corpus shuffles once.
+    "q_events_anomaly" -> ((s, d) => {
+      val buckets = table(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 300000000").as("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val moments = buckets.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_b"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+      buckets.join(broadcast(moments), Seq("event_type"))
+        .select(col("event_type"), col("bucket"), col("x"),
+          (col("n_b") * col("x") - col("s1")).as("dev"),
+          (col("n_b") * col("s2") - col("s1") * col("s1")).as("sd2"))
+        .select(col("event_type"), col("bucket"), col("x"),
+          when(col("sd2") > 0,
+            round(col("dev") / sqrt(col("sd2")), 6)).otherwise(lit(0.0))
+            .as("z"))
+        .withColumn("is_anomaly", (abs(col("z")) >= 3.0).cast("long"))
+    }),
+
     // Native session-window sessionization — Spark's dedicated
     // SessionWindow operator (the same construct Structured Streaming
     // uses for stateful sessions, usable in batch): one groupBy on
@@ -1661,6 +1691,27 @@ object Relational {
         |      ORDER BY ts, event_id) AS rn,
         |    count(*) OVER (PARTITION BY user_id, event_type) AS n_seen
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH buckets AS (
+        |  SELECT event_type, epoch_us(ts) // 300000000 AS bucket,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |moments AS (
+        |  SELECT event_type, count(*) AS n_b,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM buckets GROUP BY 1)
+        |SELECT b.event_type, b.bucket, CAST(b.x AS BIGINT) AS x,
+        |  CASE WHEN m.n_b * m.s2 - m.s1 * m.s1 > 0
+        |    THEN round((m.n_b * b.x - m.s1)
+        |      / sqrt(CAST(m.n_b * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6)
+        |    ELSE 0.0 END AS z,
+        |  CAST(CASE WHEN abs(CASE WHEN m.n_b * m.s2 - m.s1 * m.s1 > 0
+        |    THEN round((m.n_b * b.x - m.s1)
+        |      / sqrt(CAST(m.n_b * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6)
+        |    ELSE 0.0 END) >= 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM buckets b JOIN moments m USING (event_type)""".stripMargin,
 
     "q_window_session_native" ->
       """SELECT user_id, epoch_us(min(ts)) AS session_start_us,

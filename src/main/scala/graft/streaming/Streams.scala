@@ -91,6 +91,29 @@ object Streams {
           col("b_ts") <= col("ts"))
   }
 
+  /** LEFT OUTER variant of correlateStreams: events of `a` with no
+    * same-user `b` event in [a.ts − lookback, a.ts] still emit, null-
+    * extended — but only once the watermark passes their join window, when
+    * the state store can PROVE no late match can arrive. This is the
+    * streaming form of "left join for dead-letter auditing": the inner
+    * variant silently drops unmatched events; production attribution
+    * pipelines need the unmatched side to measure coverage. Same state
+    * eviction bounds as the inner join (both watermarks + the closed time
+    * range); the only extra cost is holding unmatched left rows until
+    * their window expires — already bounded by the same watermark.
+    */
+  def correlateStreamsOuter(a: DataFrame, b: DataFrame,
+                            delay: String = "10 minutes",
+                            lookback: String = "5 minutes"): DataFrame = {
+    val bw = b.toDF("b_user_id", "b_ts", "b_value")
+    a.withWatermark("ts", delay)
+      .join(bw.withWatermark("b_ts", delay),
+        col("user_id") === col("b_user_id") &&
+          col("b_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+          col("b_ts") <= col("ts"),
+        "leftOuter")
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(startMs: Long, endMs: Long, n: Long)
   case class Session(user_id: Long, n_events: Long, duration_ms: Long)

@@ -54,6 +54,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlateStreamsOuter emits unmatched left rows null-extended " +
+    "once the watermark closes their window") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val inA = MemoryStream[(Long, Timestamp, Double)]
+    val inB = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.correlateStreamsOuter(
+      inA.toDF().toDF("user_id", "ts", "value"),
+      inB.toDF().toDF("user_id", "ts", "value"),
+      delay = "10 minutes", lookback = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("corr_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 gets a match; user 2 never does
+      inA.addData((1L, ts(10), 1.0), (2L, ts(10), 2.0))
+      inB.addData((1L, ts(8), 9.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past ts(10)+lookback so the state
+      // store can prove user 2's window is closed; outer results emit in
+      // the batch AFTER the watermark advances, hence the second nudge
+      inA.addData((9L, ts(59), 0.0))
+      inB.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      inA.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("corr_outer")
+        .as[(Long, Timestamp, Double, Option[Long], Option[Timestamp], Option[Double])]
+        .collect().filter(r => r._1 == 1L || r._1 == 2L)
+      assert(rows.find(_._1 == 1L).get._6 == Some(9.0)) // matched pair
+      assert(rows.find(_._1 == 2L).get._4.isEmpty) // unmatched, null-extended
+    } finally q.stop()
+  }
+
   test("enrichStream joins each micro-batch against the static dim; " +
     "unknown keys survive the left join") {
     val s = spark
