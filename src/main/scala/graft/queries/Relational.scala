@@ -892,11 +892,20 @@ object Relational {
     "q_source_bucketed_join" -> ((s, d) => {
       val tag = scratchTag(s, d)
       val tmp = scratchPath(s, d, "bucketed")
+      // repartition on the bucket key BEFORE the bucketed write: Spark's
+      // bucket hash is the same Murmur3 as repartition's, so each write
+      // task then holds exactly one bucket's rows and emits ONE file per
+      // bucket — the precondition for the reader to trust the sortBy
+      // metadata. With multiple files per bucket the SMJ re-sorts both
+      // sides (measured: two Sort nodes); with one it elides both sorts
+      // AND both exchanges — the fully pre-organized fact-fact join.
       table(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").option("path", s"$tmp/li")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(s"graft_bkt_li_$tag")
       table(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").option("path", s"$tmp/ord")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(s"graft_bkt_ord_$tag")

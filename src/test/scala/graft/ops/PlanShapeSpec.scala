@@ -45,15 +45,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("bucketed join needs no join-side exchange — only the final agg's") {
-    // both sides are bucketed on the join key, so the sort-merge join's
-    // distribution requirement is satisfied by the scan; a second exchange
-    // appearing here means bucket layout stopped being used
+  test("bucketed join needs no join-side exchange OR sort — only the " +
+    "final agg's exchange") {
+    // both sides are bucketed AND sorted on the join key with one file per
+    // bucket (the pre-write repartition guarantees it), so the sort-merge
+    // join's distribution requirement comes from the bucket layout and its
+    // ordering requirement from the sortBy metadata (session conf
+    // bucketedTableScan.outputOrdering) — a Sort or second Exchange
+    // appearing here means the pre-organized layout stopped being used
     val plan = executedPlan("q_source_bucketed_join")
     assert(plan.contains("SortMergeJoin"), plan)
     val exchanges = plan.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning")
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // a SortExec prints as "Sort [ordering...]"; SortMergeJoin doesn't match
+    assert(!plan.contains("Sort ["), s"expected no Sort nodes:\n$plan")
   }
 
   test("bloom decontamination: corpus meets ONLY broadcasts (bitset + " +
