@@ -391,6 +391,67 @@ object SimSearch {
         .limit(20)
     }),
 
+    // Residual IVF-PQ — the actual FAISS IndexIVFPQ encoding: PQ runs on
+    // the RESIDUAL r = v − centroid(bucket), not the raw vector, because
+    // residuals concentrate near zero once the coarse quantizer has
+    // explained the bucket's location — the same codebook budget then
+    // spends its 16 codewords on a much smaller ball (lower quantization
+    // error, better ADC fidelity). The price is bucket-dependent query
+    // prep: each probed bucket needs its own query residual and its own
+    // ADC LUT, so the LUT frame is (nprobe × M × K) rows — still a
+    // broadcast. Candidates score against the LUT of THEIR bucket.
+    // Everything else keeps the ivfpq scale shape: one candidate
+    // equi-join, codebook/centroids/LUT broadcast.
+    "q_sim_ivfpq_residual" -> ((s, d) => {
+      val M = graft.llm.Pq.M; val SubDim = graft.llm.Pq.SubDim
+      val e = embeds(s, d)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = bucketAssign(e, NCentroids)
+      // residual frame: (vec_id, bucket, v := v − cv[bucket])
+      val resid = assigned
+        .join(broadcast(cents), col("bucket") === col("cid"))
+        .select(col("vec_id"), col("bucket"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      val sub = graft.llm.Pq.subvectors(resid)
+      val cw = graft.llm.Pq.codebook(sub)
+      val asg = graft.llm.Pq.assign(sub, cw)
+      // the query's nprobe=2 buckets, each carrying its own residual
+      val centsArr = cents.groupBy()
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = qv.crossJoin(broadcast(centsArr))
+        .select(col("qv"),
+          explode(slice(reverse(array_sort(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("qv"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))), 1, 2)).as("p"))
+        .select(col("p.cid").as("bucket"), col("qv"))
+      // per-probe query residual subvectors: (bucket, j, sv)
+      val qresSub = probes
+        .join(broadcast(cents), col("bucket") === col("cid"))
+        .select(col("bucket"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("r"))
+        .select(col("bucket"), posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), j -> slice(r, j * $SubDim + 1, $SubDim))")))
+        .toDF("bucket", "j", "sv")
+      // per-bucket ADC LUT: (bucket, j, code, pd)
+      val lut = qresSub.join(broadcast(cw), Seq("j"))
+        .select(col("bucket"), col("j"), col("code"),
+          expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, e) -> a + e)")
+            .as("pd"))
+      val candidates = assigned
+        .where(col("vec_id") >= NCentroids)
+        .join(broadcast(probes.select(col("bucket"))), Seq("bucket"))
+        .select(col("vec_id"), col("bucket"))
+      asg.select(col("vec_id"), col("j"), col("code"))
+        .join(candidates, Seq("vec_id"))
+        .join(broadcast(lut), Seq("bucket", "j", "code"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("pd")), 4).as("adist"))
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(20)
+    }),
+
     "q_embed_project" -> ((s, d) => {
       val outDim = 16
       val signs: Seq[Seq[Double]] = (0 until outDim).map(j =>
@@ -707,6 +768,61 @@ object SimSearch {
          |JOIN lut l ON a.j = l.j AND a.code = l.code
          |WHERE a.vec_id >= $NCentroids
          |GROUP BY 1 ORDER BY 2, 1 LIMIT 20""".stripMargin,
+
+    "q_sim_ivfpq_residual" -> {
+      val SubDim = graft.llm.Pq.SubDim
+      val K = graft.llm.Pq.K
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc WHERE vec_id = 0) WHERE rn <= 2),
+         |er AS (
+         |  SELECT e.vec_id, e.i, e.x - ce.x AS x
+         |  FROM e JOIN bucket bk ON bk.vec_id = e.vec_id
+         |  JOIN e ce ON ce.vec_id = bk.bucket AND ce.i = e.i),
+         |rdists AS (
+         |  SELECT s.vec_id, s.j, c.code, sum((s.x - c.x) * (s.x - c.x)) AS dist
+         |  FROM (SELECT vec_id, (i - 1) // $SubDim AS j,
+         |               (i - 1) % $SubDim AS si, x FROM er) s
+         |  JOIN (SELECT (i - 1) // $SubDim AS j, vec_id AS code,
+         |               (i - 1) % $SubDim AS si, x FROM er WHERE vec_id < $K) c
+         |    ON s.j = c.j AND s.si = c.si
+         |  GROUP BY 1, 2, 3),
+         |rasg AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+         |    FROM rdists) WHERE rn = 1),
+         |qres AS (
+         |  SELECT p.cid AS bucket, q.i, q.x - ce.x AS x
+         |  FROM e q JOIN probes p ON TRUE
+         |  JOIN e ce ON ce.vec_id = p.cid AND ce.i = q.i
+         |  WHERE q.vec_id = 0),
+         |lut AS (
+         |  SELECT s.bucket, s.j, c.code, sum((s.x - c.x) * (s.x - c.x)) AS pd
+         |  FROM (SELECT bucket, (i - 1) // $SubDim AS j,
+         |               (i - 1) % $SubDim AS si, x FROM qres) s
+         |  JOIN (SELECT (i - 1) // $SubDim AS j, vec_id AS code,
+         |               (i - 1) % $SubDim AS si, x FROM er WHERE vec_id < $K) c
+         |    ON s.j = c.j AND s.si = c.si
+         |  GROUP BY 1, 2, 3)
+         |SELECT a.vec_id AS vec_id, round(sum(l.pd), 4) AS adist
+         |FROM rasg a
+         |JOIN bucket bk ON bk.vec_id = a.vec_id
+         |JOIN probes p ON p.cid = bk.bucket
+         |JOIN lut l ON l.bucket = bk.bucket AND a.j = l.j AND a.code = l.code
+         |WHERE a.vec_id >= $NCentroids
+         |GROUP BY 1 ORDER BY 2, 1 LIMIT 20""".stripMargin
+    },
 
     "q_embed_project" ->
       s"""WITH $eSql,
