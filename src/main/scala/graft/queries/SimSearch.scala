@@ -392,16 +392,22 @@ object SimSearch {
     }),
 
     // Residual IVF-PQ — the actual FAISS IndexIVFPQ encoding: PQ runs on
-    // the RESIDUAL r = v − centroid(bucket), not the raw vector, because
-    // residuals concentrate near zero once the coarse quantizer has
-    // explained the bucket's location — the same codebook budget then
-    // spends its 16 codewords on a much smaller ball (lower quantization
-    // error, better ADC fidelity). The price is bucket-dependent query
-    // prep: each probed bucket needs its own query residual and its own
-    // ADC LUT, so the LUT frame is (nprobe × M × K) rows — still a
-    // broadcast. Candidates score against the LUT of THEIR bucket.
-    // Everything else keeps the ivfpq scale shape: one candidate
-    // equi-join, codebook/centroids/LUT broadcast.
+    // the RESIDUAL r = v − centroid(bucket), not the raw vector. With a
+    // TRAINED coarse quantizer residuals concentrate near zero (the
+    // centroid explains the bucket's location), so the same 16-codeword
+    // budget covers a smaller ball — that is why production IVFPQ encodes
+    // residuals. NOTE the fixture regime is the opposite: the oracle's
+    // deterministic stand-in centroids are just other random vectors, so
+    // ‖v − c‖² ≈ 2‖v‖² and measured total qerr is HIGHER than raw PQ
+    // (582 vs 379 at sf0.01) — this query pins the residual MACHINERY
+    // (per-bucket residuals, per-probe LUTs) hash-exactly; swapping
+    // KMeans.fit centroids in flips the error relation at the cost of the
+    // SQL oracle. The price of residuals is bucket-dependent query prep:
+    // each probed bucket needs its own query residual and ADC LUT, so the
+    // LUT frame is (nprobe × M × K) rows — still a broadcast. Candidates
+    // score against the LUT of THEIR bucket. Everything else keeps the
+    // ivfpq scale shape: one candidate equi-join, everything small
+    // broadcast.
     "q_sim_ivfpq_residual" -> ((s, d) => {
       val M = graft.llm.Pq.M; val SubDim = graft.llm.Pq.SubDim
       val e = embeds(s, d)
