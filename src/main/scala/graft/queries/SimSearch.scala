@@ -391,6 +391,50 @@ object SimSearch {
         .limit(20)
     }),
 
+    // IVF-PQ recall gate — the quality loop on the COMPOUND index: the
+    // ivfpq top-20 loses candidates two ways (coarse pruning drops true
+    // neighbours outside the probed buckets; ADC misranks within them),
+    // and this one audit row measures the combined effect against the
+    // exact-L2 top-20 over the same eligible set (vec_id >= NCentroids,
+    // the only ids the index can return — so the number isolates index
+    // loss, not the centroid-exclusion artifact). Same shape as
+    // q_sim_pq_recall; AnnRecallSpec pins the floor.
+    "q_sim_ivfpq_recall" -> ((s, d) => {
+      val e = embeds(s, d)
+      val assigned = bucketAssign(e, NCentroids)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = qv.crossJoin(broadcast(cents))
+        .select(explode(slice(reverse(array_sort(transform(col("cents"), c =>
+          struct(round(Vectors.cosine(col("qv"), c.getField("cv")), 6).as("cos"),
+            c.getField("cid").as("cid"))))), 1, 2)).as("p"))
+        .select(col("p.cid").as("bucket"))
+      val candidates = assigned
+        .where(col("vec_id") >= NCentroids)
+        .join(broadcast(probes), Seq("bucket"))
+        .select(col("vec_id"))
+      val sub = graft.llm.Pq.subvectors(e)
+      val cw = graft.llm.Pq.codebook(sub)
+      val asg = graft.llm.Pq.assign(sub, cw)
+      val lut = graft.llm.Pq.adcLut(sub.where(col("vec_id") === 0), cw)
+      val found = graft.llm.Pq.adcDistances(asg.join(candidates, Seq("vec_id")), lut)
+        .orderBy(col("adist"), col("vec_id")).limit(20).select("vec_id")
+      val el = e.select(col("vec_id"), posexplode(col("v"))).toDF("vec_id", "i", "x")
+      val truth = el.where(col("vec_id") >= NCentroids)
+        .join(el.where(col("vec_id") === 0)
+          .select(col("i"), col("x").as("qx")), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum((col("x") - col("qx")) * (col("x") - col("qx"))), 4)
+          .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(20).select("vec_id")
+      truth.join(found, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(20L).as("n_true"), col("n_hit"),
+          round(col("n_hit") / 20.0, 4).as("recall"))
+    }),
+
     // Residual IVF-PQ — the actual FAISS IndexIVFPQ encoding: PQ runs on
     // the RESIDUAL r = v − centroid(bucket), not the raw vector. With a
     // TRAINED coarse quantizer residuals concentrate near zero (the
@@ -774,6 +818,39 @@ object SimSearch {
          |JOIN lut l ON a.j = l.j AND a.code = l.code
          |WHERE a.vec_id >= $NCentroids
          |GROUP BY 1 ORDER BY 2, 1 LIMIT 20""".stripMargin,
+
+    "q_sim_ivfpq_recall" ->
+      s"""WITH $eSql,
+         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |cc AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc WHERE vec_id = 0) WHERE rn <= 2),
+         |$pqCtes,
+         |lut AS (SELECT j, code, dist AS pd FROM dists WHERE vec_id = 0),
+         |found AS (
+         |  SELECT a.vec_id FROM asg a
+         |  JOIN bucket bk ON bk.vec_id = a.vec_id
+         |  JOIN probes p ON p.cid = bk.bucket
+         |  JOIN lut l ON a.j = l.j AND a.code = l.code
+         |  WHERE a.vec_id >= $NCentroids
+         |  GROUP BY a.vec_id ORDER BY round(sum(l.pd), 4), a.vec_id LIMIT 20),
+         |truth AS (
+         |  SELECT b.vec_id FROM e q JOIN e b
+         |    ON q.i = b.i AND q.vec_id = 0 AND b.vec_id >= $NCentroids
+         |  GROUP BY b.vec_id
+         |  ORDER BY round(sum((q.x - b.x) * (q.x - b.x)), 4), b.vec_id LIMIT 20)
+         |SELECT CAST(20 AS BIGINT) AS n_true, count(*) AS n_hit,
+         |  round(count(*) / 20.0, 4) AS recall
+         |FROM truth JOIN found USING (vec_id)""".stripMargin,
 
     "q_sim_ivfpq_residual" -> {
       val SubDim = graft.llm.Pq.SubDim
