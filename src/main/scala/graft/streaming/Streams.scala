@@ -91,6 +91,25 @@ object Streams {
           col("b_ts") <= col("ts"))
   }
 
+  /** Native streaming session windows — the built-in operator twin of the
+    * custom flatMapGroupsWithState fold below (and of the batch
+    * q_window_session_native): `session_window(ts, gap)` merges events
+    * into gap-bounded sessions inside the state store, the watermark
+    * closes sessions whose end + gap has passed, and Append mode emits
+    * each session exactly once on close. State per (user, open session)
+    * is one interval — the same bound the hand-rolled fold keeps, with
+    * the merge logic owned by the engine.
+    */
+  def sessionWindowCounts(events: DataFrame,
+                          gap: String = "30 minutes",
+                          delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("session_start"), col("user_id"),
+        col("n_events"))
+
   /** LEFT OUTER variant of correlateStreams: events of `a` with no
     * same-user `b` event in [a.ts − lookback, a.ts] still emit, null-
     * extended — but only once the watermark passes their join window, when

@@ -54,6 +54,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowCounts merges gap-bounded bursts and closes " +
+    "sessions past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = Streams.sessionWindowCounts(
+      input.toDF().toDF("user_id", "ts"), gap = "5 minutes", delay = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_native")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst 1: 10:01, 10:03 (one session); burst 2 at 10:20 (new — gap 17m)
+      input.addData((7L, ts(1)), (7L, ts(3)), (7L, ts(20)))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' close so Append emits
+      input.addData((9L, ts(59)))
+      q.processAllAvailable()
+      input.addData((9L, ts(59)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_native")
+        .as[(Timestamp, Long, Long)].collect().filter(_._2 == 7L)
+        .map(r => (r._1, r._3)).sortBy(_._1.getTime)
+      assert(rows.toSeq == Seq((ts(1), 2L), (ts(20), 1L)),
+        s"expected two sessions (2 events, then 1), got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("correlateStreamsOuter emits unmatched left rows null-extended " +
     "once the watermark closes their window") {
     val s = spark
