@@ -86,6 +86,53 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-round label propagation (Raghavan et al. 2007) — community
+    * detection by iterated neighbour-majority vote: every node starts as
+    * its own label; each round it adopts the most frequent label among its
+    * neighbours, ties broken toward the SMALLEST label so every round is a
+    * deterministic function of the graph (classic LPA's random order makes
+    * runs non-comparable; this synchronous min-tie variant is exactly
+    * reproducible and SQL-expressible). Input: (src, dst) undirected (both
+    * directions present). Output: one row per surviving community —
+    * (community, n_members) with community = the adopted label.
+    *
+    * Scale shape: the canonical iterative join+agg, same discipline as
+    * pagerankFixed — the edge table caches hash-partitioned on the join
+    * key ONCE, each round shuffles only the node-sized label frame; the
+    * per-round vote is count + row_number over the (node × neighbour-label)
+    * frame, bounded by the edge count. All-integer state, no FP anywhere.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val Array(a, b) = edges.columns
+    // repartition on the join key BEFORE caching (r6 pagerank lesson): the
+    // label join reads e by d every round; caching the upstream layout
+    // would re-shuffle the edge side per iteration
+    val e = edges.select(col(a).as("s"), col(b).as("d"))
+      .repartition(col("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("lbl"))
+      labels = e
+        .join(labels.select(col("node").as("d"), col("lbl")), Seq("d"))
+        .groupBy(col("s"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("s").as("node"), col("lbl"), col("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    val out = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val materialized = out.localCheckpoint()
+    e.unpersist(blocking = false)
+    materialized
+  }
+
   /** Fixed-point PageRank (damping 0.85, scores in billionths): every
     * intermediate is an exact integer (DIV floor division), so the result
     * is identical under ANY partitioning or summation order — a

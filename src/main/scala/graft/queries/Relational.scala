@@ -1204,6 +1204,27 @@ object Relational {
         rounds = 3)
     }),
 
+    // Label-propagation communities over the same co-occurrence graph —
+    // synchronous min-tie LPA (deterministic, 3 rounds), emitting each
+    // surviving community's label and size. See Graph.labelPropagation
+    // for the vote rule and the iterative-cache discipline.
+    "q_graph_label_prop" -> ((s, d) => {
+      val occ = table(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 300").as("win"),
+          col("event_type"), col("user_id"))
+        .distinct()
+      val e = occ.as("a")
+        .join(occ.as("b"),
+          col("a.win") === col("b.win") &&
+            col("a.event_type") === col("b.event_type") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+        .distinct()
+      Graph.labelPropagation(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+        rounds = 3)
+    }),
+
     // Daily cohort retention matrix — the product-analytics staple: cohort
     // = a user's first active day, each later active day lands in
     // (cohort, day_offset), cell = distinct users. One (user_id, day)
@@ -2139,6 +2160,31 @@ object Relational {
          |${round("u1", 2)},
          |${round("u2", 3)}
          |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}""".stripMargin
+    },
+
+    "q_graph_label_prop" -> {
+      def round(prev: String, r: Int) =
+        s"""n$r AS (SELECT e.s AS node, l.lbl, count(*) AS c
+           |        FROM u0 e JOIN $prev l ON l.node = e.d GROUP BY 1, 2),
+           |l$r AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |  FROM n$r) WHERE rn = 1)"""
+      s"""WITH occ AS (
+         |  SELECT DISTINCT CAST(floor(epoch(ts)/300) AS BIGINT) AS win,
+         |    event_type, user_id FROM events),
+         |e AS (
+         |  SELECT DISTINCT a.user_id AS s, b.user_id AS d
+         |  FROM occ a JOIN occ b
+         |    ON a.win = b.win AND a.event_type = b.event_type
+         |    AND a.user_id < b.user_id),
+         |u0 AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+         |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM u0),
+         |${round("l0", 1)},
+         |${round("l1", 2)},
+         |${round("l2", 3)}
+         |SELECT lbl AS community, count(*) AS n_members
+         |FROM l3 GROUP BY 1""".stripMargin
     },
 
     "q_events_retention" ->

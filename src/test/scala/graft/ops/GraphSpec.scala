@@ -124,6 +124,24 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("labelPropagation: two cliques joined by one bridge resolve to " +
+    "two 3-member communities") {
+    // cliques {1,2,3} and {10,11,12} with bridge 3-10. Hand-traced
+    // synchronous min-tie vote: round 1 gives the second clique's hub
+    // node 10 the bridge label 3 (its smallest neighbour), and rounds
+    // 2-3 spread 3 through {10,11,12} while {1,2,3} settles on 1 — the
+    // bridge leaks a LABEL across, but the communities stay separate
+    // (what LPA promises); the leaked label id is why community ids are
+    // representatives, not canonical minima.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val edges = Graph.undirect(tri.toDF("src", "dst"))
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 3L -> 3L),
+      s"expected two 3-member communities labeled 1 and 3, got $got")
+  }
+
   test("invertClosure turns ancestors into descendants") {
     val df = Seq(("x", Seq("x", "p")), ("y", Seq("y", "p"))).toDF("id", "ancestors")
     val inv = Graph.invertClosure(df, "id", "ancestors")
