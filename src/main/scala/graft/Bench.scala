@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pins the TimestampNTZ→Timestamp cast in Core.table: without it a
+      // non-UTC machine would bench different plans/values than Verify/tests.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,7 +55,14 @@ object Bench {
       // (q_dedup_* sort first) and every later query pays the GC pressure —
       // measured 2-10x inflation on queries benched late in the run.
       spark.catalog.clearCache()
-      name -> times.min
+      // A query that fails run 1 but succeeds run 2 has a valid measurement:
+      // min over non-negative keeps it in the total (the errors entry still
+      // flags the flake); only an all-runs failure reports -1.
+      val best = times.filter(_ >= 0) match {
+        case ok if ok.nonEmpty => ok.min
+        case _                 => -1.0
+      }
+      name -> best
     }.toMap
     // Locale.ROOT: f-interpolation uses the default locale, which renders
     // decimal COMMAS on e.g. de_DE JVMs — invalid JSON for the driver.

@@ -28,6 +28,11 @@ object Smoke {
         // comma-separated names share one JVM/session: batch smokes would
         // otherwise pay ~30 s of sbt+JVM+session startup PER query
         val queries = names.split(',').map(_.trim).filter(_.nonEmpty)
+        // Validate up front (mirrors Bench): a typo'd name would otherwise
+        // throw a bare NoSuchElementException AFTER earlier queries ran.
+        val unknown = queries.toSet -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
         queries.foreach { name =>
           // construct INSIDE the timing loop: for lazy queries that's plan
           // building (microseconds); for eager ones (corpus_prepare's

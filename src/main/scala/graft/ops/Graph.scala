@@ -198,32 +198,58 @@ object Graph {
     * the same layout for its two consumers (next round's degree agg and
     * its own summary count).
     */
+  /** One peel round against a broadcast 1-row `kf` frame (`k` column):
+    * (alive nodes, surviving edges). The surviving-edge frame meets the
+    * shrinking alive set as two broadcast semi-joins on the edges'
+    * existing layout — exposed so plan pins can assert that strategy
+    * directly (the round loop below is eager, so the plan of its RESULT
+    * is checkpoint scans, not the per-round joins).
+    */
+  def kcorePeel(edges: DataFrame, kf: DataFrame): (DataFrame, DataFrame) = {
+    val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(kf))
+      .where(col("deg") >= col("k"))
+      .select(col("src").as("node"))
+    val next = edges
+      .join(broadcast(alive.select(col("node").as("src"))),
+        Seq("src"), "left_semi")
+      .join(broadcast(alive.select(col("node").as("dst"))),
+        Seq("dst"), "left_semi")
+    (alive, next)
+  }
+
   def kcoreRounds(undirected: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     var edges = undirected.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted 1-row frame: every round's alive filter reads it, and the
+    // round-0 edge cache it derives from is released after round 1.
     val kf = edges
       .agg(count(lit(1)).as("m"), countDistinct(col("src")).as("nv"))
       .select(expr("CAST(m DIV nv AS BIGINT)").as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager rounds (the components() discipline, llm/Dedup.scala): each
+    // round's 1-row summary localCheckpoints — which materializes that
+    // round's surviving-edge cache — and THEN generation r-1 unpersists.
+    // The lazy shape this replaces pinned every intermediate edge
+    // generation for the life of the session (a deep peel would hold
+    // rounds × |E| in cache); now at most two generations are live at
+    // once and nothing outlives the call.
     val rows = (1 to rounds).map { r =>
-      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .crossJoin(broadcast(kf))
-        .where(col("deg") >= col("k"))
-        .select(col("src").as("node"))
-      val next = edges
-        .join(broadcast(alive.select(col("node").as("src"))),
-          Seq("src"), "left_semi")
-        .join(broadcast(alive.select(col("node").as("dst"))),
-          Seq("dst"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (alive, nextRaw) = kcorePeel(edges, kf)
+      val next = nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
       val row = alive.agg(count(lit(1)).as("n_alive"))
         .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
         .crossJoin(broadcast(kf))
         .select(lit(r.toLong).as("round"), col("k"),
           col("n_alive"), col("n_edges"))
+        .localCheckpoint()
+      edges.unpersist(blocking = false)
       edges = next
       row
     }
+    edges.unpersist(blocking = false)
+    kf.unpersist(blocking = false)
     rows.reduce(_ unionByName _)
   }
 
@@ -245,8 +271,15 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seed = e.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
+    // Eager frontier expansion with per-round cache release (the
+    // components() discipline): materializing round r's visited set via
+    // count() lets generation r-1 (old visited + old frontier) unpersist
+    // immediately — a long BFS otherwise pins every per-round frame for
+    // the life of the session. The final visited set localCheckpoints so
+    // the edge cache and last round's frames release too; nothing
+    // outlives the call.
     var visited = seed.persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = seed
+    var frontier: DataFrame = visited
     for (r <- 1 to rounds) {
       val next = e.join(broadcast(frontier.select(col("node").as("src"))),
           Seq("src"), "left_semi")
@@ -254,10 +287,18 @@ object Graph {
         .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      visited = visited.unionByName(next)
+      val grown = visited.unionByName(next)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      grown.count() // materializes next + grown before the old caches go
+      visited.unpersist(blocking = false)
+      frontier.unpersist(blocking = false)
+      visited = grown
       frontier = next
     }
-    visited
+    val out = visited.localCheckpoint()
+    visited.unpersist(blocking = false)
+    frontier.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
   }
 }

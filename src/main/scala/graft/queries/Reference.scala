@@ -284,6 +284,19 @@ object Reference {
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
           .as("evs_id")
       )
+    }),
+
+    // Same evidence-id construction under the FULL hash gate: DuckDB has
+    // sha256 (unlike sha1), so this twin oracle-checks the concat_ws key
+    // assembly + hex digest end to end; q_evidence_sha1 stays for
+    // reference fidelity (sc:218 uses sha1) as a rows-only entry.
+    "q_evidence_sha256" -> ((s, d) => {
+      table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        sha2(concat_ws("_",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")), 256)
+          .as("evs_id")
+      )
     })
   )
 
@@ -442,8 +455,15 @@ object Reference {
 
     "q_limit_topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_evidence_sha256" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sha256(concat_ws('_', l_orderkey, l_linenumber, l_partkey, l_suppkey))
+        |    AS evs_id
+        |FROM lineitem""".stripMargin
     // q_approx_distinct, q_evidence_sha1: intentionally no oracle
-    // (engine-specific HLL estimate / DuckDB lacks sha1) → rows-only check.
+    // (engine-specific HLL estimate / DuckDB lacks sha1) → rows-only check;
+    // q_evidence_sha256 puts the same id construction under the hash gate.
   )
 }

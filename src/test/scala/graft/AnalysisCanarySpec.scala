@@ -4,8 +4,11 @@ package graft
   * against the current sf0.001 fixtures.
   *
   * Forcing `.queryExecution.analyzed` resolves every column reference and
-  * type-checks every expression against the parquet schemas WITHOUT
-  * executing anything, so the whole sweep is cheap. This is the structural
+  * type-checks every expression against the parquet schemas. For most
+  * (lazy) queries that executes nothing and is cheap; eager-constructing
+  * queries (bucketed-join table writes, checkpointed components, collect-fit
+  * KMeans) DO run their construction work here, so the sweep is
+  * side-effecting and not uniformly free. This is the structural
   * fix for the failure class rounds 5 and 6 both hit: a fixture
   * regeneration (events.ts nanos → micros) or a bad column ref silently
   * dropped 15 queries from the round record because Verify/Bench swallowed

@@ -308,12 +308,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("k-core rounds: alive-set filters are broadcast semi-joins — the " +
+  test("k-core peel round: alive-set filters are broadcast semi-joins — the " +
     "edge frame never re-sorts through a shuffle join") {
     // each peel round meets the shrinking alive set as BroadcastHashJoin
     // LeftSemi on the edges' existing layout; a SortMergeJoin appearing
-    // means a round started re-shuffling the big side
-    val plan = executedPlan("q_graph_kcore")
+    // means a round started re-shuffling the big side. Pinned on the
+    // exposed single round: kcoreRounds itself is now eager with
+    // per-round checkpoints, so the plan of its RESULT is checkpoint
+    // scans (RunMetricsSpec pins the runtime shuffle volume instead).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = Graph.undirect(
+      (1L to 200L).map(l => (0L, l)).toDF("src", "dst"))
+      .repartition(col("src"))
+    val kf = Seq(2L).toDF("k")
+    val (_, next) = Graph.kcorePeel(edges, kf)
+    val plan = next.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }

@@ -53,7 +53,16 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        spark_df = pd.read_parquet(d)
+        # A query that fails mid-write leaves a partial dir (exists, no
+        # readable parquet) — that must count as ONE failure, not abort the
+        # whole compare and lose every other query's result.
+        try:
+            spark_df = pd.read_parquet(d)
+        except Exception as e:
+            msg = errs.get(name, str(e))
+            print(f"{'READ_ERR':>10} {name}: {msg[:160]}")
+            n_fail += 1
+            continue
         if name not in oracle:
             status = "ROWS_ONLY" if len(spark_df) > 0 else "EMPTY!"
             print(f"{status:>10} {name} ({len(spark_df)} rows)")
