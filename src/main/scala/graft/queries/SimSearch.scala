@@ -23,6 +23,68 @@ object SimSearch {
   val NearDupThreshold = 0.4
   val NCentroids = 8
 
+  /** Scale-adaptive banding config (q_sim_ann_lsh_scaled): the plane pool
+    * both engines draw from, the per-band target bucket occupancy, and the
+    * production near-dup threshold. bits/band = clamp(4..12,
+    * ceil(log2(n / occupancy))) — bucket count GROWS with n so candidates
+    * stay ≈ bands · occupancy · n (linear), where the fixed 4×4 config's
+    * candidates are n²·bands/16 (the engine's one measured superlinearity,
+    * SCALE.md). At τ = 0.8 (p_plane ≈ 0.795) the narrow buckets keep
+    * usable recall (0.795¹¹ ≈ 0.08/band × 8 bands ≈ 0.49 at n = 20k);
+    * at the oracle fixture's τ = 0.4 this regime is impossible — see the
+    * q_sim_ann_lsh scaladoc — which is why BOTH configs ship.
+    */
+  val ScaledNPlanes = 96
+  val ScaledOccupancy = 16
+  val ScaledMinBits = 4
+  val ScaledMaxBits = 12
+  val ScaledThreshold = 0.8
+
+  /** bits/band for n vectors — the Scala twin of the oracle's
+    * GREATEST/LEAST/ceil(log2(...)) expression (exact for any n: the only
+    * boundary cases are exact powers of two, where IEEE log2 is exact in
+    * both engines).
+    */
+  def scaledBits(n: Long): Int =
+    math.max(ScaledMinBits, math.min(ScaledMaxBits,
+      math.ceil(math.log(n / ScaledOccupancy.toDouble) / math.log(2.0)).toInt))
+
+  /** Adaptive-banding candidate pairs (v1 < v2, distinct) plus the config
+    * derived from the corpus count — shared by q_sim_ann_lsh_scaled and the
+    * candidate-quality pins in AnnRecallSpec. Returns (pairs, n, bits,
+    * bands). The count() is the "cheap count": parquet row-count metadata,
+    * one footer read at any scale.
+    */
+  def scaledLshCandidates(s: SparkSession, d: String): (DataFrame, Long, Int, Int) = {
+    val e = embeds(s, d)
+    val n = e.count()
+    val bits = scaledBits(n)
+    val bands = ScaledNPlanes / bits
+    val used = bands * bits
+    val bitCols = (0 until used).map { i =>
+      (Vectors.dotConst(col("v"), AllPlanes(i)) >= 0).cast("long").as(s"b$i")
+    }
+    // sig is its own select so the band packing below reads ATTRIBUTES —
+    // Catalyst would otherwise re-evaluate each plane dot per consumer.
+    val sig = e.select(col("vec_id") +: bitCols: _*)
+    val bandStructs = array((0 until bands).map { b =>
+      val bucket = (0 until bits)
+        .map(r => col(s"b${b * bits + r}") * lit(1L << (bits - 1 - r)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+    val banded = sig
+      .select(col("vec_id"), explode(bandStructs).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    (pairs, n, bits, bands)
+  }
+
   /** Recall floor pinned by AnnRecallSpec. Sign-LSH theory at this config:
     * a cos-0.4 pair (θ≈66°) collides in one 4-bit band with prob
     * (1-θ/π)⁴ ≈ 0.16, so over 4 bands recall ≈ 1-(1-0.16)⁴ ≈ 0.50;
@@ -33,8 +95,12 @@ object SimSearch {
     */
   val MinLshRecall = 0.35
 
-  /** Deterministic sign-LSH hyperplanes, shared by plan and oracle. */
-  val Planes: Seq[Seq[Int]] = Vectors.hyperplanes(NPlanes, Dim)
+  /** Deterministic sign-LSH hyperplane pool, shared by plan and oracle.
+    * hyperplanes() is indexed per (p, i), so the 16-plane family used by
+    * the fixed 4×4 config is exactly the pool's prefix.
+    */
+  val AllPlanes: Seq[Seq[Int]] = Vectors.hyperplanes(ScaledNPlanes, Dim)
+  val Planes: Seq[Seq[Int]] = AllPlanes.take(NPlanes)
 
   private def embeds(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
@@ -133,6 +199,31 @@ object SimSearch {
         .select(col("v1"), col("v2"),
           round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
         .where(col("cos") >= NearDupThreshold)
+    }),
+
+    // Scale-adaptive sign-LSH: the subquadratic production regime the fixed
+    // 4×4 config can't reach. bits/band is computed from a cheap count
+    // (parquet-footer n), so bucket count tracks n and the candidate set
+    // stays ≈ bands·occupancy·n — LINEAR — where q_sim_ann_lsh's candidates
+    // grow n²·bands/16 (the 58 s outlier at 10×, SCALE.md). Output is a
+    // one-row summary (n_vec, bits_per_band, n_bands, n_cand, n_match):
+    // the exact candidate count forces the oracle to reproduce the entire
+    // adaptive banding bit-for-bit over every vector — a stronger gate
+    // than the pair list, which at τ = 0.8 is empty on these fixtures
+    // (max fixture cosine ≈ 0.51; ScaledLshSpec pins candidate quality).
+    // The verify stage still computes exact cosine on every candidate, so
+    // wall-clock measures the full candidate+verify pipeline.
+    "q_sim_ann_lsh_scaled" -> ((s, d) => {
+      val (pairs, n, bits, bands) = scaledLshCandidates(s, d)
+      val en = normEmbeds(s, d)
+      pairs
+        .join(en.select(col("vec_id").as("v1"), col("vn").as("a")), Seq("v1"))
+        .join(en.select(col("vec_id").as("v2"), col("vn").as("b")), Seq("v2"))
+        .select(round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+        .agg(count(lit(1)).as("n_cand"),
+          count(when(col("cos") >= ScaledThreshold, true)).as("n_match"))
+        .select(lit(n).as("n_vec"), lit(bits.toLong).as("bits_per_band"),
+          lit(bands.toLong).as("n_bands"), col("n_cand"), col("n_match"))
     }),
 
     // ANN recall gate: the quality loop on the LSH family. The LSH result
@@ -595,7 +686,59 @@ object SimSearch {
        |  FROM bks x JOIN bks y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
 
+  /** The full 96-plane pool as a VALUES relation (p, i 1-based, h). */
+  private val hpPoolSql: String = {
+    val rows = for {
+      (plane, p) <- AllPlanes.zipWithIndex
+      (h, i) <- plane.zipWithIndex
+    } yield s"($p,${i + 1},$h)"
+    s"hp96 AS (SELECT * FROM (VALUES ${rows.mkString(",")}) v(p, i, h))"
+  }
+
+  /** Scale-adaptive banding as CTEs: bits/band from count(*) (the SQL twin
+    * of scaledBits), banding restricted to the full bands that fit the
+    * pool, candidate pairs via the adaptive buckets.
+    */
+  private val scaledLshCtes: String =
+    s"""$hpPoolSql,
+       |prm AS (
+       |  SELECT GREATEST($ScaledMinBits, LEAST($ScaledMaxBits,
+       |    CAST(ceil(log2(count(*) / $ScaledOccupancy.0)) AS BIGINT))) AS bits,
+       |    CAST(count(*) AS BIGINT) AS n_vec
+       |  FROM embeddings),
+       |prm2 AS (
+       |  SELECT n_vec, bits, $ScaledNPlanes // bits AS bands,
+       |    ($ScaledNPlanes // bits) * bits AS used
+       |  FROM prm),
+       |sbits AS (
+       |  SELECT vec_id, p, CASE WHEN sum(x * h) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM e JOIN hp96 USING (i), prm2 WHERE p < used
+       |  GROUP BY vec_id, p),
+       |sbks AS (
+       |  SELECT vec_id, p // bits AS band,
+       |    sum(b * (1 << (bits - 1 - (p % bits)))) AS bucket
+       |  FROM sbits, prm2 GROUP BY vec_id, p // bits),
+       |spairs AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM sbks x JOIN sbks y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_lsh_scaled" ->
+      s"""WITH $eSql,
+         |$scaledLshCtes,
+         |scored AS (
+         |  SELECT p.v1, p.v2, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN spairs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT (SELECT n_vec FROM prm2) AS n_vec,
+         |  (SELECT bits FROM prm2) AS bits_per_band,
+         |  (SELECT bands FROM prm2) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(count(*) FILTER (cos >= $ScaledThreshold) AS BIGINT) AS n_match
+         |FROM scored""".stripMargin,
+
     "q_dedup_embed_cosine" ->
       s"""WITH $eSql
          |SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosSql("a", "b")} AS cos

@@ -43,6 +43,39 @@ class AnnRecallSpec extends SparkSpec {
       "LSH emitted a pair the exact ground truth does not contain")
   }
 
+  test("scaled LSH: adaptive config follows the tuning law and candidates " +
+    "stay linear in n") {
+    assumeFixtures()
+    val (pairs, n, bits, bands) = SimSearch.scaledLshCandidates(spark, sfDir)
+    assert(bits == SimSearch.scaledBits(n), s"bits $bits violates the law")
+    assert(bands == SimSearch.ScaledNPlanes / bits)
+    // fixture n=500 → bits=5: already above the fixed config's 4, proving
+    // the config moves with n (at n=20k it reaches 11 — see SCALE.md)
+    assert(bits > 4 || n <= 256, s"n=$n should push bits past the minimum")
+    val nCand = pairs.count()
+    assert(nCand > 0, "no candidates — banding degenerated")
+    // the whole point: candidates bounded by bands·occupancy·n (linear),
+    // never the fixed config's n²·bands/2^bits
+    assert(nCand <= bands.toLong * SimSearch.ScaledOccupancy * n,
+      s"$nCand candidates exceed the linear bound — occupancy broke")
+  }
+
+  test("scaled LSH candidates cover the brute-force truth pairs " +
+    "(candidate-level recall at the fixture threshold)") {
+    assumeFixtures()
+    val truth = SimSearch.queries("q_dedup_embed_cosine")(spark, sfDir)
+      .select("v1", "v2")
+    val nTrue = truth.count()
+    assume(nTrue > 0, "fixture has no near-dup pairs")
+    val (pairs, _, _, _) = SimSearch.scaledLshCandidates(spark, sfDir)
+    val covered = truth.intersect(pairs.select("v1", "v2")).count()
+    // theory at bits=5, 19 bands, p_plane(cos 0.4)≈0.63: candidate recall
+    // ≈ 1-(1-0.63⁵)¹⁹ ≈ 0.87; deterministic fixtures make the measured
+    // value exact, so 0.6 is a real floor
+    assert(covered.toDouble / nTrue >= 0.6,
+      s"candidate recall ${covered.toDouble / nTrue} below 0.6 ($covered/$nTrue)")
+  }
+
   test(s"LSH candidate recall clears the ${SimSearch.MinLshRecall} floor") {
     assumeFixtures()
     val row = SimSearch.queries("q_sim_ann_recall")(spark, sfDir).collect().head
