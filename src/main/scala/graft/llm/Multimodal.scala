@@ -92,6 +92,42 @@ object Multimodal {
         .cast("double") / 1000000.0
     }: _*)
 
+  case class ImageSpec(media_id: Long, width: Int, height: Int, rgb: Int)
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+                          png_bytes: Long, rgb0: Long)
+
+  /** REAL codec round-trip — javax.imageio, pure JVM, zero new
+    * dependencies: render each row's deterministic solid-RGB image, encode
+    * it to PNG, and DECODE the bytes back inside the same partition loop.
+    * The fixtures ship no binary media (documents.text stands in for
+    * payloads — documented stub), so this stage is how a real encoder +
+    * decoder get on the correctness record: the reported width/height/rgb0
+    * survive an actual PNG encode/decode, and because they are pure
+    * functions of the input spec the DuckDB oracle hash-checks them.
+    * Same mapPartitions boundary as decode()/resize() — one codec context
+    * per partition — so swapping in a JNI codec changes no plan shape.
+    */
+  def pngRoundTrip(specs: Dataset[ImageSpec]): Dataset[DecodedImage] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { rows =>
+      rows.map { sp =>
+        val img = new java.awt.image.BufferedImage(
+          sp.width, sp.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(sp.rgb))
+        g.fillRect(0, 0, sp.width, sp.height)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        DecodedImage(sp.media_id, back.getWidth, back.getHeight,
+          bytes.length.toLong, (back.getRGB(0, 0) & 0xffffff).toLong)
+      }
+    }
+  }
+
   /** Documents → media table adapter: UTF-8 payloads standing in for real
     * image/audio bytes (the fixtures ship no binary media), typed via the
     * MediaRow encoder.

