@@ -302,26 +302,32 @@ object Dedup {
     * prefix buckets the smallest ones in the corpus. τ = tauNum/tauDen is
     * rational so every threshold compare is integer-exact on both engines.
     *
-    * Scale shape: the df rank is a single-partition window over the VOCAB
-    * table only (Heaps-bounded — the q_text_vocab_coverage argument) and
-    * rides back on a broadcast join; the prefix trim is a per-doc keyed
-    * window; the candidate join keys on individual rare shingles; the
-    * length filter (tauDen·min ≥ tauNum·max, a J ≥ τ necessity) prunes
-    * before the distinct. No all-pairs product anywhere.
+    * Scale shape (reworked r8): the lemma needs only a CONSISTENT total
+    * order on the shingle universe, and the (df, w) tuple IS one — so df
+    * comes from a keyed window on w, the per-doc prefix position from a
+    * keyed window on the doc, and the candidate join keys on w directly
+    * (the old global rank was a bijection on w anyway). The previous form
+    * materialized the rank as a row_number over ONE partition and
+    * broadcast the whole vocab-rank table — fine while vocab looked
+    * Heaps-bounded, but 3-SHINGLE vocab is corpus-sized (≈50M distinct at
+    * the 100× smoke; no saturation) and the single-partition sort + the
+    * corpus-sized broadcast measured 141 s there. Now every stage is
+    * keyed: shuffle on w (df window), shuffle on doc (prefix trim),
+    * equi-join on w. The length filter (tauDen·min ≥ tauNum·max, a J ≥ τ
+    * necessity) prunes before the distinct. No all-pairs product, no
+    * global pass, nothing driver-sized.
     */
   def prefixFilterPairs(sh: DataFrame, idCol: String,
                         tauNum: Long, tauDen: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rank = sh.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .select(col("w"),
-        row_number().over(Window.orderBy(col("df"), col("w"))).as("rnk"))
-    val ranked = sh.join(broadcast(rank), Seq("w"))
+    val withDf = sh.select(col(idCol), col("w"),
+      count(lit(1)).over(Window.partitionBy(col("w"))).as("df"))
     // ⌈τ·n⌉ = (num·n + den − 1) div den; n is a shingle count so the
     // products stay far below 2^53 and the floor-via-cast is exact.
-    val pre = ranked
-      .select(col(idCol), col("rnk"),
+    val pre = withDf
+      .select(col(idCol), col("w"), col("df"),
         row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("rnk")))
+          Window.partitionBy(col(idCol)).orderBy(col("df"), col("w")))
           .cast("long").as("pos"),
         count(lit(1)).over(Window.partitionBy(col(idCol))).as("n"))
       .where(col("pos") <= col("n") + lit(1L) -
@@ -336,7 +342,7 @@ object Dedup {
       (lit(tauNum) * (col("a.n") + col("b.n")) + lit(tauNum + tauDen - 1)) /
         lit(tauNum + tauDen)).cast("long")
     pre.as("a").join(pre.as("b"),
-        col("a.rnk") === col("b.rnk") &&
+        col("a.w") === col("b.w") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           lit(tauDen) * least(col("a.n"), col("b.n")) >=
             lit(tauNum) * greatest(col("a.n"), col("b.n")) &&

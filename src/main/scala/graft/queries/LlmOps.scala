@@ -1122,6 +1122,45 @@ object LlmOps {
           sum(coalesce(col("v"), lit(0L))).as("n_verified"))
     }),
 
+    // Right-sized decontamination — the production sizing the static
+    // 16 Kbit instance above deliberately doesn't do (its fixed m is what
+    // the oracle pins; SCALE.md documents its saturation at 10×). Here
+    // m, k derive from the reference gram count via Bloom.bitsFor /
+    // hashesFor — one count job before the build, exactly the sizing pass
+    // a production run pays — and the m/k used ride the output so the
+    // DuckDB twin (which re-derives them from the same count with the
+    // same formulas) pins the sizing arithmetic in the hash gate too.
+    "q_dedup_decon_sized" -> ((s, d) => {
+      def gramHashes(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 5))).as("g"))
+        .select(col("doc_id"), col("g"),
+          Core.md5Hash64(col("g")).as("h1"),
+          Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
+      val docs = table(s, d, "documents")
+      val ref = docs.where(col("source") === "src0")
+      val refGrams = ref
+        .select(explode(array_distinct(TextOps.shingles(col("text"), 5))).as("g"))
+        .distinct()
+      val n = refGrams.count()
+      val m = graft.ops.Bloom.bitsFor(n, 0.01)
+      val k = graft.ops.Bloom.hashesFor(m, n)
+      val bits = gramHashes(ref)
+        .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, k)
+          .as("bloom_bits"))
+      gramHashes(docs.where(col("source") =!= "src0"))
+        .crossJoin(broadcast(bits))
+        .where(graft.ops.Bloom.mightContainHashes(
+          col("bloom_bits"), col("h1"), col("h2"), m, k))
+        .select(col("doc_id"), col("g"))
+        .join(broadcast(refGrams.withColumn("v", lit(1L))), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom_hits"),
+          sum(coalesce(col("v"), lit(0L))).as("n_verified"))
+        .withColumn("m_bits", lit(m.toLong))
+        .withColumn("k_hashes", lit(k.toLong))
+    }),
+
     // Sparse tf-idf cosine over LSH candidate pairs — the IR-style
     // similarity the dense ANN family can't express when vocabulary IS the
     // feature space. Weights are FIXED-POINT integers (wt = tf *
@@ -1458,6 +1497,55 @@ object LlmOps {
          |refg AS (SELECT DISTINCT w AS g FROM (SELECT $sh5 FROM documents WHERE source = 'src0'))
          |SELECT h.doc_id AS doc_id, count(*) AS n_bloom_hits,
          |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
+         |FROM hits h LEFT JOIN refg r USING (g)
+         |GROUP BY h.doc_id""".stripMargin
+    },
+
+    // Dynamic twin of the right-sized decon: m, k re-derived in SQL from
+    // the same distinct-gram count with the same bitsFor/hashesFor
+    // formulas (ceil(-n·ln(fpp)/ln²2) word-rounded; round(m/n·ln2) —
+    // positive-half-up rounds identically in both engines), then the same
+    // UBIGINT word math as the static oracle with m, k as columns.
+    "q_dedup_decon_sized" -> {
+      val hr = 2147483648L // BloomAgg.HashRange
+      val sh5 = shingleSqlN(5, distinct = true)
+      s"""WITH refg AS (
+         |  SELECT DISTINCT w AS g FROM (SELECT $sh5 FROM documents WHERE source = 'src0')),
+         |prm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ((CAST(ceil(-count(*) * ln(0.01) / (ln(2) * ln(2))) AS BIGINT) + 63)
+         |      // 64) * 64 AS m
+         |  FROM refg),
+         |prm2 AS (
+         |  SELECT n, m, GREATEST(1, CAST(round(m / n * ln(2)) AS BIGINT)) AS k
+         |  FROM prm),
+         |ks AS (SELECT unnest(generate_series(0, (SELECT k FROM prm2) - 1)) AS i),
+         |ref_h AS (
+         |  SELECT ${sqlHash64("g")} % $hr AS b1, ${sqlHash64("'bl|' || g")} % $hr AS b2
+         |  FROM refg),
+         |ref_pos AS (
+         |  SELECT (b1 + i * b2) % (SELECT m FROM prm2) AS p
+         |  FROM ref_h CROSS JOIN ks),
+         |words AS (
+         |  SELECT p // 64 AS widx, bit_or(1::UBIGINT << CAST(p % 64 AS INT)) AS wbits
+         |  FROM ref_pos GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, g, i, (b1 + i * b2) % (SELECT m FROM prm2) AS p
+         |  FROM (SELECT doc_id, w AS g, ${sqlHash64("w")} % $hr AS b1,
+         |               ${sqlHash64("'bl|' || w")} % $hr AS b2
+         |        FROM (SELECT doc_id, $sh5 FROM documents WHERE source <> 'src0'))
+         |  CROSS JOIN ks),
+         |hits AS (
+         |  SELECT doc_id, g
+         |  FROM probe LEFT JOIN words ON probe.p // 64 = words.widx
+         |  GROUP BY doc_id, g
+         |  HAVING sum(CASE WHEN (coalesce(wbits, 0::UBIGINT)
+         |                        & (1::UBIGINT << CAST(probe.p % 64 AS INT))) <> 0
+         |             THEN 1 ELSE 0 END) = (SELECT k FROM prm2))
+         |SELECT h.doc_id AS doc_id, count(*) AS n_bloom_hits,
+         |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified,
+         |  (SELECT m FROM prm2) AS m_bits,
+         |  (SELECT k FROM prm2) AS k_hashes
          |FROM hits h LEFT JOIN refg r USING (g)
          |GROUP BY h.doc_id""".stripMargin
     },

@@ -254,20 +254,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
-  test("prefix-filter join: the df-rank table rides a broadcast and no " +
-    "join in the plan is a nested loop") {
-    // the rank table is vocab-bounded by design and must reach the shingle
-    // stream as a broadcast — a sort-merge there would shuffle the whole
-    // corpus once more per consumer; the candidate self-join and verify
-    // joins must stay equi-joins
+  test("prefix-filter join: every stage is keyed — no single-partition " +
+    "pass, no nested loop") {
+    // r8 rework: the rare-first order is the (df, w) tuple from a keyed
+    // window, NOT a globally materialized rank — 3-shingle vocab is
+    // corpus-sized (no Heaps saturation), so the old single-partition
+    // row_number + vocab-wide broadcast measured 141 s at the 100× smoke.
+    // A SinglePartition exchange reappearing means someone reintroduced a
+    // global pass; the candidate self-join and verify joins must stay
+    // equi-joins.
     assume(new java.io.File(sfDir).isDirectory)
     val df = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
     df.collect() // finalize AQE
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastHashJoin"),
-      s"df-rank join lost its broadcast:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global single-partition pass reappeared:\n$plan")
   }
 
   test("stats profile is ONE scan: the five exact NDVs share an Expand") {
@@ -327,6 +330,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("star Q5 at fixture scale: every dimension joins as a broadcast") {
+    val plan = executedPlan("q_join_star_q5")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"expected all four dims broadcast at sf0.001:\n${joinLines.mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  // The 100× claim — customer/supplier leaving broadcast while
+  // nation/region stay hinted — is a RUNTIME decision (AQE re-plans from
+  // materialized stats; the initial plan still broadcasts the pruned
+  // customer scan), so it is pinned as a recorded final-plan artifact in
+  // SCALE.md ("star Q5 at 100×"), not as a per-build execution here.
 
   test("skew profiler: everything after the per-key count is broadcast — " +
     "no shuffle join over the key table") {
