@@ -71,6 +71,28 @@ class RunMetricsSpec extends SparkSpec {
       s"a peel round appears to re-shuffle the edge frame: $m")
   }
 
+  test("label propagation: the edge cache moves once; rounds shuffle " +
+    "label-bounded frames") {
+    // Same star graph as the pagerank pin. LPA's round-1 vote shuffle is
+    // intrinsically LABEL-cardinality-bounded, not node-bounded (labels
+    // start all-distinct, so round 1's (node, lbl) partials ≈ edge count
+    // — unlike pagerank, whose partial SUM collapses by node regardless);
+    // rounds 2+ collapse to node-sized as communities form. The pinned
+    // failure mode is the edge CACHE re-shuffling per round, which would
+    // add ~2000 records per round on top of this budget.
+    val edges = Graph.undirect(
+      (1L to 1000L).map(l => (0L, l)).toDF("src", "dst"))
+    val (rows, m) = RunMetrics.measure(spark) {
+      Graph.labelPropagation(edges, rounds = 3).collect()
+    }
+    assert(rows.nonEmpty)
+    // budget: one edge repartition (2000) + undirect's distinct (~2000) +
+    // round-1 label-bounded frames (~2x2000 across agg+window) + two
+    // node-sized rounds (~3x1001 each)
+    assert(m.shuffleWriteRecords < 2L * 2000L + 2L * 2000L + 7L * 1001L,
+      s"a round appears to re-shuffle the edge cache: $m")
+  }
+
   test("bloom prefilter probes at the scan: only build-side partials " +
     "shuffle, never the probed fact rows") {
     val fact = spark.range(0, 20000)
