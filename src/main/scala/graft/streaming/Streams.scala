@@ -256,6 +256,49 @@ object Streams {
   case class RunningState(n: Long, total: Double)
   case class RunningSnapshot(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Checkpointed incremental file ingest via `Trigger.AvailableNow`: each
+    * invocation processes exactly the files that appeared in `srcDir` since
+    * the last run, then stops — the batch-cadence form of a continuous
+    * corpus pipeline. The checkpoint's file-source offset log is the ONLY
+    * bookkeeping: no metastore diff, no manual high-water mark, and a
+    * re-run after a crash resumes from the last committed batch instead of
+    * re-ingesting (exactly-once into the parquet sink via its transaction
+    * log). `input_file` carries provenance for downstream lineage audits.
+    *
+    * 100 TB shape: a day's new shards land in object storage; this runs on
+    * a schedule, reads only the delta, and the transform between read and
+    * write can be ANY stateless narrow pipeline (quality filters, scrub,
+    * language ID — per-row ops compose here without changing the
+    * incremental contract). `maxFilesPerTrigger` bounds a single
+    * micro-batch so one run never bites off more than executor memory
+    * chews; AvailableNow drains the backlog across as many batches as that
+    * cap implies, unlike Trigger.Once which forced one giant batch.
+    * Returns the number of input rows THIS run read (summed over its
+    * micro-batches; 0 when no new files) — the direct evidence that a
+    * second run touched only the delta, pinned by StreamsSpec.
+    */
+  def ingestAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                         srcDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         outDir: String,
+                         checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1000): Long = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .withColumn("input_file", input_file_name())
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** Custom per-key state via flatMapGroupsWithState: running event count +
     * value total per user, emitted once per micro-batch per updated key.
     * State survives across micro-batches (and restarts, via checkpoint).

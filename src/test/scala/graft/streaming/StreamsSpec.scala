@@ -394,4 +394,35 @@ class StreamsSpec extends SparkSpec {
       assert(stage == 3)
     } finally q.stop()
   }
+
+  test("ingestAvailableNow processes only the file delta on re-run and " +
+    "survives a no-op run") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((1L, "a")).toDF("id", "txt").schema
+
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "txt")
+      .coalesce(1).write.mode("append").parquet(src)
+    val run1 = Streams.ingestAvailableNow(spark, src, schema, out, ckpt)
+    assert(run1 == 2L, s"run 1 should read both seed rows, got $run1")
+    assert(spark.read.parquet(out).count() == 2L)
+
+    // new file lands; the checkpointed offsets mean run 2 reads ONLY it
+    Seq((3L, "gamma")).toDF("id", "txt")
+      .coalesce(1).write.mode("append").parquet(src)
+    val run2 = Streams.ingestAvailableNow(spark, src, schema, out, ckpt)
+    assert(run2 == 1L, s"run 2 should read only the delta, got $run2")
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3L, "sink holds the union with no re-ingest dups")
+    assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // provenance column names the source shard for every row
+    assert(all.where($"input_file".contains("/src/")).count() == 3L)
+
+    // nothing new: a third run commits no input rows and adds nothing
+    val run3 = Streams.ingestAvailableNow(spark, src, schema, out, ckpt)
+    assert(run3 == 0L, s"no-op run should read 0 rows, got $run3")
+    assert(spark.read.parquet(out).count() == 3L)
+  }
 }
