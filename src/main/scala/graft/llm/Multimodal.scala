@@ -128,6 +128,51 @@ object Multimodal {
     }
   }
 
+  case class AudioSpec(media_id: Long, sample_rate: Int, n_samples: Int)
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Int,
+                          s0: Long, s_last: Long)
+
+  /** REAL audio codec round-trip — javax.sound.sampled, pure JVM: render
+    * each row's deterministic PCM16 buffer, encode it to a WAV container,
+    * and DECODE the bytes back inside the same partition loop (the audio
+    * twin of pngRoundTrip, and the same fixture rationale: no binary media
+    * ships, so the spec IS the payload). PCM16 in a WAV container is
+    * lossless, so the decoded first/last samples and the header's sample
+    * rate are pure functions of the spec — DuckDB hash-checks a genuine
+    * encoder/decoder pass. Same mapPartitions codec boundary; a JNI
+    * codec swap changes no plan shape.
+    */
+  def wavRoundTrip(specs: Dataset[AudioSpec]): Dataset[DecodedAudio] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { rows =>
+      rows.map { sp =>
+        val pcm = new Array[Byte](sp.n_samples * 2)
+        var i = 0
+        while (i < sp.n_samples) {
+          val s = (((sp.media_id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sp.sample_rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, sp.n_samples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val decoded = back.readAllBytes()
+        val n = decoded.length / 2
+        def sample(j: Int): Long =
+          ((decoded(2 * j) & 0xff) | (decoded(2 * j + 1).toInt << 8)).toLong
+        DecodedAudio(sp.media_id, back.getFormat.getSampleRate.toInt, n,
+          sample(0), sample(n - 1))
+      }
+    }
+  }
+
   /** Documents → media table adapter: UTF-8 payloads standing in for real
     * image/audio bytes (the fixtures ship no binary media), typed via the
     * MediaRow encoder.

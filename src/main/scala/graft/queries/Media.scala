@@ -71,6 +71,22 @@ object Media {
         .select(col("media_id"), col("width"), col("height"), col("rgb0"))
     }),
 
+    // REAL audio codec on the record (javax.sound.sampled): per-doc
+    // deterministic PCM16 buffer → WAV encode → WAV decode, all inside
+    // the partition loop — the audio twin of q_media_codec_roundtrip.
+    // Decoded sample count, header sample rate, and the first/last
+    // samples are pure functions of the doc row (PCM16-in-WAV is
+    // lossless), so DuckDB hash-checks a genuine audio encoder/decoder.
+    "q_media_wav_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val specs = table(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
+        (lit(64) + col("n_chars") % 192).cast("int").as("n_samples")
+      ).as[Multimodal.AudioSpec]
+      Multimodal.wavRoundTrip(specs).toDF()
+    }),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -122,6 +138,15 @@ object Media {
         |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
         |  CAST(16 + n_chars % 16 AS INTEGER) AS height,
         |  CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS rgb0
+        |FROM documents""".stripMargin,
+
+    "q_media_wav_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST(64 + n_chars % 192 AS INTEGER) AS n_samples,
+        |  CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS s0,
+        |  CAST((doc_id * 31 + (64 + n_chars % 192 - 1) * 17) % 65536 - 32768
+        |    AS BIGINT) AS s_last
         |FROM documents""".stripMargin,
 
     "q_media_features" -> {

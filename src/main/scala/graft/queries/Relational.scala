@@ -1361,6 +1361,37 @@ object Relational {
             .as("avg_price"))
     }),
 
+    // Contiguous global row ids WITHOUT a global sort — the two-pass
+    // offset pattern (zipWithIndex's declarative twin): shard the corpus,
+    // per-shard dense row_number on a keyed window, then add each shard's
+    // cumulative predecessor count. The global order is DEFINED as
+    // (shard, doc_id), so ids are deterministic across runs, engines, and
+    // partitionings — unlike monotonically_increasing_id, whose values
+    // depend on the physical partition layout. 100 TB shape: the corpus
+    // shuffles ONCE (the shard window); the offsets frame is
+    // shard-cardinality-sized (32 rows — its unpartitioned window is
+    // bounded, the PlanShapeSpec-documented exception class) and rides
+    // back as a broadcast. Training pipelines need exactly this for
+    // stable example ids before packing/sharding.
+    "q_etl_global_ids" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = 32
+      val sharded = table(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(S)).as("shard"))
+      val local = sharded.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("doc_id"))).cast("long"))
+      val offsets = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("off"))
+      local.join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), col("shard"),
+          (col("off") + col("rn") - 1).as("gid"))
+    }),
+
     // Key-skew diagnostic — the profiler that decides salting/AQE-skew
     // settings BEFORE a 100 TB join: per-key count distribution summary
     // (max, exact p50/p99, hot-key count at >2x mean via the integer
@@ -2267,6 +2298,14 @@ object Relational {
         |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100.0, 4) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // The oracle spells the DEFINITION (one global sort); the engine's
+    // shard + offset plan must reproduce it id-for-id.
+    "q_etl_global_ids" ->
+      """SELECT doc_id, doc_id % 32 AS shard,
+        |  CAST(row_number() OVER (ORDER BY doc_id % 32, doc_id) - 1
+        |    AS BIGINT) AS gid
+        |FROM documents""".stripMargin,
 
     "q_stats_skew" ->
       """WITH c AS (

@@ -57,6 +57,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.forall(_.png_bytes > 8))
   }
 
+  test("wavRoundTrip: a real javax.sound WAV encode/decode preserves the " +
+    "sample count, rate, and PCM16 sample values") {
+    import spark.implicits._
+    val specs = Seq(
+      AudioSpec(1L, 8000, 64),
+      AudioSpec(2L, 16000, 255),
+      AudioSpec(3L, 12000, 1)
+    ).toDS()
+    val out = wavRoundTrip(specs).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).n_samples == 64 && out(1L).sample_rate == 8000)
+    assert(out(2L).n_samples == 255 && out(2L).sample_rate == 16000)
+    // decoded samples match the deterministic generator exactly (lossless)
+    def expected(id: Long, i: Long) = ((id * 31 + i * 17) % 65536) - 32768
+    assert(out(1L).s0 == expected(1L, 0) && out(1L).s_last == expected(1L, 63))
+    assert(out(2L).s0 == expected(2L, 0) && out(2L).s_last == expected(2L, 254))
+    assert(out(3L).s0 == expected(3L, 0) && out(3L).s_last == out(3L).s0)
+  }
+
   test("frame sampling fans out ceil(n/256) rows with byte offsets") {
     val frames = sampleFrames(mediaDs).collect().groupBy(_.media_id)
     assert(frames(1L).map(f => (f.frame_no, f.byte_offset)).sorted.toSeq ==

@@ -109,4 +109,24 @@ class RunMetricsSpec extends SparkSpec {
     assert(m.shuffleWriteRecords < 100L,
       s"fact rows leaked into a shuffle before the bloom probe: $m")
   }
+
+  test("global-id assignment moves the corpus once: shard window exchange " +
+    "only, offsets ride partials + a broadcast") {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+    val n = graft.ops.Core.table(spark, sfDir, "documents").count()
+    val (_, m) = RunMetrics.measure(spark) {
+      graft.SparkEntry.queries("q_etl_global_ids")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // one corpus-sized exchange (the per-shard window) + the offset
+    // frame's partial counts (shards x map tasks) and its 32-row global
+    // window. A second corpus pass — e.g. the offsets agg failing to
+    // map-side-combine, or the join demoting to a shuffle — would double it.
+    assert(m.shuffleWriteRecords >= n, s"expected the shard exchange: $m")
+    assert(m.shuffleWriteRecords < 2 * n,
+      s"global-id assignment re-shuffled the corpus: $m (n=$n)")
+  }
 }
