@@ -120,6 +120,29 @@ object LlmOps {
       Dedup.components(pairs, iters = 4)
     }),
 
+    // Same clustering, different algorithm: alternating large-star /
+    // small-star rounds (Kiveris SoCC'14) rewrite the EDGE SET until it is
+    // a forest of stars centered at component minima — O(log² n) rounds
+    // vs label propagation's O(diameter), the variant a 100 TB run picks
+    // when cluster chains are deep (see Dedup.componentsTwoStar). Oracle
+    // and output contract identical to q_dedup_components; equality of the
+    // two rows on the record is the algorithm-equivalence proof at fixture
+    // scale (DedupSpec pins it on adversarial chains past the fixed-iter
+    // variant's diameter bound).
+    "q_dedup_cc_twostar" -> ((s, d) => {
+      val sigs = Dedup
+        .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
+        .cache()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      val out = Dedup.componentsTwoStar(pairs)
+      pairs.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+      out
+    }),
+
     // Multi-pass blocking entity resolution — the production ER recipe
     // (Papadakis et al. survey): UNION complementary blocking passes, then
     // verify once. LSH (hash blocking — catches scattered token overlap)
@@ -1981,6 +2004,11 @@ object LlmOps {
     },
 
     "q_dedup_components" -> componentsOracleSql,
+
+    // two-star converges to exactly the min-label components, so the
+    // 4-iteration propagation oracle is shared (the fixture's clusters
+    // converge within 4 — pinned by the components_fp row).
+    "q_dedup_cc_twostar" -> componentsOracleSql,
 
     "q_dedup_multipass" -> multipassOracleSql,
 

@@ -21,7 +21,7 @@ object Relational {
     * tmp paths or catalog table names. applicationId is sanitized so the
     * tag is also legal inside an unquoted table identifier.
     */
-  private def scratchTag(s: SparkSession, d: String): String =
+  private[queries] def scratchTag(s: SparkSession, d: String): String =
     (new java.io.File(d).getName + "_" + s.sparkContext.applicationId)
       .replaceAll("[^A-Za-z0-9_]", "_")
 
@@ -35,7 +35,7 @@ object Relational {
     * its own reap) — without the touch, a 2h+ bench loop's live scratch
     * could be reaped mid-run by a newer session on the same fixture.
     */
-  private def scratchPath(s: SparkSession, d: String, label: String): String = {
+  private[queries] def scratchPath(s: SparkSession, d: String, label: String): String = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"))
     val fixture = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val prefix = s"graft_${label}_${fixture}_"
@@ -1361,6 +1361,34 @@ object Relational {
             .as("avg_price"))
     }),
 
+    // Re-aggregatable distinct-count rollup — the sketch-table pattern
+    // that makes COUNT(DISTINCT) incremental: per-day exact bitmap
+    // sketches (the q_agg_bitmap_distinct word encoding) are built ONCE
+    // from the fact table, then ANY date-range distinct count is answered
+    // by bit_or-merging the daily words — the corpus is never rescanned.
+    // bit_or is commutative + idempotent, so late-arriving days re-merge
+    // safely and new days append without touching history (the property
+    // plain per-day distinct COUNTS lack: they don't add across days when
+    // users overlap). The green row proves merge-of-daily-sketches ≡
+    // direct count(DISTINCT) per week. 100 TB shape: the sketch table is
+    // (days × user-words) — unrelated to fact cardinality; range queries
+    // read only it.
+    "q_etl_sketch_rollup" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          shiftright(col("user_id"), 6).as("w"),
+          call_function("shiftleft", lit(1L),
+            (col("user_id") % 64).cast("int")).as("bit"))
+        .groupBy(col("day"), col("w"))
+        .agg(call_function("bit_or", col("bit")).as("word"))
+      daily
+        .groupBy(expr("day div 7").as("week"), col("w"))
+        .agg(call_function("bit_or", col("word")).as("word"))
+        .groupBy(col("week"))
+        .agg(sum(call_function("bit_count", col("word")))
+          .cast("long").as("n_users"))
+    }),
+
     // Contiguous global row ids WITHOUT a global sort — the two-pass
     // offset pattern (zipWithIndex's declarative twin): shard the corpus,
     // per-shard dense row_number on a keyed window, then add each shard's
@@ -2298,6 +2326,13 @@ object Relational {
         |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100.0, 4) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // The DIRECT per-week distinct count: a green row proves the
+    // bit_or merge of daily sketches loses nothing.
+    "q_etl_sketch_rollup" ->
+      """SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     // The oracle spells the DEFINITION (one global sort); the engine's
     // shard + offset plan must reproduce it id-for-id.

@@ -345,6 +345,44 @@ object SimSearch {
         .where(col("rn") <= 10)
     }),
 
+    // The ON-DISK IVF index: the same top-2-probe search as q_sim_ann_ivf2,
+    // but the index is PERSISTED partitioned by bucket (one directory per
+    // centroid) and the probe is answered by the STORAGE layout — the
+    // broadcast probe join on the partition column lets dynamic partition
+    // pruning skip every unprobed bucket directory at scan time
+    // (IvfDiskSpec pins the executed-plan evidence). This is the missing
+    // half of the IVF story: the in-memory variants prove the pruning
+    // MATH; this proves a 100 TB index on object storage only READS
+    // nprobe/NC of its bytes — build once, then every query's scan cost is
+    // proportional to the probed buckets, exactly like a FAISS IndexIVF on
+    // disk. Oracle shared with q_sim_ann_ivf2: the parquet roundtrip is
+    // float-lossless, so results must be identical.
+    "q_sim_ann_ivf_disk" -> ((s, d) => {
+      val idxDir = Relational.scratchPath(s, d, "ivfidx")
+      val e = embeds(s, d)
+      bucketAssign(e, NCentroids)
+        .where(col("vec_id") >= NCentroids)
+        .select(col("bucket"), col("vec_id"), col("v"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(idxDir)
+      val cents = e.where(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = qv.crossJoin(broadcast(cents))
+        .select(col("qv"),
+          explode(slice(reverse(array_sort(transform(col("cents"), c =>
+            struct(round(Vectors.cosine(col("qv"), c.getField("cv")), 6).as("cos"),
+              c.getField("cid").as("cid"))))), 1, 2)).as("p"))
+        .select(col("p.cid").as("bucket"), col("qv"))
+      s.read.parquet(idxDir)
+        .join(broadcast(probes.withColumn("bucket", col("bucket").cast("int"))),
+          Seq("bucket"))
+        .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rn") <= 10)
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     // cluster-then-pairwise — assign embeddings to clusters, compute
     // pairwise cosine ONLY within a cluster, drop every vector with a
@@ -442,6 +480,38 @@ object SimSearch {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(20L).as("n_true"), col("n_hit"),
           round(col("n_hit") / 20.0, 4).as("recall"))
+    }),
+
+    // Two-stage retrieval (FAISS refine / IndexRefineFlat): the ADC pass
+    // ranks the 32×-compressed codes down to a top-50 shortlist, then ONLY
+    // those 50 vectors are re-scored against the original floats for the
+    // exact top-10. This is how production ANN actually serves: the
+    // compressed index bounds the corpus scan (M lookups/vector, floats
+    // untouched), and the refine stage restores exact ordering at a cost
+    // proportional to the SHORTLIST, not the corpus. Scale shape: the
+    // shortlist id-list broadcasts back onto the float table, so the
+    // re-rank join moves no fact rows; the only corpus-wide work is the
+    // ADC pass itself. Quality: exact top-10 is recovered whenever the
+    // true neighbours land anywhere in the ADC top-50 — a 5× oversample
+    // buys back most of the recall the 32× compression gives up (the
+    // q_sim_pq_recall gate measures the un-refined loss at k=20).
+    "q_sim_pq_rerank" -> ((s, d) => {
+      val e = embeds(s, d)
+      val sub = graft.llm.Pq.subvectors(e)
+      val cw = graft.llm.Pq.codebook(sub)
+      val asg = graft.llm.Pq.assign(sub, cw)
+      val lut = graft.llm.Pq.adcLut(sub.where(col("vec_id") === 0), cw)
+      val short = graft.llm.Pq.adcDistances(asg.where(col("vec_id") =!= 0), lut)
+        .orderBy(col("adist"), col("vec_id")).limit(50).select("vec_id")
+      val el = e.select(col("vec_id"), posexplode(col("v"))).toDF("vec_id", "i", "x")
+      el.join(broadcast(short), Seq("vec_id"))
+        .join(el.where(col("vec_id") === 0)
+          .select(col("i"), col("x").as("qx")), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum((col("x") - col("qx")) * (col("x") - col("qx"))), 4)
+          .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     }),
 
     // IVF-PQ (FAISS IndexIVFPQ shape, no-residual variant): the coarse
@@ -658,6 +728,37 @@ object SimSearch {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
        |    FROM dists)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Top-2-probe IVF search (shared by q_sim_ann_ivf2 and its on-disk
+    * partition-pruned twin q_sim_ann_ivf_disk — the parquet roundtrip is
+    * float-lossless, so both must produce this exact frame).
+    */
+  private lazy val ivf2OracleSql: String =
+    s"""WITH $eSql,
+       |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+       |cc AS (
+       |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+       |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
+       |bucket AS (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+       |    FROM cc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid DESC) AS rn
+       |    FROM cc WHERE vec_id = 0) WHERE rn <= 2),
+       |q AS (SELECT i, x FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos
+       |  FROM e JOIN q USING (i)
+       |  JOIN bucket bk ON bk.vec_id = e.vec_id
+       |  JOIN probes p ON p.cid = bk.bucket
+       |  WHERE e.vec_id >= $NCentroids GROUP BY 1)
+       |SELECT vec_id, cos, rn FROM (
+       |  SELECT vec_id, cos,
+       |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |  FROM scored) WHERE rn <= 10""".stripMargin
 
   /** Hyperplane components as a VALUES relation (p, i 1-based, h). */
   private val hpSql: String = {
@@ -876,32 +977,11 @@ object SimSearch {
          |FROM mem m LEFT JOIN dropped d USING (vec_id)
          |GROUP BY 1""".stripMargin,
 
-    "q_sim_ann_ivf2" ->
-      s"""WITH $eSql,
-         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
-         |cc AS (
-         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
-         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
-         |bucket AS (
-         |  SELECT vec_id, cid AS bucket FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM cc) WHERE rn = 1),
-         |probes AS (
-         |  SELECT cid FROM (
-         |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM cc WHERE vec_id = 0) WHERE rn <= 2),
-         |q AS (SELECT i, x FROM e WHERE vec_id = 0),
-         |scored AS (
-         |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos
-         |  FROM e JOIN q USING (i)
-         |  JOIN bucket bk ON bk.vec_id = e.vec_id
-         |  JOIN probes p ON p.cid = bk.bucket
-         |  WHERE e.vec_id >= $NCentroids GROUP BY 1)
-         |SELECT vec_id, cos, rn FROM (
-         |  SELECT vec_id, cos,
-         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "q_sim_ann_ivf2" -> ivf2OracleSql,
+
+    // identical search over the persisted partitioned index — the parquet
+    // roundtrip is float-lossless, so the in-memory oracle is shared.
+    "q_sim_ann_ivf_disk" -> ivf2OracleSql,
 
     // Sign weights derive from the same md5 the Spark side embeds as
     // literals (first 15 hex chars — Vectors.md5Long ≡ sqlHash64).
@@ -936,6 +1016,20 @@ object SimSearch {
          |SELECT CAST(20 AS BIGINT) AS n_true, count(*) AS n_hit,
          |  round(count(*) / 20.0, 4) AS recall
          |FROM truth JOIN found USING (vec_id)""".stripMargin,
+
+    "q_sim_pq_rerank" ->
+      s"""WITH $eSql,
+         |$pqCtes,
+         |lut AS (SELECT j, code, dist AS pd FROM dists WHERE vec_id = 0),
+         |short AS (
+         |  SELECT a.vec_id FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id ORDER BY round(sum(l.pd), 4), a.vec_id LIMIT 50)
+         |SELECT b.vec_id AS vec_id,
+         |  round(sum((q.x - b.x) * (q.x - b.x)), 4) AS dist
+         |FROM e q JOIN e b ON q.i = b.i AND q.vec_id = 0
+         |JOIN short s ON s.vec_id = b.vec_id
+         |GROUP BY 1 ORDER BY 2, 1 LIMIT 10""".stripMargin,
 
     "q_sim_ivfpq" ->
       s"""WITH $eSql,

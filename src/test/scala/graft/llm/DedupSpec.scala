@@ -83,6 +83,36 @@ class DedupSpec extends SparkSpec {
     assert(fp == (1L to 7L).map(_ -> 1L).toMap)
   }
 
+  test("componentsTwoStar matches fixpoint labels on deep chains and random graphs") {
+    // diameter-6 chain: past the fixed-iter variant's budget, converges in
+    // O(log² n) two-star rounds; checkpointEvery=2 exercises the lineage cut
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("doc1", "doc2")
+    val ts = Dedup.componentsTwoStar(chain, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ts == (1L to 7L).map(_ -> 1L).toMap)
+    // deterministic pseudo-random graph: 40 nodes, 30 hash-derived edges,
+    // reversed/duplicated pairs included — must equal the fixpoint truth
+    val es = (0 until 30).map { i =>
+      val a = Vectors.md5Long(s"tse|a|$i") % 40
+      val b = Vectors.md5Long(s"tse|b|$i") % 40
+      (a + 1, b + 1)
+    }.filter { case (a, b) => a != b }
+    val pairs = (es ++ es.map(_.swap)).toDF("doc1", "doc2")
+    val truth = Dedup.componentsFixpoint(pairs)
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.componentsTwoStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == truth)
+  }
+
+  test("componentsTwoStar keeps disjoint clusters apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
+    val out = Dedup.componentsTwoStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("componentsFixpoint keeps disjoint clusters apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
     val out = Dedup.componentsFixpoint(pairs)
