@@ -569,6 +569,30 @@ object LlmOps {
           explode(col("ids")).as("doc_id"))
     }),
 
+    // In-batch negative construction (the contrastive-training data
+    // shape — SimCLR/DPR): docs are dealt into ~32-doc batches by salted
+    // hash (salt = epoch, so re-dealing per epoch is one constant change),
+    // and every ordered non-self pair within a batch is an (anchor,
+    // negative) example. Batch COUNT scales with the corpus while batch
+    // SIZE stays fixed, so pair volume is n·(size−1) — linear, never the
+    // n²/K trap of a fixed batch count. Scale shape: one keyed shuffle
+    // co-locates each batch; the quadratic step is bounded by 32² per
+    // batch. The batch count is the one driver-held scalar (ceil(n/32) —
+    // same model-sized-state discipline as the KMeans centroids, audited
+    // in SCALE.md); everything else is per-row narrow compute.
+    "q_sample_inbatch_negatives" -> ((s, d) => {
+      val n = table(s, d, "documents").count()
+      val nb = math.max(1L, (n + 31L) / 32L)
+      val batched = table(s, d, "documents")
+        .select(col("doc_id"),
+          (Core.md5Hash64(concat(lit("negb0|"), col("doc_id").cast("string")))
+            % nb).as("batch"))
+      batched.as("a").join(batched.as("b"), Seq("batch"))
+        .where(col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("batch"), col("a.doc_id").as("anchor_id"),
+          col("b.doc_id").as("neg_id"))
+    }),
+
     // Temperature-rebalanced language mixing (the XLM-R / mT5 recipe):
     // sample languages ∝ (n_l/N)^α so head languages shrink and tail
     // languages UPSAMPLE (expected copies c_l > 1 → explode emits whole
@@ -1937,6 +1961,19 @@ object LlmOps {
          |      ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
          |  FROM documents) WHERE rn <= 10""".stripMargin
     },
+
+    // the oracle recomputes ceil(n/32) itself — the Spark side's one
+    // driver-held scalar is just this subquery's value.
+    "q_sample_inbatch_negatives" ->
+      s"""WITH nb AS (
+         |  SELECT greatest(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS nb
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    ${sqlHash64("'negb0|' || CAST(doc_id AS VARCHAR)")} % nb.nb AS batch
+         |  FROM documents, nb)
+         |SELECT a.batch AS batch, a.doc_id AS anchor_id, x.doc_id AS neg_id
+         |FROM b a JOIN b x ON a.batch = x.batch AND a.doc_id <> x.doc_id""".stripMargin,
 
     "q_sample_temperature" -> {
       val h = sqlHash64("'temp|' || CAST(doc_id AS VARCHAR)")

@@ -1170,6 +1170,32 @@ object Relational {
           col("r.valid_from"), col("r.valid_to"), col("r.is_current"))
     }),
 
+    // SCD type-2 HISTORY REBUILD — the other half of the SCD story
+    // (q_etl_scd2_merge applies one snapshot; this derives the full
+    // version history from a change LOG): per key, collapse consecutive
+    // repeats of the tracked attribute, then each surviving change opens
+    // a version valid until the next change (lead). events is the log
+    // (user_id = key, event_type = attribute). Two window passes over ONE
+    // user_id exchange — no self-join, no per-version scan; exactly how a
+    // 100 TB CDC stream compacts into a dimension. Timestamps emit as
+    // exact micros (engine date printing differs); open versions emit
+    // valid_to_us = -1 with is_current = 1.
+    "q_etl_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("vt", unix_micros(lead(col("ts"), 1).over(w)))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          coalesce(col("vt"), lit(-1L)).as("valid_to_us"),
+          when(col("vt").isNull, 1L).otherwise(0L).as("is_current"))
+    }),
+
     // Fixed-point PageRank (Graph.pagerankFixed — integer arithmetic makes
     // the iterative score hash-exact across engines; see the op's scaladoc)
     // over the undirected supplier<->part graph. Part nodes offset by 1e6:
@@ -2104,6 +2130,25 @@ object Relational {
         |UNION ALL
         |SELECT uk, useg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
         |FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR dseg <> useg)""".stripMargin,
+
+    "q_etl_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |    epoch_us(lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS vt
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from_us,
+        |  coalesce(vt, -1) AS valid_to_us,
+        |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v""".stripMargin,
 
     // Same three fixed-point iterations unrolled; every intermediate is an
     // exact integer, so the hash compare tolerates no FP slack at all.
