@@ -293,24 +293,36 @@ object Dedup {
     * AND no node is both center and leaf) by two cheap aggregates — not by
     * a sum heuristic, because edge sets do not shrink monotonically.
     * Returns (doc_id, cluster) — identical contract to components().
+    *
+    * checkpointEvery defaults to EVERY round, unlike componentsFixpoint's
+    * 3: a round references its input ~12× (sym twice in large-star, the
+    * large-star output three more ways in small-star), so an uncut logical
+    * plan grows ~12× PER ROUND and Catalyst re-analyzes that tree each
+    * iteration — measured 107 s vs 17 s at the 100× smoke (3 rounds), with the
+    * label-prop loop's linear plan growth unaffected. cache() alone does
+    * not help: it short-circuits execution, not analysis.
     */
-  def componentsTwoStar(pairs: DataFrame, checkpointEvery: Int = 3,
+  def componentsTwoStar(pairs: DataFrame, checkpointEvery: Int = 1,
                         maxRounds: Int = 20): DataFrame = {
+    // localCheckpoint, not cache: the caller's pair lineage (often a full
+    // LSH pipeline) would otherwise be ANALYZED ~12× in round 1's plan
     var edges = pairs
       .select(least(col("doc1"), col("doc2")).as("a"),
         greatest(col("doc1"), col("doc2")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct here: duplicates are harmless to small-star's min
+      // aggregation and its closing distinct collapses them — one fewer
+      // edge-sized shuffle per round
       sym.join(mins, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(col("b").as("u"), col("a").as("v"))
@@ -322,15 +334,17 @@ object Dedup {
         .distinct()
     }
     // star partition ⇔ every larger endpoint occurs exactly once (each
-    // leaf hangs off a single center) and no center is itself a leaf.
-    def isStar(e: DataFrame): Boolean = {
-      val r = e.agg(count(lit(1)).as("n"),
-        countDistinct(col("b")).as("nb")).head()
-      r.getLong(0) == r.getLong(1) &&
-        e.select(col("a"))
-          .join(e.select(col("b").as("a")), Seq("a"), "left_semi")
-          .isEmpty
-    }
+    // leaf hangs off a single center) and no center is itself a leaf —
+    // both checked in ONE keyed pass (a violation is a node seen on both
+    // sides, or a leaf seen twice), so the certificate costs a single job
+    // per round instead of an agg + a semi-join probe.
+    def isStar(e: DataFrame): Boolean =
+      e.select(col("a").as("n"), lit(1L).as("ca"), lit(0L).as("cb"))
+        .union(e.select(col("b").as("n"), lit(0L).as("ca"), lit(1L).as("cb")))
+        .groupBy(col("n"))
+        .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+        .where((col("ca") > 0 && col("cb") > 0) || col("cb") > 1)
+        .isEmpty
     var round = 0
     while (!isStar(edges) && round < maxRounds) {
       round += 1

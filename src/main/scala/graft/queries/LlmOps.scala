@@ -103,6 +103,40 @@ object LlmOps {
       Dedup.exactSimilarPairs(sh, "doc_id", 3, 5)
     }),
 
+    // LSH screen QUALITY audit — one row quantifying the screen the whole
+    // near-dup family rests on. Truth = the lossless prefix-filter join at
+    // τ = 1/2 (the same bar the pipelines apply to est_jaccard); against
+    // it, the banded candidates and the est-filtered flags yield
+    // recall (what the screen loses — banding misses + estimator
+    // misranks) and precision (what the exact-verify stage must re-check).
+    // This is the recall-gate pattern the ANN family already has
+    // (q_sim_ann_recall / q_sim_pq_recall), applied to MinHash-LSH.
+    // Scale shape: both sides are candidate-bounded joins; the audit row
+    // is four tiny aggs cross-joined (all 1-row broadcasts).
+    "q_dedup_lsh_quality" -> ((s, d) => {
+      val sh = Dedup
+        .shingleTable(table(s, d, "documents"), "doc_id", "text", 3).cache()
+      val truth = Dedup.exactSimilarPairs(sh, "doc_id", 1, 2)
+        .select(col("doc1"), col("doc2"))
+      val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", MinhashSeeds)
+      val cand = Dedup
+        .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .cache()
+      val flagged = cand.where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+      val hit = flagged.join(truth, Seq("doc1", "doc2"))
+        .agg(count(lit(1)).as("n_hit"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(flagged.agg(count(lit(1)).as("n_flag"))))
+        .crossJoin(broadcast(hit))
+        .select(col("n_true"), col("n_cand"), col("n_flag"), col("n_hit"),
+          when(col("n_flag") > 0,
+            round(col("n_hit") / col("n_flag").cast("double"), 4)).as("prec"),
+          when(col("n_true") > 0,
+            round(col("n_hit") / col("n_true").cast("double"), 4)).as("rec"))
+    }),
+
     // Dedup clustering: LSH candidates above the similarity bar collapse
     // into connected components; each doc maps to its cluster's canonical
     // keeper (min doc_id). 4 label-propagation iterations bound the handled
@@ -2038,6 +2072,50 @@ object LlmOps {
          |FROM cand c
          |JOIN sigs x ON c.doc_id = x.doc_id
          |JOIN sigs y ON c.ref_id = y.doc_id""".stripMargin
+    },
+
+    "q_dedup_lsh_quality" -> {
+      val mins = MinhashSeeds.map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matches = MinhashSeeds
+        .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingleSql FROM documents WHERE $minDocSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc1, doc2 FROM inter
+         |  JOIN sz sa ON doc1 = sa.doc_id
+         |  JOIN sz sb ON doc2 = sb.doc_id
+         |  WHERE 2 * n_inter >= sa.sz + sb.sz - n_inter),
+         |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |flag AS (
+         |  SELECT doc1, doc2 FROM cand
+         |  JOIN sigs x ON doc1 = x.doc_id
+         |  JOIN sigs y ON doc2 = y.doc_id
+         |  WHERE round(CAST($matches AS DOUBLE) / ${MinhashSeeds.size}, 4) >= 0.5),
+         |h AS (SELECT count(*) AS n_hit FROM flag JOIN truth USING (doc1, doc2)),
+         |t AS (SELECT count(*) AS n_true FROM truth),
+         |c AS (SELECT count(*) AS n_cand FROM cand),
+         |f AS (SELECT count(*) AS n_flag FROM flag)
+         |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_flag AS BIGINT) AS n_flag, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_flag > 0
+         |    THEN round(n_hit / CAST(n_flag AS DOUBLE), 4) END AS prec,
+         |  CASE WHEN n_true > 0
+         |    THEN round(n_hit / CAST(n_true AS DOUBLE), 4) END AS rec
+         |FROM t CROSS JOIN c CROSS JOIN f CROSS JOIN h""".stripMargin
     },
 
     "q_dedup_components" -> componentsOracleSql,
