@@ -173,6 +173,69 @@ object Multimodal {
     }
   }
 
+  case class VideoSpec(media_id: Long, width: Int, height: Int, n_frames: Int)
+  case class DecodedFrame(media_id: Long, frame_no: Int, width: Int,
+                          height: Int, rgb0: Long)
+
+  /** REAL multi-frame container round-trip — animated GIF via
+    * javax.imageio, pure JVM: render n_frames deterministic solid-color
+    * frames, write them as ONE animated-GIF byte stream (writeToSequence),
+    * then DECODE the container frame by frame inside the same partition
+    * loop — the "video" member of the codec trio (PNG still, WAV audio,
+    * GIF motion). Frames are TYPE_BYTE_INDEXED with an explicit one-color
+    * palette, so GIF's 256-entry palette limit costs nothing and every
+    * frame's (0,0) pixel round-trips bit-exactly — a pure function of
+    * (media_id, frame_no) that DuckDB hash-checks. Same mapPartitions
+    * codec boundary as the rest of the family: frame EXTRACTION from a
+    * real container is what q_media_frames stubs with byte windows.
+    */
+  def gifFramesRoundTrip(specs: Dataset[VideoSpec]): Dataset[DecodedFrame] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { rows =>
+      rows.flatMap { sp =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until sp.n_frames).foreach { f =>
+          val c = frameColor(sp.media_id, f)
+          val cm = new java.awt.image.IndexColorModel(8, 2,
+            Array(((c >> 16) & 0xff).toByte, 0.toByte),
+            Array(((c >> 8) & 0xff).toByte, 0.toByte),
+            Array((c & 0xff).toByte, 0.toByte))
+          val img = new java.awt.image.BufferedImage(sp.width, sp.height,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        val bytes = bos.toByteArray
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map { f =>
+          val img = reader.read(f)
+          DecodedFrame(sp.media_id, f, img.getWidth, img.getHeight,
+            (img.getRGB(0, 0) & 0xffffff).toLong)
+        }
+        reader.dispose()
+        iis.close()
+        out
+      }
+    }
+  }
+
+  /** Deterministic frame color — the exact arithmetic the oracle repeats. */
+  def frameColor(mediaId: Long, frame: Int): Int =
+    ((mediaId * 2654435761L + frame.toLong * 40503L) % 16777216L).toInt
+
   /** Documents → media table adapter: UTF-8 payloads standing in for real
     * image/audio bytes (the fixtures ship no binary media), typed via the
     * MediaRow encoder.

@@ -87,6 +87,24 @@ object Media {
       Multimodal.wavRoundTrip(specs).toDF()
     }),
 
+    // REAL multi-frame container on the record (animated GIF through
+    // javax.imageio): per-doc deterministic frame sequence → one GIF byte
+    // stream → frame-by-frame decode, all inside the partition loop — the
+    // "video" codec twin of q_media_codec_roundtrip/q_media_wav_roundtrip.
+    // Every decoded frame's dims and (0,0) pixel are pure functions of
+    // (doc row, frame_no), so DuckDB hash-checks genuine container
+    // encode + frame extraction.
+    "q_media_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      val specs = table(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(2) + col("doc_id") % 6).cast("int").as("width"),
+        (lit(2) + col("n_chars") % 4).cast("int").as("height"),
+        (lit(2) + col("doc_id") % 3).cast("int").as("n_frames")
+      ).as[Multimodal.VideoSpec]
+      Multimodal.gifFramesRoundTrip(specs).toDF()
+    }),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -148,6 +166,16 @@ object Media {
         |  CAST((doc_id * 31 + (64 + n_chars % 192 - 1) * 17) % 65536 - 32768
         |    AS BIGINT) AS s_last
         |FROM documents""".stripMargin,
+
+    "q_media_gif_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+        |  CAST(2 + doc_id % 6 AS INTEGER) AS width,
+        |  CAST(2 + n_chars % 4 AS INTEGER) AS height,
+        |  CAST((doc_id * 2654435761 + f * 40503) % 16777216 AS BIGINT) AS rgb0
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 3 AS INTEGER) - 1)) AS f
+        |  FROM documents)""".stripMargin,
 
     "q_media_features" -> {
       val cols = (0 until 4)

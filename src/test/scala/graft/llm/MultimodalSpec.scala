@@ -82,4 +82,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).length == 1)
     assert(!frames.contains(3L)) // empty payload -> no frames
   }
+
+  test("gifFramesRoundTrip: one animated container per row, frames decode bit-exactly") {
+    val sp = spark
+    import sp.implicits._
+    val specs = Seq(
+      VideoSpec(7L, 3, 2, 3),
+      VideoSpec(8L, 2, 4, 1)
+    ).toDS()
+    val out = gifFramesRoundTrip(specs).collect()
+      .map(f => (f.media_id, f.frame_no) -> f).toMap
+    assert(out.size == 4, s"expected 3 + 1 frames, got ${out.keySet}")
+    (0 until 3).foreach { f =>
+      assert(out((7L, f)).width == 3 && out((7L, f)).height == 2)
+      assert(out((7L, f)).rgb0 == (frameColor(7L, f) & 0xffffff).toLong,
+        s"frame $f pixel drifted through the GIF container")
+    }
+    assert(out((8L, 0)).rgb0 == (frameColor(8L, 0) & 0xffffff).toLong)
+    // the colors actually differ across frames - the container carries
+    // real per-frame palettes, not one repeated image
+    assert((0 until 3).map(f => out((7L, f)).rgb0).distinct.size == 3)
+  }
 }

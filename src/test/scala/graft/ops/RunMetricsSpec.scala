@@ -129,4 +129,36 @@ class RunMetricsSpec extends SparkSpec {
     assert(m.shuffleWriteRecords < 2 * n,
       s"global-id assignment re-shuffled the corpus: $m (n=$n)")
   }
+
+  test("sketch rollup shuffles sketch words, never event rows") {
+    // the q_etl_sketch_rollup claim, runtime-measured: the fact scan's
+    // exchange carries per-(day, word) PARTIAL bitmaps (map-side bit_or),
+    // and the weekly re-aggregation moves only the sketch table — so total
+    // shuffle volume is bounded by sketch cardinality x map tasks, far
+    // under one event per row. A lost map-side combine (e.g. the bit_or
+    // partial failing) would shuffle ~n event rows and trip the bound.
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+    val ev = graft.ops.Core.table(spark, sfDir, "events")
+    val n = ev.count()
+    val sketchCard = ev.select(
+      org.apache.spark.sql.functions.expr(
+        "unix_micros(ts) div 86400000000").as("day"),
+      org.apache.spark.sql.functions.expr("user_id div 64").as("w"))
+      .distinct().count()
+    val (_, m) = RunMetrics.measure(spark) {
+      graft.SparkEntry.queries("q_etl_sketch_rollup")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // partials per exchange <= sketch rows x map tasks (4 in tests); 3
+    // exchanges (daily, weekly, final) each strictly sketch-sized
+    assert(m.shuffleWriteRecords > 0, m)
+    assert(m.shuffleWriteRecords <= 3L * sketchCard * 4L,
+      s"sketch rollup shuffled more than sketch-sized frames: $m " +
+        s"(sketch=$sketchCard, events=$n)")
+    assert(m.shuffleWriteRecords < n,
+      s"sketch rollup appears to shuffle event rows: $m (n=$n)")
+  }
 }

@@ -50,6 +50,29 @@ class SourcesSpec extends SparkSpec {
     assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("dynamic partition overwrite replaces only the partitions the " +
+    "batch touches — the idempotent-backfill sink contract") {
+    // STATIC overwrite mode (Spark's default) would wipe the whole table
+    // when re-running one day's backfill — the classic incremental-ETL
+    // data-loss foot-gun. Dynamic mode rewrites exactly the partitions
+    // present in the incoming frame, so re-running a day is idempotent
+    // and never touches its neighbours. At 100 TB this is how a daily
+    // job repairs one date directory in place.
+    val dir = Files.createTempDirectory("graft-dpo").toFile.getPath + "/out"
+    Seq(("a", "d1", 1.0), ("b", "d2", 2.0), ("c", "d3", 3.0))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    // re-run day d2 with corrected rows, dynamic overwrite
+    Seq(("b2", "d2", 20.0)).toDF("id", "day", "v")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("day")).as[(String, String)].collect().toSet
+    assert(back == Set(("a", "d1"), ("b2", "d2"), ("c", "d3")),
+      s"dynamic overwrite must replace d2 only: $back")
+  }
+
   test("csv and orc roundtrip with explicit schemas") {
     val csvSchema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
