@@ -1196,6 +1196,43 @@ object Relational {
           when(col("vt").isNull, 1L).otherwise(0L).as("is_current"))
     }),
 
+    // Point-in-time (temporal) join — the CONSUMER of the SCD2 dimension,
+    // closing the loop: build (q_etl_scd2_history), apply
+    // (q_etl_scd2_merge), and now CONSUME — each purchase fact fetches the
+    // dimension version valid AT ITS TIMESTAMP, never today's row (the
+    // time-travel-correctness bug every naive fact⋈dim join has). The
+    // version lookup IS a backward as-of join, so the custom AsOfJoin exec
+    // serves it in one merge pass over co-partitioned sorted sides — no
+    // between-range explosion, no per-fact window re-scan. Versions with
+    // equal open-time per user collapse to the last writer (max event_id)
+    // so the as-of pick is deterministic; DuckDB's native ASOF LEFT JOIN
+    // is the oracle twin. Purchases preceding any state emit null state
+    // (the left join's honest answer).
+    "q_etl_pit_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graft.AsOf
+      val ev = table(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      val versions = changes
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("vf"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("vf"))
+            .orderBy(col("event_id").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id").as("v_user"), col("state"), col("vf"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      AsOf.join(purchases, versions, "user_id", "v_user", "ts_us", "vf")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("state"))
+    }),
+
     // Fixed-point PageRank (Graph.pagerankFixed — integer arithmetic makes
     // the iterative score hash-exact across engines; see the op's scaladoc)
     // over the undirected supplier<->part graph. Part nodes offset by 1e6:
@@ -2149,6 +2186,28 @@ object Relational {
         |  coalesce(vt, -1) AS valid_to_us,
         |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM v""".stripMargin,
+
+    "q_etl_pit_join" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |u AS (
+        |  SELECT user_id AS v_user, event_type AS state, vf FROM (
+        |    SELECT user_id, event_type, epoch_us(ts) AS vf, event_id,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM c) WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us, u.state
+        |FROM p ASOF LEFT JOIN u
+        |  ON p.user_id = u.v_user AND p.ts_us >= u.vf""".stripMargin,
 
     // Same three fixed-point iterations unrolled; every intermediate is an
     // exact integer, so the hash compare tolerates no FP slack at all.
