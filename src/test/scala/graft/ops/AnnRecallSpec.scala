@@ -87,4 +87,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= SimSearch.MinLshRecall,
       s"recall $recall below floor ${SimSearch.MinLshRecall} ($nFound/$nTrue)")
   }
+
+  test("refine dominance: re-ranked top-10 recall >= raw ADC top-10 recall " +
+    "(the set-inclusion argument, measured)") {
+    assumeFixtures()
+    // exact-L2 top-10 truth for query 0 over non-query vectors
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Core.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val el = e.select(col("vec_id"), posexplode(col("v"))).toDF("vec_id", "i", "x")
+    val truth = el.where(col("vec_id") =!= 0)
+      .join(el.where(col("vec_id") === 0).select(col("i"), col("x").as("qx")), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("x") - col("qx")) * (col("x") - col("qx"))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val refined = SimSearch.queries("q_sim_pq_rerank")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val raw = SimSearch.queries("q_sim_pq_adc")(spark, sfDir)
+      .orderBy(col("adist"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rRefined = (refined & truth).size
+    val rRaw = (raw & truth).size
+    // provable: truth ∩ ADC-top-10 ⊆ truth ∩ ADC-top-50, and the rerank
+    // keeps exactly the exact-closest 10 of the ADC-top-50 — so every true
+    // neighbour the raw cut kept, the refined cut keeps too. A violation
+    // means the rerank is not actually scoring with the exact metric.
+    assert(rRefined >= rRaw,
+      s"refine lost recall: refined=$rRefined raw=$rRaw truth=$truth")
+    assert(refined.size == 10 && raw.size == 10)
+  }
 }
