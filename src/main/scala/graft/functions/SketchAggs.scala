@@ -119,3 +119,62 @@ object BottomKAgg {
   def bottomK(hash: Column, id: Column, k: Int): Column =
     udaf(new BottomKAgg(k), ExpressionEncoder[(Long, String)]()).apply(hash, id)
 }
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  * RANDOM'02; Beyer et al. SIGMOD'07): the k smallest DISTINCT hash values
+  * seen by a group. This is the bounded-state sibling of the exact bitmap
+  * in q_etl_sketch_rollup — that sketch's size tracks the NDV, this one is
+  * k longs no matter how large the group. Partial aggregation combines
+  * map-side, and merge is LOSSLESS: the k smallest distinct values of a
+  * union are a pure function of the per-part k smallest, so a rollup over
+  * merged sketches equals the sketch built directly from the union —
+  * bit-for-bit, which is what lets a cross-engine oracle pin it. The
+  * estimator ((k−1)·H / kth, H = hash range) is applied declaratively
+  * downstream; when the sketch isn't full the count is exact.
+  *
+  * BottomKAgg deliberately keeps duplicate hashes (it samples ROWS); KMV
+  * must dedupe (it estimates DISTINCT values), hence its own buffer.
+  */
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k >= 1, "k must be >= 1")
+
+  override def zero: Array[Long] = Array.empty
+
+  // buffer invariant: sorted ascending, distinct, length <= k
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already present
+    else {
+      val ins = -pos - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins >= k) buf // larger than the current kth — outside the sketch
+      else {
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      }
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
+object KmvAgg {
+  /** Aggregate expression: the group's KMV sketch (sorted ascending array
+    * of its k smallest distinct hash values).
+    */
+  def kmv(hash: Column, k: Int): Column = udaf(new KmvAgg(k)).apply(hash)
+}

@@ -127,6 +127,69 @@ object Dedup {
       .distinct()
   }
 
+  /** Vote-aggregated SimHash (Charikar STOC'02, as deployed for web dedup
+    * in Manku/Jain/Sarma WWW'07): a `bits`-bit fingerprint per doc where
+    * bit b is the sign of Σ_tokens (bit b of token hash ? +1 : −1).
+    * This is the GROUPED form — one corpus explode over the distinct token
+    * set + one map-side-combinable hash agg of `bits` codegen'd sums — the
+    * scale shape for wide fingerprints: the HOF form
+    * (TextOps.simhashOfHashes) re-folds the token array once per bit with
+    * an interpreted lambda, fine at 16 bits, 60 interpreted walks per row
+    * at 60. The shuffle carries `bits` longs per (doc, partition).
+    * Output: (idCol, sim) with sim in [0, 2^bits).
+    */
+  def simhashGrouped(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, "Core.md5Hash64 supplies 60 hash bits")
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    docs
+      .select(col(idCol), explode(TextOps.tokenSet(col(textCol))).as("tok"))
+      .select(col(idCol), Core.md5Hash64(col("tok")).as("h"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** SimHash Hamming near-dup join via the Manku WWW'07 pigeonhole: pairs
+    * whose fingerprints differ in ≤ `maxDist` of blocks·blockBits bits.
+    * With maxDist < blocks, at most maxDist blocks can contain a differing
+    * bit, so every qualifying pair agrees EXACTLY on ≥ 1 block — the
+    * candidate join on (block index, block value) is LOSSLESS and never
+    * all-pairs: random non-dups collide on a block with p ≈ n / 2^blockBits
+    * per block, so candidate volume stays ~linear while the verify
+    * (bit_count of xor — one codegen'd instruction pair) is exact.
+    * Fingerprints ride the block explode so the pair join needs no re-join
+    * back. Output: (doc1, doc2, hamming) with doc1 < doc2, hamming ≤ maxDist.
+    */
+  def simhashHammingPairs(sigs: DataFrame, idCol: String,
+                          blocks: Int, blockBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist < blocks, "pigeonhole soundness needs maxDist < blocks")
+    val mask = (1L << blockBits) - 1
+    val blockStructs = array((0 until blocks).map { k =>
+      struct(lit(k).as("blk"),
+        shiftright(col("sim"), k * blockBits).bitwiseAND(lit(mask)).as("blkval"))
+    }: _*)
+    val banded = sigs
+      .withColumn("bb", explode(blockStructs))
+      .select(col(idCol), col("sim"),
+        col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"),
+        col("x.sim").as("sim1"), col("y.sim").as("sim2"))
+      .distinct()
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Exact Jaccard for a given candidate-pair table (the scale path:
     * LSH candidates → exact verify). `sh` is a shingleTable.
     * J = |∩| / (|A| + |B| − |∩|).

@@ -707,6 +707,17 @@ object LlmOps {
         .select(col("doc_id"), TextOps.simhashOfHashes(col("hashes"), 16).as("simhash16"))
     }),
 
+    // SimHash Hamming near-dup JOIN (Manku WWW'07) — the pair-finding half
+    // the 16-bit fingerprint query lacks: 60-bit vote-aggregated simhash,
+    // then the pigeonhole candidate join (4 blocks × 15 bits; distance ≤ 3
+    // ⇒ ≥ 1 block agrees exactly) and the exact popcount-of-xor verify.
+    // Lossless at its radius, never all-pairs; the wide fingerprint build
+    // is one explode + one 60-sum grouped agg (Dedup.simhashGrouped).
+    "q_dedup_simhash_hamming" -> ((s, d) => {
+      val sigs = Dedup.simhashGrouped(table(s, d, "documents"), "doc_id", "text", 60)
+      Dedup.simhashHammingPairs(sigs, "doc_id", blocks = 4, blockBits = 15, maxDist = 3)
+    }),
+
     // Text quality stats: token counts, mean token length, stopword ratio.
     // toks materializes behind its own select (Catalyst re-evaluates
     // repeated non-attribute subexpressions — the inline form re-split the
@@ -2252,6 +2263,30 @@ object LlmOps {
       s"""SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash16
          |FROM (SELECT doc_id, $tokSetSql AS w FROM documents)
          |GROUP BY doc_id""".stripMargin
+    },
+
+    "q_dedup_simhash_hamming" -> {
+      val bits = 60; val blocks = 4; val blockBits = 15; val maxDist = 3
+      val bitSums = (0 until bits).map { b =>
+        s"""CASE WHEN sum(CASE WHEN ((${sqlHash64("w")} >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+           | THEN CAST(${1L << b} AS BIGINT) ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      val blkVals = (0 until blocks).map(k => s"($k)").mkString(", ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, CAST($bitSums AS BIGINT) AS sim
+         |  FROM (SELECT doc_id, $tokSetSql AS w FROM documents)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sim, blk,
+         |    (sim >> (blk * $blockBits)) & ${(1L << blockBits) - 1} AS blkval
+         |  FROM sigs CROSS JOIN (VALUES $blkVals) AS t(blk)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+         |    x.sim AS sim1, y.sim AS sim2
+         |  FROM bands x JOIN bands y
+         |    ON x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id)
+         |SELECT doc1, doc2, CAST(bit_count(xor(sim1, sim2)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sim1, sim2)) <= $maxDist""".stripMargin
     },
 
     "q_text_stats" ->

@@ -1452,6 +1452,47 @@ object Relational {
           .cast("long").as("n_users"))
     }),
 
+    // KMV distinct-count rollup — the BOUNDED-STATE sibling of
+    // q_etl_sketch_rollup: that bitmap sketch is exact but NDV-sized; the
+    // KMV sketch (functions.KmvAgg — k smallest distinct md5 hashes) is k
+    // longs per day no matter the cardinality, the 100 TB shape when the
+    // distinct domain itself is too big to materialize. Daily sketches
+    // merge to weeks DECLARATIVELY (flatten → distinct → sort → slice:
+    // ≤ 7·k bounded arrays), and because min-k-distinct of a union is a
+    // function of the per-part min-k's, the merged weekly sketch is
+    // bit-identical to one built directly from the week — the oracle
+    // builds it directly, so the green row IS the merge-losslessness
+    // proof. est = (k−1)·2^60 / kth (exact when the sketch isn't full);
+    // exact_ndv rides along as the quality audit (recall-gate pattern).
+    "q_etl_kmv_rollup" -> ((s, d) => {
+      val k = 64
+      val scale = (k - 1).toDouble * math.pow(2.0, 60)
+      val ev = table(s, d, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+      val daily = ev
+        .select(col("day"),
+          graft.ops.Core.md5Hash64(col("user_id").cast("string")).as("h"))
+        .groupBy(col("day"))
+        .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("sk"))
+      val weekly = daily
+        .groupBy(expr("day div 7").as("week"))
+        .agg(flatten(collect_list(col("sk"))).as("all"))
+        .select(col("week"),
+          slice(array_sort(array_distinct(col("all"))), 1, k).as("sk"))
+      val exact = ev.groupBy(expr("day div 7").as("week"))
+        .agg(count_distinct(col("user_id")).as("exact_ndv"))
+      weekly
+        .select(col("week"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          element_at(col("sk"), -1).as("kth_hash"))
+        .join(exact, Seq("week"))
+        .select(col("week"), col("n_sketch"), col("kth_hash"),
+          round(when(col("n_sketch") < k, col("n_sketch").cast("double"))
+            .otherwise(lit(scale) / col("kth_hash")), 4).as("est_ndv"),
+          col("exact_ndv"))
+    }),
+
     // Contiguous global row ids WITHOUT a global sort — the two-pass
     // offset pattern (zipWithIndex's declarative twin): shard the corpus,
     // per-shard dense row_number on a keyed window, then add each shard's
@@ -2437,6 +2478,36 @@ object Relational {
       """SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The oracle builds the weekly sketch DIRECTLY from the week's values;
+    // the engine merges per-day sketches — equality pins merge losslessness.
+    "q_etl_kmv_rollup" -> {
+      val k = 64
+      val scale = (k - 1).toDouble * math.pow(2.0, 60)
+      s"""WITH ev AS (
+         |  SELECT (epoch_us(ts) // 86400000000) // 7 AS week, user_id
+         |  FROM events),
+         |d AS (
+         |  SELECT DISTINCT week,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM ev),
+         |r AS (
+         |  SELECT week, h,
+         |    row_number() OVER (PARTITION BY week ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY week) AS ndv
+         |  FROM d),
+         |x AS (
+         |  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv
+         |  FROM ev GROUP BY week)
+         |SELECT r.week,
+         |  CAST(least(max(ndv), $k) AS BIGINT) AS n_sketch,
+         |  CAST(max(CASE WHEN rn <= $k THEN h END) AS BIGINT) AS kth_hash,
+         |  round(CASE WHEN max(ndv) < $k THEN CAST(max(ndv) AS DOUBLE)
+         |    ELSE $scale / max(CASE WHEN rn <= $k THEN h END) END, 4) AS est_ndv,
+         |  max(exact_ndv) AS exact_ndv
+         |FROM r JOIN x ON r.week = x.week
+         |GROUP BY r.week""".stripMargin
+    },
 
     // The oracle spells the DEFINITION (one global sort); the engine's
     // shard + offset plan must reproduce it id-for-id.

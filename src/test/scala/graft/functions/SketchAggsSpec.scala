@@ -60,4 +60,40 @@ class SketchAggsSpec extends SparkSpec {
       .as[(String, Seq[String])].head()
     assert(out._2 == Seq("z", "a", "b"))
   }
+
+  test("kmv keeps the k smallest DISTINCT hashes, sorted, under any partitioning") {
+    val rnd = new scala.util.Random(11)
+    // heavy duplication: 5000 draws from 300 distinct values
+    val vals = (0 until 5000).map(_ => ("g", rnd.nextInt(300).toLong * 977L))
+    val expected = vals.map(_._2).distinct.sorted.take(16)
+    def run(parts: Int): Seq[Long] =
+      vals.toDF("g", "h").repartition(parts)
+        .groupBy(col("g")).agg(KmvAgg.kmv(col("h"), 16).as("sk"))
+        .as[(String, Seq[Long])].head()._2
+    assert(run(1) == expected)
+    assert(run(29) == expected) // dedup across partial buffers, not just within
+  }
+
+  test("kmv merge is lossless: union sketch ≡ declarative merge of part sketches") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 4000).map(i => (s"day${i % 7}", rnd.nextLong() >>> 4))
+    val daily = rows.toDF("day", "h")
+      .groupBy(col("day")).agg(KmvAgg.kmv(col("h"), 32).as("sk"))
+    // merged-from-parts (the q_etl_kmv_rollup weekly path)
+    val merged = daily.agg(
+      slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, 32)
+        .as("sk")).as[Seq[Long]].head()
+    // built directly from the union
+    val direct = rows.toDF("day", "h")
+      .agg(KmvAgg.kmv(col("h"), 32).as("sk")).as[Seq[Long]].head()
+    assert(merged == direct)
+  }
+
+  test("kmv under-full sketch is the exact distinct set") {
+    val out = Seq(("g", 9L), ("g", 3L), ("g", 9L), ("g", 7L))
+      .toDF("g", "h").groupBy(col("g"))
+      .agg(KmvAgg.kmv(col("h"), 16).as("sk"))
+      .as[(String, Seq[Long])].head()
+    assert(out._2 == Seq(3L, 7L, 9L))
+  }
 }

@@ -161,6 +161,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashGrouped matches the HOF simhash bit-for-bit and unifies exact dups") {
+    val grouped = Dedup.simhashGrouped(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = docs
+      .select(col("doc_id"),
+        TextOps.tokenHashes(TextOps.tokenSet(col("text"))).as("hashes"))
+      .select(col("doc_id"), TextOps.simhashOfHashes(col("hashes"), 16).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped == hof) // two plans, one definition
+    assert(grouped(1L) == grouped(4L)) // exact dups share the fingerprint
+  }
+
+  test("simhashHammingPairs is lossless at its radius: ≡ brute force, worst-case spread flips") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, rnd.nextLong() & ((1L << 60) - 1)))
+    // planted near-dups of base docs 0..3 at distances 0,1,3,4 with flips
+    // spread across DIFFERENT 15-bit blocks — the banding's worst case
+    // (concentrated flips leave more blocks intact)
+    val planted = Seq(0, 1, 3, 4).zipWithIndex.map { case (d, i) =>
+      val flipped = (0 until d).foldLeft(base(i)._2)((v, j) => v ^ (1L << (j * 15 + 2)))
+      (100L + i, flipped)
+    }
+    val sigs = (base ++ planted).toDF("doc_id", "sim")
+    val got = Dedup.simhashHammingPairs(sigs, "doc_id", blocks = 4, blockBits = 15, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = sigs.as("x").crossJoin(sigs.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long").as("h"))
+      .where(col("h") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((0L, 100L, 0L))) // exact dup found at distance 0
+    assert(got.contains((2L, 102L, 3L))) // distance 3: flips in 3 distinct blocks
+    assert(!got.exists { case (a, b, _) => a == 3L && b == 103L }) // distance 4 excluded
+  }
+
   test("prefix-filter candidates are a superset of true pairs and pruned vs all-pairs") {
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
     val cand = Dedup.prefixFilterPairs(sh, "doc_id", 3, 5)
