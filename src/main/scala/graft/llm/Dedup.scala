@@ -57,6 +57,51 @@ object Dedup {
       .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** PER-ROW MinHash signature columns — the STREAMING shape: each doc
+    * computes its own signature with array_min folds over a materialized
+    * per-shingle hash array, no explode, no groupBy, no shuffle — which is
+    * what lets a continuous-ingest stream stay stateless
+    * (Streams.lshNearDupTagStream). Values are IDENTICAL to the grouped
+    * form (min over the same per-shingle family values — spec-pinned);
+    * the grouped form stays the batch shape because its shuffle carries
+    * partial mins while this one re-walks the array once per family
+    * member. Docs with no shingles get null signatures (callers guard).
+    * Appends mh0..mh{k-1} to the input's columns.
+    */
+  def rowMinhashSigs(df: DataFrame, textCol: String, seeds: Seq[Int],
+                     n: Int): DataFrame = {
+    val withHw = df.withColumn("hws",
+      transform(array_distinct(TextOps.shingles(col(textCol), n)),
+        w => Core.md5Hash64(w) % P))
+    withHw.select(df.columns.map(col) ++ seeds.map(i =>
+      array_min(transform(col("hws"),
+        h => (lit(hashA(i)) * h + lit(hashB(i))) % P)).as(s"mh$i")): _*)
+  }
+
+  /** Band-bucket key strings of a signature table: (id, bk) with
+    * bk = "band|mh_a_mh_b". The key vocabulary of an LSH index.
+    */
+  def bandKeys(sigs: DataFrame, idCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    withBands(sigs, idCol, bands, rowsPerBand)
+      .select(col(idCol),
+        concat(col("band"), lit("|"), col("bucket")).as("bk"))
+
+  /** One-row bloom bitset over a corpus' LSH band-bucket keys — the static
+    * near-dup INDEX a continuous-ingest stream probes
+    * (Streams.lshNearDupTagStream): docs whose any band bucket might
+    * already exist in the corpus flag for exact verification. md5-based
+    * hash family so an external SQL oracle rebuilds the identical bitset
+    * (same contract as the decontamination bloom).
+    */
+  def lshBandBloom(sigs: DataFrame, idCol: String, bands: Int,
+                   rowsPerBand: Int, mBits: Int, k: Int): DataFrame =
+    bandKeys(sigs, idCol, bands, rowsPerBand)
+      .select(Core.md5Hash64(col("bk")).as("h1"),
+        Core.md5Hash64(concat(lit("bl|"), col("bk"))).as("h2"))
+      .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), mBits, k)
+        .as("bloom_bits"))
+
   /** Band explode of a signature table: one row per (doc, band) carrying
     * the signatures (so pair joins need no re-join back) plus the band's
     * bucket key.

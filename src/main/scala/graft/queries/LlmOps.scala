@@ -1214,6 +1214,33 @@ object LlmOps {
           sum(coalesce(col("v"), lit(0L))).as("n_verified"))
     }),
 
+    // Batch twin of the STREAMING LSH near-dup screen
+    // (streaming.Streams.lshNearDupTagStream): corpus = src0 builds the
+    // band-bucket bloom index (Dedup.lshBandBloom); "arriving" docs
+    // (every other source) compute PER-ROW signatures
+    // (Dedup.rowMinhashSigs — the stateless, shuffle-free streaming path;
+    // values ≡ the grouped batch signatures, DedupSpec-pinned) and probe
+    // the broadcast 1-row bitset. flagged=false is PROVABLY new at the
+    // LSH level (neither the band screen nor the bloom has false
+    // negatives); flagged=true goes to exact verify. The oracle rebuilds
+    // the identical md5-family bitset, pinning even its false positives —
+    // and because the stream side never shuffles, this plan's only
+    // exchange is the index build's signature groupBy.
+    "q_stream_lsh_batch" -> ((s, d) => {
+      val m = 16384
+      val kh = 3
+      val docs = table(s, d, "documents")
+      val sigs = Dedup.minhashSigs(docs.where(col("source") === "src0"),
+        "doc_id", "text", 3, MinhashSeeds)
+      val bits = Dedup.lshBandBloom(sigs, "doc_id",
+        bands = 4, rowsPerBand = 2, mBits = m, k = kh)
+      graft.streaming.Streams.lshNearDupTagStream(
+          docs.where(col("source") =!= "src0"), bits,
+          "text", 3, MinhashSeeds, bands = 4, rowsPerBand = 2,
+          mBits = m, k = kh)
+        .select(col("doc_id"), col("n_hit_bands"), col("flagged"))
+    }),
+
     // Right-sized decontamination — the production sizing the static
     // 16 Kbit instance above deliberately doesn't do (its fixed m is what
     // the oracle pins; SCALE.md documents its saturation at 10×). Here
@@ -1591,6 +1618,61 @@ object LlmOps {
          |  CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
          |FROM hits h LEFT JOIN refg r USING (g)
          |GROUP BY h.doc_id""".stripMargin
+    },
+
+    // Streaming-screen twin: signatures per doc (grouped min ≡ the Spark
+    // side's per-row array_min — same family, same values), band keys
+    // with the band index as prefix, then the same UBIGINT bloom word
+    // math as the decon oracles over the key hashes. Short docs (< 3
+    // tokens, no shingles) re-enter via the final LEFT JOIN as (0, false).
+    "q_stream_lsh_batch" -> {
+      val hr = 2147483648L // BloomAgg.HashRange
+      val m = 16384
+      val mins = MinhashSeeds.map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      def keyRows(src: String) = (0 until 4)
+        .map(b => s"SELECT doc_id, '$b|' || concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bk FROM $src")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents
+         |        WHERE source = 'src0' AND $minDocSql)
+         |  GROUP BY doc_id),
+         |keys AS (
+         |  ${keyRows("sigs")}),
+         |ref_h AS (
+         |  SELECT ${sqlHash64("bk")} % $hr AS b1,
+         |         ${sqlHash64("'bl|' || bk")} % $hr AS b2 FROM keys),
+         |words AS (
+         |  SELECT p // 64 AS widx, bit_or(1::UBIGINT << CAST(p % 64 AS INT)) AS wbits
+         |  FROM (SELECT (b1 + i * b2) % $m AS p
+         |        FROM ref_h CROSS JOIN (VALUES (0), (1), (2)) AS ks(i))
+         |  GROUP BY 1),
+         |ssigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents
+         |        WHERE source <> 'src0' AND $minDocSql)
+         |  GROUP BY doc_id),
+         |skeys AS (
+         |  ${keyRows("ssigs")}),
+         |sprobe AS (
+         |  SELECT doc_id, bk, i, (b1 + i * b2) % $m AS p
+         |  FROM (SELECT doc_id, bk, ${sqlHash64("bk")} % $hr AS b1,
+         |               ${sqlHash64("'bl|' || bk")} % $hr AS b2 FROM skeys)
+         |  CROSS JOIN (VALUES (0), (1), (2)) AS ks(i)),
+         |hitks AS (
+         |  SELECT doc_id, bk
+         |  FROM sprobe LEFT JOIN words ON sprobe.p // 64 = words.widx
+         |  GROUP BY doc_id, bk
+         |  HAVING sum(CASE WHEN (coalesce(wbits, 0::UBIGINT)
+         |                        & (1::UBIGINT << CAST(sprobe.p % 64 AS INT))) <> 0
+         |             THEN 1 ELSE 0 END) = 3),
+         |nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+         |       FROM hitks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nh.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+         |  coalesce(nh.n_hit_bands, 0) > 0 AS flagged
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN nh USING (doc_id)""".stripMargin
     },
 
     // Dynamic twin of the right-sized decon: m, k re-derived in SQL from

@@ -70,6 +70,42 @@ object Streams {
         graft.ops.Bloom.mightContain(col("bloom_bits"), col(key), mBits, k))
       .drop("bloom_bits")
 
+  /** Streaming MinHash-LSH near-dup screen — the continuous-ingest half of
+    * the near-dup family (the bloomTagStream pattern generalized from
+    * exact n-gram membership to LSH banding): a batch-built bloom over
+    * the corpus' band-bucket keys (Dedup.lshBandBloom — one row, re-read
+    * per micro-batch like any slowly-changing dim) tags incoming docs
+    * whose ANY band bucket might already exist in the corpus. Signatures
+    * are computed PER ROW (Dedup.rowMinhashSigs — array_min folds, no
+    * groupBy), so the stream is stateless and shuffle-free end to end:
+    * its only join is the broadcast 1-row bitset. Band-bucket screening
+    * has no false negatives, and the bloom adds none either, so a
+    * `flagged = false` row is PROVABLY new at the LSH level; flagged rows
+    * go to the batch exact-verify (tag, don't drop — same audit contract
+    * as bloomTagStream). Emits every input row plus
+    * (n_hit_bands, flagged); docs too short to shingle tag (0, false).
+    */
+  def lshNearDupTagStream(stream: DataFrame, bits: DataFrame,
+                          textCol: String, n: Int, seeds: Seq[Int],
+                          bands: Int, rowsPerBand: Int,
+                          mBits: Int, k: Int): DataFrame = {
+    import graft.llm.Dedup
+    import graft.ops.Core
+    val sigs = Dedup.rowMinhashSigs(stream, textCol, seeds, n)
+    val hits = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val key = concat(lit(s"$b|"), concat_ws("_", rows: _*))
+      when(graft.ops.Bloom.mightContainHashes(col("bloom_bits"),
+        Core.md5Hash64(key), Core.md5Hash64(concat(lit("bl|"), key)),
+        mBits, k), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    sigs.crossJoin(broadcast(bits))
+      .withColumn("n_hit_bands",
+        when(col(s"mh${seeds.head}").isNotNull, hits).otherwise(lit(0L)))
+      .withColumn("flagged", col("n_hit_bands") > 0)
+      .drop("bloom_bits" +: seeds.map(i => s"mh$i"): _*)
+  }
+
   /** Watermarked stream-stream correlation join: each event of `a` pairs
     * with same-user events of `b` whose timestamp falls in
     * [a.ts − lookback, a.ts]. Both watermarks PLUS the bounded time-range

@@ -161,6 +161,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rowMinhashSigs ≡ grouped signatures (the streaming path computes the same values)") {
+    val seeds = 0 until 8
+    val grouped = Dedup.minhashSigs(docs, "doc_id", "text", 3, seeds)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val perRow = Dedup.rowMinhashSigs(docs, "text", seeds, 3)
+      .select("doc_id", seeds.map(i => s"mh$i"): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(perRow == grouped)
+    // a doc too short to shingle: grouped drops it, per-row keeps it with
+    // null signatures (the tag-through streaming contract)
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.minhashSigs(short, "doc_id", "text", 3, seeds).count() == 0)
+    val nulls = Dedup.rowMinhashSigs(short, "text", seeds, 3)
+      .select("mh0").collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0))
+  }
+
   test("simhashGrouped matches the HOF simhash bit-for-bit and unifies exact dups") {
     val grouped = Dedup.simhashGrouped(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -174,6 +174,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshNearDupTagStream flags near-dups of the indexed corpus, passes novel docs, " +
+    "and tags shingle-less docs (0, false)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val seeds = 0 until 8
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words appear in this one right here")
+    ).toDF("doc_id", "text")
+    val sigs = graft.llm.Dedup.minhashSigs(corpus, "doc_id", "text", 3, seeds)
+    val bits = graft.llm.Dedup.lshBandBloom(sigs, "doc_id",
+      bands = 4, rowsPerBand = 2, mBits = 2048, k = 3)
+    val input = MemoryStream[(Long, String)]
+    val tagged = Streams.lshNearDupTagStream(
+      input.toDF().toDF("doc_id", "text"), bits,
+      "text", 3, seeds, bands = 4, rowsPerBand = 2, mBits = 2048, k = 3)
+    val q = tagged.writeStream.format("memory").queryName("lsh_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"),   // exact dup
+        (11L, "zebras graze quietly beside the wide muddy river bank")) // novel
+      q.processAllAvailable()
+      input.addData((12L, "too short")) // < 3 tokens: no shingles
+      q.processAllAvailable()
+      val rows = spark.table("lsh_stream")
+        .select("doc_id", "n_hit_bands", "flagged")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(10L)._2 && rows(10L)._1 == 4L, rows) // dup: every band hits
+      assert(!rows(11L)._2, rows)                      // novel doc passes
+      assert(rows(12L) == ((0L, false)), rows)         // shingle-less: explicit 0
+    } finally q.stop()
+  }
+
   test("correlateStreams pairs same-user events within the lookback window only") {
     val s = spark
     import s.implicits._
