@@ -38,6 +38,39 @@ object LlmOps {
     "fr" -> Seq("le", "les", "et", "des", "un"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
+  /** BM25-shaped integer candidate scores — shared by q_text_bm25 and the
+    * hybrid-retrieval fusion. `qids` is a (query_id) frame (tiny by
+    * contract: it broadcasts twice). Queries contribute their first ≤5
+    * distinct tokens; scoring is all-BIGINT floor division (see
+    * q_text_bm25's rationale). Returns (query_id, doc_id, score_fp).
+    */
+  private def bm25Pairs(docs: DataFrame, qids: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val nl = docs
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("toklen"))
+      .agg(count(lit(1)).as("nn"), sum(col("toklen")).as("ll"))
+    val qterms = docs
+      .join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"),
+        explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+          .as("w"))
+    val qdf = qterms.join(df, Seq("w"))
+    tf.join(broadcast(qdf), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nl))
+      .withColumn("score_t",
+        expr("((1000000 * (nn - df + 1)) div (df + 1)) * (tf * 2200)" +
+          " div (1000 * tf + 300 + (900 * dl * nn) div ll)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_t")).as("score_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keep lowest doc_id. One shuffle on
     // the 128-bit digest — the canonical 100 TB exact-dedup plan.
@@ -903,6 +936,96 @@ object LlmOps {
         .select(col("vec_id"), round(dot / (n1 * n2), 6).as("cos"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 10)
+    }),
+
+    // BM25-shaped sparse retrieval (Robertson/Spärck Jones; the k1/b
+    // saturation + length normalization of BM25 with an exact-RATIONAL
+    // idf: (N−df+1)/(df+1) — the inside of BM25's log. The log is a
+    // monotone per-term transform whose cross-engine ulp behavior can't
+    // hold a hash gate (ln is not correctly rounded in either engine);
+    // the repo's fixed-point contract wins over log fidelity, same call
+    // as tfidf-cosine's integer weights). All arithmetic is BIGINT floor
+    // division, so ranks are hash-exact. Queries are data-derived (every
+    // doc_id % 100 == 0 contributes its first ≤5 distinct tokens);
+    // score_t = idf_fp·(tf·2200) DIV (1000·tf + 300 + (900·dl·N) DIV L),
+    // i.e. k1 = 1.2, b = 0.75 scaled by 1000.
+    // Scale shape: the query frame is corpus/100 rows and BROADCASTS into
+    // the term-keyed tf join — candidates are bounded by Σ_t df(t), never
+    // the corpus; dl joins candidates doc-keyed; N/L ride a 1-row
+    // broadcast; the final top-10 window partitions by query.
+    "q_text_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      // FIXED query budget: doc_id < 5000 caps the query set at 50 however
+      // large the corpus grows (production retrieval serves a bounded
+      // query load against a growing corpus; a query set scaling WITH the
+      // corpus would make the workload quadratic by construction — the
+      // first smoke of this query measured exactly that and this cap is
+      // the fix, SCALE.md "bm25" row)
+      val qids = docs.where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"))
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      bm25Pairs(docs, qids)
+        .withColumn("rn", row_number().over(w10).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("query_id"), col("rn"), col("doc_id"), col("score_fp"))
+    }),
+
+    // Hybrid retrieval: BM25 sparse ranks + brute-force dense cosine
+    // ranks fused by Reciprocal Rank Fusion (Cormack SIGIR'09) — the RAG
+    // serving pattern (lexical recall + semantic recall beat either
+    // alone). Queries are ids present in BOTH tables (vec_id % 100 == 0;
+    // the fixture's vec range ⊆ doc range); each ranker emits its top-10
+    // (self excluded), and RRF folds ranks to integers:
+    // rrf_fp = Σ_lists 1000000 DIV (60 + rank) — rank arithmetic only, so
+    // the fusion is hash-exact even though the dense scores are floats
+    // (their ulp risk is absorbed by round(cos,6)+id tiebreak, the
+    // established ANN-family contract). Scale shape: sparse candidates
+    // are df-bounded (bm25Pairs); dense is one broadcast query frame
+    // against the codegen'd graft_dot scan; the fusion join touches only
+    // 20 rows per query.
+    "q_sim_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qids = e.where(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("query_id"))
+      // sparse: BM25 top-10 per query, query doc excluded
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      val sparse = bm25Pairs(docs, qids)
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("rs", row_number().over(wS).cast("long"))
+        .where(col("rs") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rs"))
+      // dense: exact cosine top-10 per query vector, self excluded
+      val qv = e.join(broadcast(qids), col("vec_id") === col("query_id"))
+        .select(col("query_id"), col("v").as("qv"),
+          sqrt(graft.llm.Vectors.dotFast(col("v"), col("v"))).as("qn"))
+      val wD = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      val dense = e
+        .withColumn("nrm", sqrt(graft.llm.Vectors.dotFast(col("v"), col("v"))))
+        .crossJoin(broadcast(qv))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(graft.llm.Vectors.dotFast(col("v"), col("qv"))
+            / (col("nrm") * col("qn")), 6).as("cos"))
+        .withColumn("rd", row_number().over(wD).cast("long"))
+        .where(col("rd") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rd"))
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+      sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + rs)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rd)"), lit(0L))).as("rrf_fp"))
+        .withColumn("rn", row_number().over(wF).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("query_id"), col("rn"), col("doc_id"), col("rrf_fp"))
     }),
 
     // TF-IDF keyword extraction: top-3 terms per doc by tf·idf with a
@@ -2524,6 +2647,96 @@ object LlmOps {
         |    CAST(row_number() OVER (ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id) AS BIGINT) AS rn
         |  FROM dots)
         |SELECT vec_id, cos, rn FROM scored WHERE rn <= 10""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ll
+        |       FROM documents),
+        |qt AS (SELECT doc_id AS query_id,
+        |         unnest(list_distinct(string_split(text, ' ')[1:5])) AS w
+        |       FROM documents WHERE doc_id % 100 = 0 AND doc_id < 5000),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id AS doc_id,
+        |    CAST(sum(((1000000 * (nn - df + 1)) // (df + 1)) * (tf * 2200)
+        |      // (1000 * tf + 300 + (900 * dl * nn) // ll)) AS BIGINT) AS score_fp
+        |  FROM qt JOIN tf USING (w) JOIN df USING (w)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nl
+        |  GROUP BY query_id, tf.doc_id)
+        |SELECT query_id, rn, doc_id, score_fp FROM (
+        |  SELECT query_id, doc_id, score_fp,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
+        |  FROM sc)
+        |WHERE rn <= 10""".stripMargin,
+
+    // Same BM25 integer scoring restricted to ids present in embeddings,
+    // the multi-query form of the cosine oracle, and pure rank-arithmetic
+    // fusion. Both rankers exclude self BEFORE their window, matching the
+    // Spark side.
+    "q_sim_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |dlen AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ll
+        |       FROM documents),
+        |qids AS (SELECT vec_id AS query_id FROM embeddings
+        |         WHERE vec_id % 100 = 0 AND vec_id < 2000),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split(text, ' ')[1:5])) AS w
+        |       FROM documents JOIN qids ON doc_id = query_id),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id AS doc_id,
+        |    CAST(sum(((1000000 * (nn - df + 1)) // (df + 1)) * (tf * 2200)
+        |      // (1000 * tf + 300 + (900 * dl * nn) // ll)) AS BIGINT) AS score_fp
+        |  FROM qt JOIN tf USING (w) JOIN df USING (w)
+        |  JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN nl
+        |  GROUP BY query_id, tf.doc_id),
+        |srank AS (SELECT query_id, doc_id, rs FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rs
+        |  FROM sc WHERE doc_id <> query_id) WHERE rs <= 10),
+        |ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |              CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ee GROUP BY vec_id),
+        |qe AS (SELECT query_id, i, x AS qx FROM ee JOIN qids ON vec_id = query_id),
+        |dots AS (SELECT qe.query_id, ee.vec_id AS doc_id, sum(ee.x * qe.qx) AS dot
+        |         FROM ee JOIN qe USING (i) WHERE ee.vec_id <> qe.query_id
+        |         GROUP BY qe.query_id, ee.vec_id),
+        |dcos AS (SELECT query_id, doc_id,
+        |           round(dot / (n1.nrm * n2.nrm), 6) AS cos
+        |         FROM dots JOIN nrm n1 ON doc_id = n1.vec_id
+        |         JOIN nrm n2 ON query_id = n2.vec_id),
+        |drank AS (SELECT query_id, doc_id, rd FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rd
+        |  FROM dcos) WHERE rd <= 10),
+        |fuse AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |         CAST(coalesce(1000000 // (60 + s.rs), 0)
+        |            + coalesce(1000000 // (60 + d.rd), 0) AS BIGINT) AS rrf_fp
+        |  FROM srank s FULL OUTER JOIN drank d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+        |SELECT query_id, rn, doc_id, rrf_fp FROM (
+        |  SELECT query_id, doc_id, rrf_fp,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rn
+        |  FROM fuse)
+        |WHERE rn <= 10""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

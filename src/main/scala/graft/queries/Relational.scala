@@ -612,6 +612,20 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // Fuzzy string self-join at edit distance ≤ 1 (ops.FuzzyJoin —
+    // SymSpell/FastSS deletion-neighborhood blocking): keys sharing any
+    // one-char-deletion variant become candidates (lossless at radius 1 —
+    // spec-pinned ≡ brute force), then exact levenshtein verifies. The
+    // edit-distance member of the screen-then-verify join family (LSH =
+    // Jaccard, prefix filter = overlap, this = Levenshtein): entity
+    // resolution over names/ids that an equi-join can't catch. Variant
+    // table is Σ|w|+1 rows over the DISTINCT key domain — vocabulary-
+    // bounded, never the fact table.
+    "q_join_fuzzy_names" -> ((s, d) => {
+      graft.ops.FuzzyJoin.editDistance1Pairs(
+        table(s, d, "customer").select(col("c_name")).distinct(), "c_name")
+    }),
+
     // Skew-mitigated equi-join (ops.Skew.saltedJoin): the hot-key fallback
     // when a replicated broadcast isn't possible and AQE's skew split can't
     // fire. The salt spreads each key over saltFactor partitions; results
@@ -1997,6 +2011,20 @@ object Relational {
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_fuzzy_names" ->
+      """WITH names AS (SELECT DISTINCT c_name AS w FROM customer),
+        |vars AS (
+        |  SELECT w, unnest(list_distinct([w] ||
+        |    list_transform(generate_series(1, length(w)),
+        |      i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w) - i)))) AS v
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT x.w AS name1, y.w AS name2
+        |  FROM vars x JOIN vars y ON x.v = y.v AND x.w < y.w)
+        |SELECT name1, name2,
+        |  CAST(levenshtein(name1, name2) AS BIGINT) AS edit_dist
+        |FROM cand WHERE levenshtein(name1, name2) <= 1""".stripMargin,
 
     "q_join_salted" ->
       """SELECT p_brand, count(*) AS n_rows,
