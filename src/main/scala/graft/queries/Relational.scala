@@ -1466,6 +1466,47 @@ object Relational {
           .cast("long").as("n_users"))
     }),
 
+    // Quantile-sketch rollup — the THIRD member of the re-aggregatable
+    // sketch-table family (exact bitmap = q_etl_sketch_rollup, bounded
+    // distinct = q_etl_kmv_rollup, quantiles = this): per-day sparse
+    // fixed-width histogram rows (bucket, count) built ONCE from the fact
+    // table; any date range's quantiles come from summing bucket counts —
+    // pointwise integer addition, so merge is lossless under any
+    // partitioning/arrival order and the merged-week estimate is
+    // bit-identical to one built directly from the week (the oracle
+    // builds it directly — the green row IS the merge proof, the
+    // HistQuantileAgg contract in declarative form). Interpolation inside
+    // the crossing bucket matches HistQuantileAgg: rank = ceil(q·n) kept
+    // DOUBLE, est = b·w + w·(rank − cum_before)/c.
+    "q_etl_quantile_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val width = 10.0
+      val daily = table(s, d, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") / width).cast("long").as("b"))
+        .groupBy(col("day"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val weekly = daily
+        .groupBy(expr("day div 7").as("week"), col("b"))
+        .agg(sum(col("c")).as("c"))
+      val wcum = Window.partitionBy(col("week")).orderBy(col("b"))
+      val wall = Window.partitionBy(col("week"))
+      def est(q: Double) = {
+        val rank = ceil(lit(q) * col("n"))
+        min(when(col("cum") >= rank,
+          struct(col("b"),
+            (col("b") * width + lit(width) * (rank - (col("cum") - col("c")))
+              / col("c")).as("est"))))
+      }
+      weekly
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(wall))
+        .groupBy(col("week"))
+        .agg(round(est(0.5).getField("est"), 4).as("median_est"),
+          round(est(0.9).getField("est"), 4).as("p90_est"),
+          max(col("n")).as("n_rows"))
+    }),
+
     // KMV distinct-count rollup — the BOUNDED-STATE sibling of
     // q_etl_sketch_rollup: that bitmap sketch is exact but NDV-sized; the
     // KMV sketch (functions.KmvAgg — k smallest distinct md5 hashes) is k
@@ -1505,6 +1546,54 @@ object Relational {
           round(when(col("n_sketch") < k, col("n_sketch").cast("double"))
             .otherwise(lit(scale) / col("kth_hash")), 4).as("est_ndv"),
           col("exact_ndv"))
+    }),
+
+    // KMV sketch SET OPERATIONS — the audience-overlap query (distinct
+    // users shared by two event types) answered from sketches alone:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B) (inclusion–exclusion), where the
+    // union sketch is the k smallest of the two sketches' union — EXACTLY
+    // the sketch of A∪B (KMV merge losslessness), so the oracle computing
+    // the union sketch directly from the raw data pins the identity.
+    // exact_common rides along as the quality audit. 100 TB shape: the
+    // fact table folds to one k-long sketch per type; every pairwise
+    // combination is arithmetic over type-cardinality-sized frames —
+    // overlap across S shards/domains needs S sketches, never S scans of
+    // pairwise joins. (The exact audit IS the pairwise join — the thing
+    // the sketch path exists to avoid; it's fixture-priced here.)
+    "q_etl_kmv_setops" -> ((s, d) => {
+      val k = 64
+      val scale = (k - 1).toDouble * math.pow(2.0, 60)
+      val ev = table(s, d, "events")
+        .select(col("event_type"),
+          graft.ops.Core.md5Hash64(col("user_id").cast("string")).as("h"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("sk"))
+      def est(skCol: Column): Column =
+        when(size(skCol) < k, size(skCol).cast("double"))
+          .otherwise(lit(scale) / element_at(skCol, -1))
+      val ut = table(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val ex = ut.as("x")
+        .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_common"))
+      sk.as("a").crossJoin(sk.as("b"))
+        .where(col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("sku",
+          slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+        .join(ex, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          round(est(col("ska")), 4).as("est_a"),
+          round(est(col("skb")), 4).as("est_b"),
+          round(est(col("sku")), 4).as("est_union"),
+          round(est(col("ska")) + est(col("skb")) - est(col("sku")), 4)
+            .as("est_common"),
+          coalesce(col("exact_common"), lit(0L)).as("exact_common"))
     }),
 
     // Contiguous global row ids WITHOUT a global sort — the two-pass
@@ -2506,6 +2595,82 @@ object Relational {
       """SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The oracle builds the weekly histogram DIRECTLY from the week's
+    // values; the engine sums per-day sketches — equality pins the merge.
+    "q_etl_quantile_rollup" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS b, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT week, b, c,
+        |    sum(c) OVER (PARTITION BY week ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY week) AS n
+        |  FROM h)
+        |SELECT week,
+        |  round(min_by(b * 10.0 + 10.0 * (ceil(0.5 * n) - (cum - c)) / c, b)
+        |    FILTER (WHERE cum >= ceil(0.5 * n)), 4) AS median_est,
+        |  round(min_by(b * 10.0 + 10.0 * (ceil(0.9 * n) - (cum - c)) / c, b)
+        |    FILTER (WHERE cum >= ceil(0.9 * n)), 4) AS p90_est,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM t GROUP BY week""".stripMargin,
+
+    // The oracle computes the UNION sketch directly from the raw rows of
+    // each type pair; the engine merges the two per-type sketches —
+    // equality pins KMV merge losslessness on the set-op path too.
+    "q_etl_kmv_setops" -> {
+      val k = 64
+      val scale = (k - 1).toDouble * math.pow(2.0, 60)
+      def estSql(kth: String, ndv: String) =
+        s"CASE WHEN $ndv < $k THEN CAST($ndv AS DOUBLE) ELSE $scale / $kth END"
+      val ea = estSql("s1.kth", "s1.ndv")
+      val eb = estSql("s2.kth", "s2.ndv")
+      val eu = estSql("us.kthu", "us.ndvu")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM events),
+         |d AS (SELECT DISTINCT event_type, h FROM ev),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS ndv
+         |      FROM d),
+         |s AS (SELECT event_type,
+         |        CAST(max(CASE WHEN rn <= $k THEN h END) AS BIGINT) AS kth,
+         |        CAST(max(ndv) AS BIGINT) AS ndv
+         |      FROM r GROUP BY event_type),
+         |prs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |        FROM s a JOIN s b ON a.event_type < b.event_type),
+         |ud AS (SELECT p.type_a, p.type_b, d.h
+         |       FROM prs p JOIN d
+         |         ON d.event_type = p.type_a OR d.event_type = p.type_b
+         |       GROUP BY p.type_a, p.type_b, d.h),
+         |ur AS (SELECT type_a, type_b, h,
+         |        row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY type_a, type_b) AS ndv
+         |      FROM ud),
+         |us AS (SELECT type_a, type_b,
+         |        CAST(max(CASE WHEN rn <= $k THEN h END) AS BIGINT) AS kthu,
+         |        CAST(max(ndv) AS BIGINT) AS ndvu
+         |      FROM ur GROUP BY type_a, type_b),
+         |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |        CAST(count(*) AS BIGINT) AS exact_common
+         |       FROM (SELECT DISTINCT user_id, event_type FROM events) x
+         |       JOIN (SELECT DISTINCT user_id, event_type FROM events) y
+         |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |       GROUP BY 1, 2)
+         |SELECT us.type_a, us.type_b,
+         |  round($ea, 4) AS est_a,
+         |  round($eb, 4) AS est_b,
+         |  round($eu, 4) AS est_union,
+         |  round($ea + $eb - $eu, 4) AS est_common,
+         |  coalesce(ex.exact_common, 0) AS exact_common
+         |FROM us
+         |JOIN s s1 ON us.type_a = s1.event_type
+         |JOIN s s2 ON us.type_b = s2.event_type
+         |LEFT JOIN ex ON us.type_a = ex.type_a AND us.type_b = ex.type_b""".stripMargin
+    },
 
     // The oracle builds the weekly sketch DIRECTLY from the week's values;
     // the engine merges per-day sketches — equality pins merge losslessness.

@@ -110,6 +110,29 @@ class RunMetricsSpec extends SparkSpec {
       s"fact rows leaked into a shuffle before the bloom probe: $m")
   }
 
+  test("LSH near-dup screen: arriving docs never shuffle — only the index " +
+    "build's signature partials move") {
+    // the q_stream_lsh_batch / Streams.lshNearDupTagStream claim, runtime-
+    // measured: per-row signatures + the broadcast 1-row bitset leave the
+    // arriving side shuffle-free; the only exchanges are the corpus index
+    // build's grouped-signature partials (src0-doc-bounded) and the bloom
+    // agg's single row. If the arriving docs' signature path regressed to
+    // the grouped form (explode + groupBy), their rows would enter a
+    // shuffle and trip the bound.
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+    val docs = graft.ops.Core.table(spark, sfDir, "documents")
+    val arriving = docs.where(col("source") =!= "src0").count()
+    val (_, m) = RunMetrics.measure(spark) {
+      graft.SparkEntry.queries("q_stream_lsh_batch")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(m.shuffleWriteRecords < arriving,
+      s"arriving docs leaked into a shuffle: $m (arriving=$arriving)")
+  }
+
   test("global-id assignment moves the corpus once: shard window exchange " +
     "only, offsets ride partials + a broadcast") {
     val sfDir =
