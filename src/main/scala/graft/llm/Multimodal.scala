@@ -236,6 +236,52 @@ object Multimodal {
   def frameColor(mediaId: Long, frame: Int): Int =
     ((mediaId * 2654435761L + frame.toLong * 40503L) % 16777216L).toInt
 
+  case class PhashSpec(media_id: Long, pat: Long, flip_pos: Int)
+  case class PhashImage(media_id: Long, phash: Long)
+
+  /** Perceptual fingerprint through a REAL codec: render each row's
+    * 60-bit black/white pattern (`pat` XOR one flipped pixel) as an 8×8
+    * PNG, encode, DECODE, and recompute the 60-bit fingerprint FROM THE
+    * DECODED PIXELS — the average-hash (aHash) pipeline with the
+    * grayscale-threshold step degenerate because the pixels are already
+    * binary. PNG is lossless, so the decoded fingerprint equals the spec
+    * pattern — which is what lets the DuckDB oracle pin that a genuine
+    * encoder+decoder preserved every pixel. 60 bits (not all 64 pixels)
+    * keeps the fingerprint in the engine-wide cross-engine-safe bit
+    * budget (Core.md5Hash64's range; bit 63 would go negative, and DuckDB
+    * raises on 1::BIGINT << 63). Pixels 60..63 render black and carry no
+    * information. Same mapPartitions codec boundary as the rest of the
+    * family.
+    */
+  def phashRoundTrip(specs: Dataset[PhashSpec]): Dataset[PhashImage] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { rows =>
+      rows.map { sp =>
+        val bits = sp.pat ^ (1L << sp.flip_pos)
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < 64) {
+          val white = p < 60 && ((bits >> p) & 1L) == 1L
+          img.setRGB(p % 8, p / 8, if (white) 0xffffff else 0x000000)
+          p += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        var hash = 0L
+        var q = 0
+        while (q < 60) {
+          if ((back.getRGB(q % 8, q / 8) & 0xffffff) == 0xffffff)
+            hash |= 1L << q
+          q += 1
+        }
+        PhashImage(sp.media_id, hash)
+      }
+    }
+  }
+
   /** Documents → media table adapter: UTF-8 payloads standing in for real
     * image/audio bytes (the fixtures ship no binary media), typed via the
     * MediaRow encoder.

@@ -105,6 +105,30 @@ object Media {
       Multimodal.gifFramesRoundTrip(specs).toDF()
     }),
 
+    // Image near-dup detection END TO END through a real codec: per-doc
+    // 8×8 black/white pattern (md5-derived per 8-doc family, one pixel
+    // flipped per member) → REAL PNG encode + decode
+    // (Multimodal.phashRoundTrip) → 60-bit fingerprint recomputed from
+    // the DECODED pixels → the SAME pigeonhole Hamming join the text
+    // family uses (Dedup.simhashHammingPairs, 4×15-bit blocks, dist ≤ 3).
+    // Family members differ in ≤ 2 pixels (their two flips) and pair up;
+    // cross-family patterns differ by ~30 bits and never do. The oracle
+    // recomputes the fingerprint arithmetically — equality pins both the
+    // codec's losslessness pixel-for-pixel AND the join.
+    "q_media_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val specs = table(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        graft.ops.Core.md5Hash64(
+          expr("(doc_id div 8)").cast("string")).as("pat"),
+        ((col("doc_id") % 8) * 7 % 60).cast("int").as("flip_pos")
+      ).as[Multimodal.PhashSpec]
+      val ph = Multimodal.phashRoundTrip(specs).toDF()
+        .select(col("media_id").as("doc_id"), col("phash").as("sim"))
+      graft.llm.Dedup.simhashHammingPairs(ph, "doc_id",
+        blocks = 4, blockBits = 15, maxDist = 3)
+    }),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -176,6 +200,30 @@ object Media {
         |  SELECT doc_id, n_chars,
         |    unnest(generate_series(0, CAST(2 + doc_id % 3 AS INTEGER) - 1)) AS f
         |  FROM documents)""".stripMargin,
+
+    // Fingerprint = family pattern XOR the member's flipped bit (PNG is
+    // lossless, so the decoded-pixel hash equals this arithmetic), then
+    // the q_dedup_simhash_hamming pigeonhole verbatim.
+    "q_media_phash_dedup" -> {
+      val blockBits = 15
+      val maxDist = 3
+      s"""WITH ph AS (
+         |  SELECT doc_id,
+         |    xor(${h("CAST((doc_id // 8) AS VARCHAR)")},
+         |        1::BIGINT << CAST((doc_id % 8) * 7 % 60 AS INT)) AS sim
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, sim, blk,
+         |    (sim >> (blk * $blockBits)) & ${(1L << blockBits) - 1} AS blkval
+         |  FROM ph CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(blk)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+         |    x.sim AS sim1, y.sim AS sim2
+         |  FROM bands x JOIN bands y
+         |    ON x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id)
+         |SELECT doc1, doc2, CAST(bit_count(xor(sim1, sim2)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sim1, sim2)) <= $maxDist""".stripMargin
+    },
 
     "q_media_features" -> {
       val cols = (0 until 4)

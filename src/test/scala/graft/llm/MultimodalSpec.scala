@@ -57,6 +57,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.forall(_.png_bytes > 8))
   }
 
+  test("phashRoundTrip: fingerprint recomputed from DECODED pixels equals " +
+    "the spec arithmetic (PNG losslessness, pixel for pixel)") {
+    import spark.implicits._
+    val pat = 0x0ABCDEF1234567L // arbitrary 60-bit pattern
+    val specs = Seq(
+      PhashSpec(1L, pat, 0),
+      PhashSpec(2L, pat, 59),          // top in-budget bit
+      PhashSpec(3L, 0L, 7),            // all-black except one pixel
+      PhashSpec(4L, (1L << 60) - 1, 7) // all-white minus one pixel
+    ).toDS()
+    val out = phashRoundTrip(specs).collect().map(r => r.media_id -> r.phash).toMap
+    assert(out(1L) == (pat ^ 1L))
+    assert(out(2L) == (pat ^ (1L << 59)))
+    assert(out(3L) == (1L << 7))
+    assert(out(4L) == (((1L << 60) - 1) ^ (1L << 7)))
+  }
+
   test("wavRoundTrip: a real javax.sound WAV encode/decode preserves the " +
     "sample count, rate, and PCM16 sample values") {
     import spark.implicits._
