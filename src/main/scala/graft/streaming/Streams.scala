@@ -335,6 +335,83 @@ object Streams {
     q.recentProgress.map(_.numInputRows).sum
   }
 
+  /** One micro-batch's upsert into a bucketed parquet snapshot — the
+    * merge step of upsertSink, pure batch code so it is directly
+    * spec-testable. Latest-writer-wins per key (max struct(ts, rest) — the
+    * deterministic pick, same contract as q_stream_dedup_batch's min).
+    *
+    * Partition-scoped rewrite: the snapshot is partitioned by
+    * bucket = pmod(xxhash64(key), buckets); a batch only reads and
+    * dynamically overwrites the buckets ITS keys hash into, so merge cost
+    * tracks the batch's key spread, never the snapshot size — the
+    * pure-parquet form of row-level MERGE (a table format would narrow
+    * the rewrite unit from partition to file; the pruning/overwrite
+    * machinery here is the same the repo pins in DynamicPruningSpec and
+    * the dynamic-overwrite pin). localCheckpoint breaks the plan's
+    * lineage to the snapshot path before the overwrite — Spark refuses to
+    * overwrite a path its plan still reads.
+    */
+  def upsertBatch(batch: DataFrame, key: String, tsCol: String,
+                  snapshotDir: String, buckets: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val rest = batch.columns.filter(c => c != key && c != tsCol)
+    val occ = struct((tsCol +: rest).map(col): _*)
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy(col(key), col("bucket"))
+        .agg(max(occ).as("occ"))
+        .select(col(key) +: col("bucket") +:
+          (tsCol +: rest).map(c => col(s"occ.$c").as(c)): _*)
+    val bNew = latestPerKey(
+      batch.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets))))
+    val touched = bNew.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    // "snapshot present" = it has bucket partitions, not just an (empty)
+    // directory — a fresh temp dir or a dir holding only _SUCCESS markers
+    // has nothing to merge and would fail schema inference
+    val hasSnapshot = Option(new java.io.File(snapshotDir).listFiles())
+      .exists(_.exists(_.getName.startsWith("bucket=")))
+    val existing =
+      if (hasSnapshot)
+        Some(spark.read.parquet(snapshotDir)
+          .where(col("bucket").isin(touched: _*))
+          // partition-dir values are re-inferred as INT on read; the merge
+          // union needs the original LONG
+          .withColumn("bucket", col("bucket").cast("long"))
+          .select(bNew.columns.map(col): _*))
+      else None
+    val merged = latestPerKey(
+      existing.fold(bNew)(e => bNew.unionByName(e)))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(snapshotDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Streaming keyed UPSERT sink via foreachBatch — the streaming
+    * materialized-view / CDC-apply pattern: each micro-batch merges into
+    * the keyed snapshot with upsertBatch. The checkpoint makes re-delivery
+    * of a batch idempotent (last-writer-wins merge is idempotent by
+    * construction), and downstream batch readers always see a complete
+    * snapshot directory. State lives in the SNAPSHOT, not the state store
+    * — restarts carry no rebuild cost.
+    */
+  def upsertSink(stream: DataFrame, key: String, tsCol: String,
+                 snapshotDir: String, checkpointDir: String,
+                 buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        upsertBatch(b, key, tsCol, snapshotDir, buckets)
+      }
+      .start()
+
   /** Custom per-key state via flatMapGroupsWithState: running event count +
     * value total per user, emitted once per micro-batch per updated key.
     * State survives across micro-batches (and restarts, via checkpoint).

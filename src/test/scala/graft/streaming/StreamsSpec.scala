@@ -320,6 +320,52 @@ class StreamsSpec extends SparkSpec {
     assert(cur.contains(Streams.SessionState(999L * 60000L, 1001L * 60000L, 3)))
   }
 
+  test("upsertSink merges each micro-batch into the keyed snapshot: " +
+    "last writer wins, untouched buckets keep their files") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft-upsert-snap").toString
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "ts", "v"), "k", "ts", snapDir, ckpt, buckets = 8)
+    try {
+      input.addData((1L, ts(1), "a"), (2L, ts(1), "b"), (3L, ts(1), "c"))
+      q.processAllAvailable()
+      def snap(): Map[Long, String] = spark.read.parquet(snapDir)
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(snap() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+      // which bucket dirs hold which keys, and their current files
+      def filesByBucket(): Map[String, Set[String]] =
+        new java.io.File(snapDir).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      val before = filesByBucket()
+      // batch 2: update key 1 (newer ts), leave 2 and 3 untouched; the
+      // stale (ts 1) re-delivery of key 2 must LOSE to the snapshot row
+      input.addData((1L, ts(5), "a2"))
+      q.processAllAvailable()
+      assert(snap() == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+      val after = filesByBucket()
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      val k1Bucket = spark.range(1).select(
+        pmod(xxhash64(lit(1L)), lit(8)).cast("string")).as[String].head()
+      // the partition-scoped rewrite: only key 1's bucket got new files
+      after.foreach { case (b, files) =>
+        if (b == s"bucket=$k1Bucket") assert(files != before(b), s"$b not rewritten")
+        else assert(files == before(b), s"$b was rewritten needlessly")
+      }
+      // out-of-order late row for key 1 loses to the ts-5 snapshot row
+      input.addData((1L, ts(3), "stale"))
+      q.processAllAvailable()
+      assert(snap()(1L) == "a2")
+    } finally q.stop()
+  }
+
   test("file-source stream resumes flatMapGroupsWithState state from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
