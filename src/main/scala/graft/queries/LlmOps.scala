@@ -625,6 +625,32 @@ object LlmOps {
     // Spark plan replaces that per-domain FULL SORT with a bounded
     // (k-pair) map-side partial agg — at 100 TB a hot domain's window sort
     // is a straggler task; the bounded agg never materializes the group.
+    // TOKEN-budget-constrained mixing — how production mixtures are
+    // actually specified (N tokens per source, Pile/LLaMA-style), where
+    // q_sample_domain_cap caps by DOC count: docs take a deterministic
+    // salted-hash order within their source and are kept while the
+    // running token total stays ≤ the budget (strict prefix — the first
+    // overflowing doc is cut, nothing after it re-enters). One keyed
+    // window + one agg; reproducible across engines, runs, partitionings.
+    "q_sample_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+          Core.md5Hash64(concat(lit("tb|"), col("doc_id").cast("string")))
+            .as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_toks")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source_docs"),
+          sum(col("n_toks")).as("tokens_total"),
+          sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cum") <= budget, col("n_toks")).otherwise(0L))
+            .as("tokens_kept"))
+    }),
+
     "q_sample_domain_cap" -> ((s, d) => {
       val h = Core.md5Hash64(concat(lit("cap|"), col("doc_id").cast("string")))
       table(s, d, "documents")
@@ -2180,6 +2206,25 @@ object LlmOps {
         |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
         |FROM documents CROSS JOIN series
         |WHERE n_chars > 0 AND k <= (n_chars + 191) // 192 - 1""".stripMargin,
+
+    "q_sample_token_budget" -> {
+      val h = sqlHash64("'tb|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    $h AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_source_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN cum <= 2000 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM c GROUP BY source""".stripMargin
+    },
 
     "q_sample_weighted" -> {
       val h = sqlHash64("'mix|' || CAST(doc_id AS VARCHAR)")
