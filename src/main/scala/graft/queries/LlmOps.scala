@@ -1182,6 +1182,34 @@ object LlmOps {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // Shard integrity manifest — the reproducible-dataset-release
+    // artifact: per shard (same salted-hash assignment family as
+    // q_shuffle_shards), row/token counts plus a content digest = md5 of
+    // the per-doc md5s concatenated in doc_id order. Two engines (or two
+    // runs, or a consumer re-downloading the shards) producing the same
+    // manifest proves byte-level agreement without moving the corpus —
+    // the green oracle row IS that cross-engine proof. Scale shape: one
+    // keyed shuffle; the digest folds 32-char strings per doc (at 100 TB
+    // an incremental/merkle hash per shard replaces the concat — the
+    // q_etl_table_diff XOR sketch is that form; this is the
+    // order-sensitive strong digest for release manifests).
+    "q_etl_shard_manifest" -> ((s, d) => {
+      val S = 32
+      table(s, d, "documents")
+        .select(
+          pmod(Core.md5Hash64(concat(lit("shard|"), col("doc_id").cast("string"))),
+            lit(S)).as("shard"),
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+          md5(col("text")).as("dmd5"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("dmd5")))),
+            x => x.getField("dmd5")), "")).as("content_digest"))
+    }),
+
     // Inverted-index construction for mid-frequency terms (2 <= df <= 20):
     // the df pass (cheap, map-side partial) filters BEFORE the postings
     // collect, so no collect_list ever sees a head term's unbounded
@@ -2825,6 +2853,15 @@ object LlmOps {
          |  min(doc_id) AS first_doc
          |FROM spans GROUP BY span_hash
          |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+    },
+
+    "q_etl_shard_manifest" -> {
+      val h = sqlHash64("'shard|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+         |FROM (SELECT doc_id, text, $h % 32 AS shard FROM documents)
+         |GROUP BY shard""".stripMargin
     },
 
     "q_shuffle_shards" -> {
