@@ -39,6 +39,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("fuzzy join's screens are equi-joins, never nested loops — and both " +
+    "branches survive to the union") {
+    val plan = executedPlan("q_join_fuzzy_names")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // substitution branch (dels × dels) + insert/delete branch (dels ×
+    // self-hashes): losing one to optimization would silently drop an
+    // edit kind while staying correctness-green on same-length fixtures
+    assert("Join".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("simhash Hamming pairs: the block-bucket self-join is an equi-join") {
+    val plan = executedPlan("q_dedup_simhash_hamming")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("salted join stays an equi-join on (key, salt)") {
     val plan = executedPlan("q_join_salted")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
