@@ -1566,6 +1566,12 @@ object Relational {
       val ev = table(s, d, "events")
         .select(col("event_type"),
           graft.ops.Core.md5Hash64(col("user_id").cast("string")).as("h"))
+      // both small frames feed SELF-joins and aliased UDAF aggs don't hit
+      // exchange reuse, so the fact table scans 4× — but caching them
+      // LOST the same-session A/B (0.88 vs 0.71 s warm at sf0.1: the
+      // columnar fill blocks pipelining and the scan is cheap; the
+      // q_pipeline lesson again). At 100 TB the sketch build would be a
+      // separate materialized pass anyway (the rollup-table pattern).
       val sk = ev.groupBy(col("event_type"))
         .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("sk"))
       def est(skCol: Column): Column =
