@@ -777,6 +777,36 @@ object LlmOps {
       Dedup.simhashHammingPairs(sigs, "doc_id", blocks = 4, blockBits = 15, maxDist = 3)
     }),
 
+    // The production composition the plain Hamming join's docs point to:
+    // EXACT-dedup first (md5 groupBy, min-doc keeper), then the 60-bit
+    // SimHash pigeonhole over CANONICALS only. An exact-dup family of m
+    // copies matches on all 4 blocks, costing the plain join m²/2 output
+    // pairs and ≤4× pre-distinct candidate inflation; collapsing first
+    // makes the banded join see each distinct text once, leaving Hamming
+    // distance the only job it's needed for — the FUZZY tail. On web
+    // crawls exact-copy mass dominates; THIS fixture's dup families are
+    // almost all fuzzy (8 exact families at sf0.1; 271,530 → 271,373
+    // pairs), so here the row proves the composition's equivalence, not
+    // its savings. n_copies rides along so downstream weighting still
+    // sees family mass.
+    "q_dedup_simhash_canonical" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val canon = docs
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      val canonDocs = canon.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_copies"))
+      val sigs = Dedup.simhashGrouped(canonDocs, "doc_id", "text", 60)
+      Dedup.simhashHammingPairs(sigs, "doc_id",
+          blocks = 4, blockBits = 15, maxDist = 3)
+        .join(canonDocs.select(col("doc_id").as("doc1"),
+          col("n_copies").as("n_copies1")), Seq("doc1"))
+        .join(canonDocs.select(col("doc_id").as("doc2"),
+          col("n_copies").as("n_copies2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"), col("hamming"),
+          col("n_copies1"), col("n_copies2"))
+    }),
+
     // Text quality stats: token counts, mean token length, stopword ratio.
     // toks materializes behind its own select (Catalyst re-evaluates
     // repeated non-attribute subexpressions — the inline form re-split the
@@ -2565,6 +2595,41 @@ object LlmOps {
          |    ON x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id)
          |SELECT doc1, doc2, CAST(bit_count(xor(sim1, sim2)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sim1, sim2)) <= $maxDist""".stripMargin
+    },
+
+    "q_dedup_simhash_canonical" -> {
+      val bits = 60; val blocks = 4; val blockBits = 15; val maxDist = 3
+      val bitSums = (0 until bits).map { b =>
+        s"""CASE WHEN sum(CASE WHEN ((${sqlHash64("w")} >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+           | THEN CAST(${1L << b} AS BIGINT) ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      val blkVals = (0 until blocks).map(k => s"($k)").mkString(", ")
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM documents GROUP BY md5(text)),
+         |cd AS (
+         |  SELECT c.doc_id, d.text, c.n_copies
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+         |sigs AS (
+         |  SELECT doc_id, CAST($bitSums AS BIGINT) AS sim
+         |  FROM (SELECT doc_id, $tokSetSql AS w FROM cd)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sim, blk,
+         |    (sim >> (blk * $blockBits)) & ${(1L << blockBits) - 1} AS blkval
+         |  FROM sigs CROSS JOIN (VALUES $blkVals) AS t(blk)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+         |    x.sim AS sim1, y.sim AS sim2
+         |  FROM bands x JOIN bands y
+         |    ON x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id)
+         |SELECT p.doc1, p.doc2,
+         |  CAST(bit_count(xor(sim1, sim2)) AS BIGINT) AS hamming,
+         |  c1.n_copies AS n_copies1, c2.n_copies AS n_copies2
+         |FROM pairs p
+         |JOIN cd c1 ON p.doc1 = c1.doc_id
+         |JOIN cd c2 ON p.doc2 = c2.doc_id
+         |WHERE bit_count(xor(sim1, sim2)) <= $maxDist""".stripMargin
     },
 
     "q_text_stats" ->

@@ -455,6 +455,27 @@ object Relational {
     // hash-exact for the oracle where dropDuplicates never could be. One
     // keyed shuffle with map-side partial min; state per key is one
     // struct, the same bound the watermark enforces on the stream side.
+    // Batch twin of the streaming CDC upsert sink's MERGE
+    // (streaming.Streams.upsertBatch): LAST-writer-wins per key, the
+    // mirror of q_stream_dedup_batch's first-wins — together they pin
+    // both ends of the keyed-state contract. max(struct(ts, event_id,
+    // value)) is the deterministic pick (ties on ts break by event_id),
+    // exactly the row the snapshot keeps after any number of batches in
+    // any arrival order — which is why the merge is idempotent under
+    // re-delivery. One keyed shuffle, map-side partial max.
+    "q_stream_upsert_batch" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("occ"))
+        .groupBy(col("user_id"))
+        .agg(max(col("occ")).as("last_occ"), count(lit(1)).as("n_versions"))
+        .select(col("user_id"),
+          col("last_occ.event_id").as("last_event_id"),
+          unix_micros(col("last_occ.ts")).as("last_ts_us"),
+          round(col("last_occ.value"), 4).as("last_value"),
+          col("n_versions"))
+    }),
+
     "q_stream_dedup_batch" -> ((s, d) => {
       table(s, d, "events")
         .select(col("user_id"), col("event_type"),
@@ -1982,6 +2003,18 @@ object Relational {
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts
         |  AND b.event_id <> a.event_id""".stripMargin,
+
+    "q_stream_upsert_batch" ->
+      """SELECT user_id, last_event_id, last_ts_us, last_value, n_versions
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(event_id AS BIGINT) AS last_event_id,
+        |    epoch_us(ts) AS last_ts_us,
+        |    round(value, 4) AS last_value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC, value DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q_stream_dedup_batch" ->
       """SELECT user_id, event_type, first_event_id, first_ts_us, n_seen
