@@ -1048,6 +1048,37 @@ object Relational {
     // exact at any row count, and the final doubles are quotients of
     // exactly-agreed integers — deterministic where the builtin corr()'s
     // streaming co-moments would differ by summation order.
+    // Per-group OLS trend (price drift per priority class) with EXACT
+    // cross-engine arithmetic — the q_stats_corr contract applied to
+    // regression: x = order day number, y = integer cents, all moments
+    // decimal(38,0); slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and
+    // intercept = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) are single divisions
+    // of exactly-computed integers (decimal→double cast is correctly
+    // rounded in both engines), so the fit is hash-exact where a
+    // float-accumulated regression never could be. One map-side-partial
+    // agg pass; group count = priority cardinality.
+    "q_stats_regression" -> ((s, d) => {
+      val b = table(s, d, "orders").select(
+        col("o_orderpriority").as("prio"),
+        // o_orderdate ships as TIMESTAMP_NTZ; the cast is wall-clock-
+        // preserving under the pinned UTC session (the events.ts lesson)
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      def dec(c: String) = col(c).cast("decimal(19,0)")
+      val m = b.groupBy(col("prio")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec("x")).as("sx"), sum(dec("y")).as("sy"),
+        sum(dec("x") * dec("x")).as("sxx"),
+        sum(dec("x") * dec("y")).as("sxy"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      m.select(col("prio"), col("n").cast("long").as("n_orders"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / den, 6).as("slope_cents_per_day"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / den, 4).as("intercept_cents"))
+    }),
+
     "q_stats_corr" -> ((s, d) => {
       val b = table(s, d, "lineitem").select(
         round(col("l_quantity")).cast("long").as("q"),
@@ -2257,6 +2288,23 @@ object Relational {
     // Same exact-integer moment algebra; HUGEINT sums stand in for the
     // decimal(38,0) accumulators. Generated so the pair list and formula
     // can never drift from the Spark side.
+    "q_stats_regression" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS prio,
+        |    epoch_us(o_orderdate) // 86400000000 AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT prio, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM b GROUP BY prio)
+        |SELECT prio, CAST(n AS BIGINT) AS n_orders,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS intercept_cents
+        |FROM m""".stripMargin,
+
     "q_stats_corr" -> {
       val cols = Seq("q", "p", "dd", "t")
       val moments =
