@@ -1084,6 +1084,62 @@ object LlmOps {
         .select(col("query_id"), col("rn"), col("doc_id"), col("rrf_fp"))
     }),
 
+    // Passage retrieval — the RAG serving unit: score 256-char sliding
+    // passages (q_text_chunk's stride-192 windows) with the BM25 integer
+    // formula at PASSAGE granularity (passage df/dl/N/L), keep each
+    // doc's best passage (dedup — a long doc must not flood the result
+    // list), then top-3 passages per query. Same fixed query budget and
+    // all-BIGINT scoring as q_text_bm25; two windows (per-(query,doc)
+    // best, then per-query rank) both partition on query-bounded frames.
+    "q_text_passage_retrieval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stride = 192
+      val sz = 256
+      val docs = table(s, d, "documents")
+      val passages = docs.where(col("n_chars") > 0)
+        .withColumn("k", explode(sequence(lit(0L),
+          expr(s"(n_chars + ${stride - 1}) div $stride") - 1)))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          col("text").substr((col("k") * stride + 1).cast("int"), lit(sz))
+            .as("ptext"))
+      val tf = passages
+        .select(col("doc_id"), col("chunk_id"),
+          explode(TextOps.tokens(col("ptext"))).as("w"))
+        .groupBy(col("doc_id"), col("chunk_id"), col("w"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val dl = passages.select(col("doc_id"), col("chunk_id"),
+        size(TextOps.tokens(col("ptext"))).cast("long").as("dl"))
+      val nl = passages
+        .select(size(TextOps.tokens(col("ptext"))).cast("long").as("tl"))
+        .agg(count(lit(1)).as("nn"), sum(col("tl")).as("ll"))
+      val qterms = docs
+        .where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+            .as("w"))
+      val qdf = qterms.join(df, Seq("w"))
+      val scored = tf.join(broadcast(qdf), Seq("w"))
+        .join(dl, Seq("doc_id", "chunk_id"))
+        .crossJoin(broadcast(nl))
+        .withColumn("score_t",
+          expr("((1000000 * (nn - df + 1)) div (df + 1)) * (tf * 2200)" +
+            " div (1000 * tf + 300 + (900 * dl * nn) div ll)"))
+        .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+        .agg(sum(col("score_t")).as("score_fp"))
+      val wDoc = Window.partitionBy(col("query_id"), col("doc_id"))
+        .orderBy(col("score_fp").desc, col("chunk_id"))
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      scored
+        .withColumn("rd", row_number().over(wDoc))
+        .where(col("rd") === 1)
+        .withColumn("rn", row_number().over(wQ).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("doc_id"),
+          col("chunk_id"), col("score_fp"))
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·idf with a
     // smoothed idf. tf is a map-side-partial hash agg on (doc, term); df
     // aggregates the per-doc DISTINCT term table (vocabulary-sized — the
@@ -2875,6 +2931,47 @@ object LlmOps {
         |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rn
         |  FROM fuse)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_text_passage_retrieval" ->
+      """WITH p AS (
+        |  SELECT doc_id, k AS chunk_id,
+        |    substr(text, CAST(k * 192 + 1 AS INT), 256) AS ptext
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          unnest(generate_series(0, (n_chars + 191) // 192 - 1)) AS k
+        |        FROM documents WHERE n_chars > 0)),
+        |tf AS (
+        |  SELECT doc_id, chunk_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, chunk_id,
+        |          unnest(string_split(ptext, ' ')) AS w FROM p)
+        |  GROUP BY doc_id, chunk_id, w),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |dl AS (SELECT doc_id, chunk_id,
+        |         CAST(len(string_split(ptext, ' ')) AS BIGINT) AS dl FROM p),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(len(string_split(ptext, ' '))) AS BIGINT) AS ll
+        |       FROM p),
+        |qt AS (SELECT doc_id AS query_id,
+        |         unnest(list_distinct(string_split(text, ' ')[1:5])) AS w
+        |       FROM documents WHERE doc_id % 100 = 0 AND doc_id < 5000),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id AS doc_id, tf.chunk_id AS chunk_id,
+        |    CAST(sum(((1000000 * (nn - df + 1)) // (df + 1)) * (tf * 2200)
+        |      // (1000 * tf + 300 + (900 * dl * nn) // ll)) AS BIGINT) AS score_fp
+        |  FROM qt JOIN tf USING (w) JOIN df USING (w)
+        |  JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+        |  CROSS JOIN nl
+        |  GROUP BY query_id, tf.doc_id, tf.chunk_id),
+        |best AS (
+        |  SELECT query_id, doc_id, chunk_id, score_fp FROM (
+        |    SELECT query_id, doc_id, chunk_id, score_fp,
+        |      row_number() OVER (PARTITION BY query_id, doc_id
+        |        ORDER BY score_fp DESC, chunk_id) AS rd
+        |    FROM sc) WHERE rd = 1)
+        |SELECT query_id, rn, doc_id, chunk_id, score_fp FROM (
+        |  SELECT query_id, doc_id, chunk_id, score_fp,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
+        |  FROM best) WHERE rn <= 3""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

@@ -110,6 +110,30 @@ class RunMetricsSpec extends SparkSpec {
       s"fact rows leaked into a shuffle before the bloom probe: $m")
   }
 
+  test("KMV rollup shuffles k-bounded sketch partials, never event rows") {
+    // the q_etl_kmv_rollup claim, runtime-measured: the daily aggregation's
+    // exchange carries per-(day, partition) KMV buffers of ≤ k hashes —
+    // map-side combined — and the weekly merge moves only day-sketch rows,
+    // so total shuffle RECORDS are day-cardinality-bounded, far under one
+    // per event. A lost partial (buffer failing to combine map-side) would
+    // shuffle ~n event rows and trip the bound.
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+    val ev = graft.ops.Core.table(spark, sfDir, "events")
+    val n = ev.count()
+    val (_, m) = RunMetrics.measure(spark) {
+      graft.SparkEntry.queries("q_etl_kmv_rollup")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // partial-sketch rows (days × map partitions) + the weekly re-agg +
+    // the exact-audit's countDistinct partials — all keyed frames, all
+    // far smaller than the event count
+    assert(m.shuffleWriteRecords < n / 2,
+      s"event rows leaked into a shuffle: $m (n=$n)")
+  }
+
   test("LSH near-dup screen: arriving docs never shuffle — only the index " +
     "build's signature partials move") {
     // the q_stream_lsh_batch / Streams.lshNearDupTagStream claim, runtime-

@@ -363,6 +363,17 @@ class StreamsSpec extends SparkSpec {
       input.addData((1L, ts(3), "stale"))
       q.processAllAvailable()
       assert(snap()(1L) == "a2")
+      // checkpoint-replay idempotence: re-applying an already-merged batch
+      // directly leaves the snapshot byte-identical (last-writer-wins is
+      // idempotent by construction — what makes foreachBatch's at-least-
+      // once delivery exactly-once in effect)
+      val beforeReplay = spark.read.parquet(snapDir)
+        .select("k", "ts", "v").as[(Long, Timestamp, String)].collect().toSet
+      Streams.upsertBatch(
+        Seq((1L, ts(5), "a2")).toDF("k", "ts", "v"), "k", "ts", snapDir, 8)
+      val afterReplay = spark.read.parquet(snapDir)
+        .select("k", "ts", "v").as[(Long, Timestamp, String)].collect().toSet
+      assert(afterReplay == beforeReplay)
     } finally q.stop()
   }
 
