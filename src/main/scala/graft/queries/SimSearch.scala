@@ -257,9 +257,16 @@ object SimSearch {
     // carrying vectors through the pair shuffle); the per-vector top-3 is
     // one window over the bucket-pruned pair set.
     "q_sim_knn_graph" -> ((s, d) => {
-      val C = 32
       val K = 3
       val e = embeds(s, d)
+      // bucket count derives from a cheap count (the decon_sized sizing
+      // pattern): C = n/64 keeps candidate pairs ≈ 64·n — a FIXED C made
+      // pairs n²/C and measured >10 min at 100× (the q_sim_ann_lsh
+      // fixed-banding lesson, caught here in r8). The assign scan is
+      // n·C ≈ n²/64 pure-codegen dots — fine to ~10⁶ vectors on a
+      // cluster; past that a two-level (hierarchical k-means) assign
+      // bounds it, same as FAISS's IVF training path.
+      val C = math.max(32L, e.count() / 64).toInt
       // both self-join branches read the assignment; the frame is two
       // longs per vector, so caching beats re-running the argmax scan
       // (Bench/Verify clearCache() between queries)
@@ -400,8 +407,12 @@ object SimSearch {
       // the join a hash/SMJ on bucket — never a cross product. The frame
       // feeds three consumers (both self-join branches + the final agg),
       // so it's cached: (id, bucket, vn) per vector, not the corpus.
-      val mvn = bucketAssign(e, NCentroids)
-        .where(col("vec_id") >= NCentroids)
+      // SemDeDup's contract is clusters ∝ n (Σ n_c² ≈ 64·n); a FIXED
+      // cluster count made the in-bucket pair join n²/8 — same sizing
+      // law as q_sim_knn_graph, C from a cheap count (r8 fix).
+      val C = math.max(NCentroids, (e.count() / 64).toInt)
+      val mvn = bucketAssign(e, C)
+        .where(col("vec_id") >= C)
         .select(col("vec_id"), col("bucket"))
         .join(normEmbeds(s, d), Seq("vec_id")).cache()
       val dropped = mvn.as("a").join(mvn.as("b"),
@@ -877,7 +888,9 @@ object SimSearch {
 
     "q_sim_knn_graph" ->
       s"""WITH $eSql,
-         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < 32),
+         |cent AS (SELECT vec_id AS cid, i, x FROM e
+         |         WHERE vec_id < (SELECT GREATEST(32, count(*) // 64)
+         |                         FROM embeddings)),
          |cc AS (
          |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
          |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
@@ -953,7 +966,9 @@ object SimSearch {
 
     "q_dedup_semdedup" ->
       s"""WITH $eSql,
-         |cent AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < $NCentroids),
+         |nc AS (SELECT GREATEST($NCentroids, count(*) // 64) AS c FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, i, x FROM e
+         |         WHERE vec_id < (SELECT c FROM nc)),
          |cc AS (
          |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
          |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
@@ -962,7 +977,8 @@ object SimSearch {
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
          |    FROM cc) WHERE rn = 1),
-         |mem AS (SELECT vec_id, bucket FROM bucket WHERE vec_id >= $NCentroids),
+         |mem AS (SELECT vec_id, bucket FROM bucket
+         |        WHERE vec_id >= (SELECT c FROM nc)),
          |pc AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2
          |  FROM e a JOIN e b ON a.i = b.i
