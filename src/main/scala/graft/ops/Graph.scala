@@ -264,40 +264,61 @@ object Graph {
     * the edge cache as a broadcast, then anti-joins the (node-sized)
     * visited set, also broadcast while the reachable set is sparse. The
     * per-round shuffle is frontier-sized, never edge-sized.
+    *
+    * Input: undirected edge MULTISET (both directions present; duplicate
+    * edges allowed) — dedup happens HERE, after the src repartition,
+    * because hash(src) satisfies the distinct's
+    * ClusteredDistribution(src, dst): one fused shuffle instead of the
+    * two a caller-side distinct-then-repartition pays.
     */
   def bfsRounds(undirected: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val e = undirected.repartition(col("src"))
+    val e = undirected.repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seed = e.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
-    // Eager frontier expansion with per-round cache release (the
-    // components() discipline): materializing round r's visited set via
-    // count() lets generation r-1 (old visited + old frontier) unpersist
-    // immediately — a long BFS otherwise pins every per-round frame for
-    // the life of the session. The final visited set localCheckpoints so
-    // the edge cache and last round's frames release too; nothing
-    // outlives the call.
+    // Chunked materialization (r8 bench lesson): an eager action EVERY
+    // round costs ~1 job of overhead per round (the per-round
+    // grown.count() shape measured 5.2× in BENCH_r08), while a fully lazy
+    // loop pins every per-round persist for the life of the session and
+    // doubles the logical plan each round (next_r references frontier_{r-1}
+    // twice — once directly, once inside visited). Compromise: persist the
+    // frontier-sized `next` lazily within a chunk and localCheckpoint the
+    // visited union once every CHUNK rounds — ONE job materializes the
+    // whole chunk (intra-chunk persists make each round's frontier compute
+    // once inside that job), then the chunk's caches release. Plan growth
+    // is bounded by 2^CHUNK between truncations; at most one chunk of
+    // node-sized frames is ever live; nothing outlives the call. A 3-round
+    // BFS thus runs in 2 jobs (seed-min + final checkpoint), the r7 floor.
+    val CHUNK = 4
+    import scala.collection.mutable.ArrayBuffer
+    val pending = ArrayBuffer.empty[DataFrame]
     var visited = seed.persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier: DataFrame = visited
+    pending += visited
+    var frontier = visited
     for (r <- 1 to rounds) {
       val next = e.join(broadcast(frontier.select(col("node").as("src"))),
           Seq("src"), "left_semi")
-        .select(col("dst").as("node")).distinct()
+        .select(col("dst").as("node"))
+        // anti BEFORE distinct: in late rounds most candidate dsts are
+        // already visited, so the broadcast anti-join shrinks the distinct
+        // shuffle's input from edge-sized to frontier-sized
         .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .distinct()
         .select(col("node"), lit(r.toLong).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val grown = visited.unionByName(next)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count() // materializes next + grown before the old caches go
-      visited.unpersist(blocking = false)
-      frontier.unpersist(blocking = false)
-      visited = grown
+      pending += next
+      visited = visited.unionByName(next)
       frontier = next
+      if (r % CHUNK == 0 && r < rounds) {
+        visited = visited.localCheckpoint() // one job per chunk
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+        frontier = visited.where(col("dist") === lit(r.toLong))
+      }
     }
     val out = visited.localCheckpoint()
-    visited.unpersist(blocking = false)
-    frontier.unpersist(blocking = false)
+    pending.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     out
   }

@@ -1719,8 +1719,7 @@ object Relational {
         .select(col("l_suppkey").as("src"),
           (col("l_partkey") + 1000000L).as("dst"))
       Graph.bfsRounds(
-        li.union(li.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct(),
+        li.union(li.select(col("dst").as("src"), col("src").as("dst"))),
         rounds = 3)
     }),
 
