@@ -37,6 +37,24 @@ object Verify {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // Subset dumps must not masquerade as (or contaminate) a full verify:
+    // pointed at a dir holding an earlier dump, stale per-query dirs
+    // outside the subset would linger while _QUERIES.json only covers the
+    // subset — so refuse that mix, and stamp subset dumps with
+    // _SUBSET.json so downstream tooling can tell them apart.
+    val outFile = new java.io.File(outDir)
+    only match {
+      case Some(names) =>
+        val stale = Option(outFile.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && !names.contains(f.getName))
+          .map(_.getName)
+        require(stale.isEmpty,
+          s"outDir $outDir holds query dirs outside the subset " +
+            s"(${stale.sorted.take(5).mkString(", ")}…) — use a fresh dir")
+      case None =>
+        val marker = new java.io.File(outFile, "_SUBSET.json")
+        if (marker.exists()) marker.delete()
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -70,6 +88,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_QUERIES.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    only.foreach { names =>
+      Files.writeString(Paths.get(s"$outDir/_SUBSET.json"),
+        names.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    }
     Files.writeString(Paths.get(s"$outDir/_ERRORS.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // Deliberately rc 0 even with failures: the dump itself completed, and a

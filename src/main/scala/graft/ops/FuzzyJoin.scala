@@ -28,10 +28,18 @@ object FuzzyJoin {
       transform(sequence(lit(1), length(w)),
         i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w) - i)))))
 
-  /** The one-char-deletion variants alone, in position order (no self). */
+  /** The one-char-deletion variants alone, in position order (no self).
+    * Empty keys yield an EMPTY array: sequence(1, 0) flips direction to
+    * [1, 0] (Spark's descending default when start > stop) and would
+    * otherwise emit two spurious ""-variants with bogus positions —
+    * harmless to correctness (the levenshtein verify rejects them) but a
+    * silent degradation of the position screen's semantics.
+    */
   private def deletionsOnly(w: Column): Column =
-    transform(sequence(lit(1), length(w)),
-      i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w) - i)))
+    when(length(w) > 0,
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w) - i))))
+      .otherwise(array().cast("array<string>"))
 
   /** All distinct key pairs at edit distance exactly ≤ 1 (pairs are
     * distinct keys, so the distance is exactly 1). Output:

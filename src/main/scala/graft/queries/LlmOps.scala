@@ -1028,6 +1028,63 @@ object LlmOps {
         .select(col("query_id"), col("rn"), col("doc_id"), col("score_fp"))
     }),
 
+    // Df-bounded BM25 — the production-regime variant of q_text_bm25. Two
+    // changes, both of which the original's 100× rows showed are needed
+    // (SCALE.md: 24× at 100×, candidates ≈ queries × corpus because the
+    // fixture's 31-WORD vocabulary makes every query term a stopword):
+    // (1) terms are word TRIGRAMS (the dedup family's discriminative-unit
+    //     lesson applied to retrieval): vocab is 27k at sf0.1 and grows
+    //     with the corpus (Heaps-like), median df ≈ 9 — so Σ_t df(t), the
+    //     true BM25 candidate bound, is ~50 docs/query, not 4N;
+    // (2) a count-derived high-df guard (df·4 ≤ N) drops stopword terms
+    //     from the query side BEFORE the tf join — the WAND/stopword-prune
+    //     every production engine applies. On this corpus no trigram
+    //     reaches N/4, so the guard passes everything (it exists to cap
+    //     the blowup when one does); the word-token original keeps the
+    //     degenerate-vocab regime on the record.
+    // Same fixed query budget, same all-BIGINT scoring, same top-10.
+    "q_text_bm25_dfcap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val grams = docs
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("w"))
+      val tf = grams.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"),
+        size(TextOps.shingles(col("text"), 3)).cast("long").as("dl"))
+      val nl = docs
+        .select(size(TextOps.shingles(col("text"), 3)).cast("long").as("tl"))
+        .agg(count(lit(1)).as("nn"), sum(col("tl")).as("ll"))
+      val qids = docs.where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"))
+      val qterms = docs
+        .join(broadcast(qids), col("doc_id") === col("query_id"))
+        .select(col("query_id"),
+          explode(array_distinct(slice(TextOps.shingles(col("text"), 3), 1, 5)))
+            .as("w"))
+      // the df guard prunes the QUERY side, so capped-out terms never
+      // reach the candidate join — that is what makes it a bound, not a
+      // post-filter
+      val qdf = qterms.join(df, Seq("w"))
+        .crossJoin(broadcast(nl.select(col("nn").as("nn_cap"))))
+        .where(col("df") * 4 <= col("nn_cap"))
+        .select(col("query_id"), col("w"), col("df"))
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      tf.join(broadcast(qdf), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nl))
+        .withColumn("score_t",
+          expr("((1000000 * (nn - df + 1)) div (df + 1)) * (tf * 2200)" +
+            " div (1000 * tf + 300 + (900 * dl * nn) div ll)"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("score_t")).as("score_fp"))
+        .withColumn("rn", row_number().over(w10).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("query_id"), col("rn"), col("doc_id"), col("score_fp"))
+    }),
+
     // Hybrid retrieval: BM25 sparse ranks + brute-force dense cosine
     // ranks fused by Reciprocal Rank Fusion (Cormack SIGIR'09) — the RAG
     // serving pattern (lexical recall + semantic recall beat either
@@ -1119,6 +1176,65 @@ object LlmOps {
           explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
             .as("w"))
       val qdf = qterms.join(df, Seq("w"))
+      val scored = tf.join(broadcast(qdf), Seq("w"))
+        .join(dl, Seq("doc_id", "chunk_id"))
+        .crossJoin(broadcast(nl))
+        .withColumn("score_t",
+          expr("((1000000 * (nn - df + 1)) div (df + 1)) * (tf * 2200)" +
+            " div (1000 * tf + 300 + (900 * dl * nn) div ll)"))
+        .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+        .agg(sum(col("score_t")).as("score_fp"))
+      val wDoc = Window.partitionBy(col("query_id"), col("doc_id"))
+        .orderBy(col("score_fp").desc, col("chunk_id"))
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      scored
+        .withColumn("rd", row_number().over(wDoc))
+        .where(col("rd") === 1)
+        .withColumn("rn", row_number().over(wQ).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("doc_id"),
+          col("chunk_id"), col("score_fp"))
+    }),
+
+    // Df-bounded passage retrieval: q_text_passage_retrieval with
+    // q_text_bm25_dfcap's two production changes — trigram terms (at
+    // PASSAGE granularity: passage tf/df/dl/N/L) and the count-derived
+    // df·4 ≤ N_passages query-side guard. The word-token original keeps
+    // the degenerate-vocab regime on the record; this is the plan whose
+    // candidate volume is Σ_t df(t) (passage-df-bounded) at any corpus
+    // size.
+    "q_text_passage_dfcap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stride = 192
+      val sz = 256
+      val docs = table(s, d, "documents")
+      val passages = docs.where(col("n_chars") > 0)
+        .withColumn("k", explode(sequence(lit(0L),
+          expr(s"(n_chars + ${stride - 1}) div $stride") - 1)))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          col("text").substr((col("k") * stride + 1).cast("int"), lit(sz))
+            .as("ptext"))
+      val tf = passages
+        .select(col("doc_id"), col("chunk_id"),
+          explode(TextOps.shingles(col("ptext"), 3)).as("w"))
+        .groupBy(col("doc_id"), col("chunk_id"), col("w"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val dl = passages.select(col("doc_id"), col("chunk_id"),
+        size(TextOps.shingles(col("ptext"), 3)).cast("long").as("dl"))
+      val nl = passages
+        .select(size(TextOps.shingles(col("ptext"), 3)).cast("long").as("tl"))
+        .agg(count(lit(1)).as("nn"), sum(col("tl")).as("ll"))
+      val qterms = docs
+        .where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(TextOps.shingles(col("text"), 3), 1, 5)))
+            .as("w"))
+      val qdf = qterms.join(df, Seq("w"))
+        .crossJoin(broadcast(nl.select(col("nn").as("nn_cap"))))
+        .where(col("df") * 4 <= col("nn_cap"))
+        .select(col("query_id"), col("w"), col("df"))
       val scored = tf.join(broadcast(qdf), Seq("w"))
         .join(dl, Seq("doc_id", "chunk_id"))
         .crossJoin(broadcast(nl))
@@ -1294,6 +1410,47 @@ object LlmOps {
           md5(array_join(transform(
             array_sort(collect_list(struct(col("doc_id"), col("dmd5")))),
             x => x.getField("dmd5")), "")).as("content_digest"))
+    }),
+
+    // Incremental (merkle) shard digest — the 100 TB form of
+    // q_etl_shard_manifest's order-sensitive content digest, per
+    // COVERAGE.md's own note: the flat concat digest re-reads a whole
+    // shard to verify (or extend) it; here each shard's docs (doc_id
+    // order) fold into fixed 64-doc BLOCKS (leaf = md5 of the block's
+    // per-doc md5s concatenated) and the shard root = md5 of the leaf
+    // digests in block order. Re-verifying one doc reads its 64-doc
+    // block + the n/64 leaf list, not the shard; appending to a release
+    // recomputes only the tail block + the root fold. Plan shape: ONE
+    // exchange — the per-shard window sorts on hash(shard), and both
+    // downstream groupBys (shard, block) and (shard) are satisfied by
+    // that partitioning, so neither adds an exchange (the BFS fusion
+    // law). Leaf digests are the incremental state a release pipeline
+    // persists; this query emits the shard summary (root + counts) the
+    // manifest consumer checks.
+    "q_etl_shard_merkle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = 32
+      val B = 64
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      val leaves = table(s, d, "documents")
+        .select(
+          pmod(Core.md5Hash64(concat(lit("shard|"), col("doc_id").cast("string"))),
+            lit(S)).as("shard"),
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+          md5(col("text")).as("dmd5"))
+        .withColumn("blk", ((row_number().over(w) - 1) / B).cast("long"))
+        .groupBy(col("shard"), col("blk"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("nt"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("dmd5")))),
+            x => x.getField("dmd5")), "")).as("leaf"))
+      leaves.groupBy(col("shard"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          count(lit(1)).as("n_blocks"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("blk"), col("leaf")))),
+            x => x.getField("leaf")), "")).as("merkle_root"))
     }),
 
     // Inverted-index construction for mid-frequency terms (2 <= df <= 20):
@@ -2870,6 +3027,43 @@ object LlmOps {
         |  FROM sc)
         |WHERE rn <= 10""".stripMargin,
 
+    // Trigram-term twin: gl = the word-trigram list (empty under 3
+    // tokens, matching Spark's shingles() guard), tf/df/dl/nl at trigram
+    // granularity, and the df·4 ≤ N guard applied to the query-term CTE
+    // exactly where the Spark plan prunes.
+    "q_text_bm25_dfcap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |            FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+        |      ELSE [] END AS gl
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(gl) AS w FROM g),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |dl AS (SELECT doc_id, CAST(len(gl) AS BIGINT) AS dl FROM g),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |              CAST(sum(len(gl)) AS BIGINT) AS ll FROM g),
+        |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(gl[1:5])) AS w
+        |       FROM g WHERE doc_id % 100 = 0 AND doc_id < 5000),
+        |qc AS (SELECT query_id, qt.w, df FROM qt JOIN df USING (w)
+        |       WHERE df * 4 <= (SELECT nn FROM nl)),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id AS doc_id,
+        |    CAST(sum(((1000000 * (nn - qc.df + 1)) // (qc.df + 1)) * (tf * 2200)
+        |      // (1000 * tf + 300 + (900 * dl * nn) // ll)) AS BIGINT) AS score_fp
+        |  FROM qc JOIN tf USING (w)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nl
+        |  GROUP BY query_id, tf.doc_id)
+        |SELECT query_id, rn, doc_id, score_fp FROM (
+        |  SELECT query_id, doc_id, score_fp,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
+        |  FROM sc)
+        |WHERE rn <= 10""".stripMargin,
+
     // Same BM25 integer scoring restricted to ids present in embeddings,
     // the multi-query form of the cosine oracle, and pure rank-arithmetic
     // fusion. Both rankers exclude self BEFORE their window, matching the
@@ -2973,6 +3167,61 @@ object LlmOps {
         |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
         |  FROM best) WHERE rn <= 3""".stripMargin,
 
+    // Passage-granularity trigram twin: same chunk CTE, trigram lists per
+    // passage (empty under 3 tokens), df·4 ≤ N_passages guard on the
+    // query-term CTE.
+    "q_text_passage_dfcap" ->
+      """WITH p AS (
+        |  SELECT doc_id, k AS chunk_id,
+        |    substr(text, CAST(k * 192 + 1 AS INT), 256) AS ptext
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          unnest(generate_series(0, (n_chars + 191) // 192 - 1)) AS k
+        |        FROM documents WHERE n_chars > 0)),
+        |pg AS (
+        |  SELECT doc_id, chunk_id,
+        |    CASE WHEN len(string_split(ptext, ' ')) >= 3
+        |      THEN [array_to_string(string_split(ptext, ' ')[i:i+2], ' ')
+        |            FOR i IN range(1, len(string_split(ptext, ' ')) - 1)]
+        |      ELSE [] END AS gl
+        |  FROM p),
+        |tf AS (
+        |  SELECT doc_id, chunk_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, chunk_id, unnest(gl) AS w FROM pg)
+        |  GROUP BY doc_id, chunk_id, w),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |dl AS (SELECT doc_id, chunk_id, CAST(len(gl) AS BIGINT) AS dl FROM pg),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(len(gl)) AS BIGINT) AS ll FROM pg),
+        |qg AS (
+        |  SELECT doc_id AS query_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |            FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+        |      ELSE [] END AS gl
+        |  FROM documents WHERE doc_id % 100 = 0 AND doc_id < 5000),
+        |qt AS (SELECT query_id, unnest(list_distinct(gl[1:5])) AS w FROM qg),
+        |qc AS (SELECT query_id, qt.w, df FROM qt JOIN df USING (w)
+        |       WHERE df * 4 <= (SELECT nn FROM nl)),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id AS doc_id, tf.chunk_id AS chunk_id,
+        |    CAST(sum(((1000000 * (nn - qc.df + 1)) // (qc.df + 1)) * (tf * 2200)
+        |      // (1000 * tf + 300 + (900 * dl * nn) // ll)) AS BIGINT) AS score_fp
+        |  FROM qc JOIN tf USING (w)
+        |  JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+        |  CROSS JOIN nl
+        |  GROUP BY query_id, tf.doc_id, tf.chunk_id),
+        |best AS (
+        |  SELECT query_id, doc_id, chunk_id, score_fp FROM (
+        |    SELECT query_id, doc_id, chunk_id, score_fp,
+        |      row_number() OVER (PARTITION BY query_id, doc_id
+        |        ORDER BY score_fp DESC, chunk_id) AS rd
+        |    FROM sc) WHERE rd = 1)
+        |SELECT query_id, rn, doc_id, chunk_id, score_fp FROM (
+        |  SELECT query_id, doc_id, chunk_id, score_fp,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
+        |  FROM best) WHERE rn <= 3""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -3024,6 +3273,31 @@ object LlmOps {
          |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
          |FROM (SELECT doc_id, text, $h % 32 AS shard FROM documents)
          |GROUP BY shard""".stripMargin
+    },
+
+    // Merkle twin: identical shard hash, per-shard positional 64-doc
+    // blocks, leaf digests ordered by doc_id, root over leaves in block
+    // order.
+    "q_etl_shard_merkle" -> {
+      val h = sqlHash64("'shard|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $h % 32 AS shard FROM documents),
+         |p AS (
+         |  SELECT shard, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    md5(text) AS dmd5,
+         |    (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1) // 64
+         |      AS blk
+         |  FROM d),
+         |leaf AS (
+         |  SELECT shard, blk, count(*) AS nd, sum(n_toks) AS nt,
+         |    md5(string_agg(dmd5, '' ORDER BY doc_id)) AS leaf
+         |  FROM p GROUP BY shard, blk)
+         |SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  md5(string_agg(leaf, '' ORDER BY blk)) AS merkle_root
+         |FROM leaf GROUP BY shard""".stripMargin
     },
 
     "q_shuffle_shards" -> {

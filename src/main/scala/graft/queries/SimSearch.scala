@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Core
@@ -102,7 +102,7 @@ object SimSearch {
   val AllPlanes: Seq[Seq[Int]] = Vectors.hyperplanes(ScaledNPlanes, Dim)
   val Planes: Seq[Seq[Int]] = AllPlanes.take(NPlanes)
 
-  private def embeds(s: SparkSession, d: String): DataFrame =
+  private[graft] def embeds(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
       .select(col("vec_id"), Vectors.vecD(col("embedding")).as("v"))
 
@@ -127,7 +127,7 @@ object SimSearch {
     * ascending element order as the HOF fold, and the (nrm·cnrm) product
     * multiplies the same two sqrt values in the same order.
     */
-  private def bucketAssign(e: DataFrame, nc: Int): DataFrame = {
+  private[graft] def bucketAssign(e: DataFrame, nc: Int): DataFrame = {
     val cents = e.where(col("vec_id") < nc)
       .select(struct(col("vec_id").as("cid"), col("v").as("cv"),
         sqrt(Vectors.dotFast(col("v"), col("v"))).as("cnrm")).as("c"))
@@ -141,6 +141,118 @@ object SimSearch {
             / (col("nrm") * c.getField("cnrm")), 6).as("cos"),
             c.getField("cid").as("cid"))))
           .getField("cid").as("bucket"))
+  }
+
+  /** Max-cosine centroid id over a broadcast centroid-struct array —
+    * the shared argmax kernel of the IVF assigns. `array_max` over
+    * (cos, cid) structs is order-free in the collect_list order and
+    * breaks cosine ties toward the HIGHER cid, matching the oracles'
+    * ORDER BY cos DESC, cid DESC. DotProduct keeps every dot codegen'd
+    * inside the lambda (r6 lesson: interpreted HOF folds cost 3-7×).
+    */
+  private def argmaxCid(cents: Column, v: Column, nrm: Column): Column =
+    array_max(transform(cents, c =>
+      struct(round(Vectors.dotFast(v, c.getField("cv"))
+        / (nrm * c.getField("cnrm")), 6).as("cos"),
+        c.getField("cid").as("cid"))))
+      .getField("cid")
+
+  /** Two-level (coarse → fine) IVF assignment with a top-2 coarse probe —
+    * the hierarchical assign that removes the flat scan's n·C ceiling
+    * (SCALE.md): each vector finds its TWO max-cosine coarse centroids
+    * among the n1 ≈ √C coarse stand-ins (prefix vectors), then argmaxes
+    * only over the fine centroids whose own coarse cell is one of the
+    * two — n·(n1 + 2·C/n1) ≈ 3n·√C dots instead of n·C (FAISS's IVF
+    * training shape; the second probe is the standard mis-assignment
+    * mitigation for vectors near a coarse Voronoi boundary — measured at
+    * sf10 it halves the bucket-size skew Σsize² from 3.3× flat to 1.6×
+    * while keeping the assign 5× cheaper than flat). The bucket is
+    * DEFINED by this two-level two-probe argmax: both engines run it
+    * bit-for-bit, so the assignment approximation is part of the
+    * contract, not drift. Coarse centroids are the fine prefix, so every
+    * vector's FIRST cell holds at least that cell's defining fine
+    * centroid (cos(c,c) = 1; ties break toward the higher cid in both
+    * engines) — the probe-1 join is never empty; a probe-2 cell that no
+    * fine centroid chose simply contributes nothing (left join). The
+    * per-cell fine lists broadcast (C vectors total); past broadcast
+    * size the same plan swaps to a shuffle join on the cell id, and the
+    * coarse level recurses — each level is this method again.
+    */
+  private[graft] def bucketAssignTwoLevel(e: DataFrame, nc: Int, n1: Int): DataFrame = {
+    val coarse = e.where(col("vec_id") < n1)
+      .select(struct(col("vec_id").as("cid"), col("v").as("cv"),
+        sqrt(Vectors.dotFast(col("v"), col("v"))).as("cnrm")).as("c"))
+      .groupBy().agg(collect_list(col("c")).as("cents"))
+    // norm materialized BEFORE the crossJoin (r6 ivf trap: derived
+    // columns computed after a 1-row crossJoin can fail resolution when
+    // sibling branches share lineage); the scored array and its max each
+    // materialize behind their own select (Catalyst re-evaluates repeated
+    // non-attribute subexpressions per reference)
+    def withTop2(rows: DataFrame) = rows
+      .select(col("vec_id"), col("v"),
+        sqrt(Vectors.dotFast(col("v"), col("v"))).as("nrm"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        transform(col("cents"), c =>
+          struct(round(Vectors.dotFast(col("v"), c.getField("cv"))
+            / (col("nrm") * c.getField("cnrm")), 6).as("cos"),
+            c.getField("cid").as("cid"))).as("sc"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("sc"),
+        array_max(col("sc")).getField("cid").as("coarse"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("coarse"),
+        array_max(filter(col("sc"),
+          s => s.getField("cid") =!= col("coarse")))
+          .getField("cid").as("coarse2"))
+    // fine centroids' own coarse cells derive from the FILTERED scan
+    // (vec_id < nc pushes to parquet), not from a shared big-side frame:
+    // the C-row branch re-derives cheaply and the n-row assign runs once.
+    // A fine centroid belongs to its FIRST cell only.
+    val fineByCell = withTop2(e.where(col("vec_id") < nc))
+      .groupBy(col("coarse"))
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))).as("fcents"))
+    val f1 = fineByCell.select(col("coarse").as("c1"), col("fcents").as("fc1"))
+    val f2 = fineByCell.select(col("coarse").as("c2"), col("fcents").as("fc2"))
+    // BOTH probes join left: under duplicated vectors (ScaleUp copies) a
+    // tie-broken coarse argmax can leave a vector's probe-1 cell with no
+    // fine members while probe-2 still has candidates — an inner probe-1
+    // join would drop the vector where the oracle keeps it. A vector
+    // with two empty cells argmaxes an empty array → null bucket, which
+    // the knn tail's bucket equi-join excludes — the oracle's no-rows
+    // outcome exactly.
+    val emptyF = array().cast(
+      "array<struct<cid:bigint,cv:array<double>,cnrm:double>>")
+    withTop2(e)
+      .join(broadcast(f1), col("coarse") === col("c1"), "left")
+      .join(broadcast(f2), col("coarse2") === col("c2"), "left")
+      .select(col("vec_id"),
+        argmaxCid(
+          concat(coalesce(col("fc1"), emptyF), coalesce(col("fc2"), emptyF)),
+          col("v"), col("nrm")).as("bucket"))
+  }
+
+  /** Shared kNN-within-bucket tail: bucket self-join on ids only
+    * (hard-won rule: broadcast-able id re-fetch beats carrying vectors
+    * through the pair shuffle), exact cosine on candidates, per-vector
+    * top-k window over the bucket-pruned pair set.
+    */
+  private def knnWithinBuckets(s: SparkSession, d: String,
+      assigned: DataFrame, k: Int): DataFrame = {
+    val pairs = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
+    val en = normEmbeds(s, d)
+    pairs
+      .join(en.select(col("vec_id"), col("vn").as("a")), Seq("vec_id"))
+      .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")), Seq("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -272,21 +384,30 @@ object SimSearch {
       // (Bench/Verify clearCache() between queries)
       val assigned = bucketAssign(e, C)
         .select(col("vec_id"), col("bucket")).cache()
-      val pairs = assigned.as("x")
-        .join(assigned.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
-      val en = normEmbeds(s, d)
-      pairs
-        .join(en.select(col("vec_id"), col("vn").as("a")), Seq("vec_id"))
-        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")), Seq("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("nbr"))).cast("long"))
-        .where(col("rank") <= K)
-        .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
+      knnWithinBuckets(s, d, assigned, K)
+    }),
+
+    // kNN graph with the TWO-LEVEL assign: same bucket-pruned top-3 tail,
+    // but the assignment runs coarse-then-fine with a top-2 coarse probe
+    // (bucketAssignTwoLevel) — n·(√C + 2C/√C) dots instead of the flat
+    // n·C, the engine's answer to its last admitted scale ceiling (flat
+    // assign past ~10⁶ vectors; measured at sf10: flat assign 27 s vs
+    // two-level 5.7 s, and flat stays ~27 s at C=8× while two-level is
+    // √C-flat — SCALE.md r9). n1 = max(4, ceil(√C)) is count-derived
+    // like C itself (the decon_sized sizing pattern). The bucket is
+    // defined by the two-level two-probe argmax, and the oracle
+    // replicates it bit-for-bit — at sf0.01 (n=500, C=32, n1=6) the
+    // hierarchy is genuinely exercised (≈5 fine cells per coarse), so
+    // the green row proves the semantics cross-engine, not a degenerate
+    // flat case.
+    "q_sim_knn_graph_2l" -> ((s, d) => {
+      val K = 3
+      val e = embeds(s, d)
+      val C = math.max(32L, e.count() / 64).toInt
+      val n1 = math.max(4, math.ceil(math.sqrt(C.toDouble)).toInt)
+      val assigned = bucketAssignTwoLevel(e, C, n1)
+        .select(col("vec_id"), col("bucket")).cache()
+      knnWithinBuckets(s, d, assigned, K)
     }),
 
     // Real IVF training: 2 deterministic Lloyd iterations (driver-held
@@ -899,6 +1020,59 @@ object SimSearch {
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
          |    FROM cc) WHERE rn = 1),
+         |prs AS (
+         |  SELECT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bucket x JOIN bucket y
+         |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+         |sc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN prs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, rank, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+         |      AS BIGINT) AS rank
+         |  FROM sc) WHERE rank <= 3""".stripMargin,
+
+    // Two-level assign twin: same CTE skeleton as q_sim_knn_graph but the
+    // bucket comes from coarse-then-fine argmax with a top-2 coarse probe
+    // — cc1 scores n×n1 coarse pairs, vc2 keeps each vector's TWO best
+    // coarse cells (rn ≤ 2), and cc2 scores each vector only against
+    // fine centroids whose own (first-choice) cell is one of the two.
+    // n1 = GREATEST(4, ceil(sqrt(C))): IEEE sqrt of an exact integer is
+    // correctly rounded in both engines, so the derived sizes agree
+    // exactly.
+    "q_sim_knn_graph_2l" ->
+      s"""WITH $eSql,
+         |prm AS (SELECT GREATEST(32, count(*) // 64) AS nc,
+         |  GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)) AS n1
+         |  FROM embeddings),
+         |coarse AS (SELECT vec_id AS cid, i, x FROM e
+         |           WHERE vec_id < (SELECT n1 FROM prm)),
+         |cc1 AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN coarse c ON e.i = c.i GROUP BY 1, 2),
+         |vc2 AS (
+         |  SELECT vec_id, cid AS coarse, rn FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc1) WHERE rn <= 2),
+         |fcell AS (
+         |  SELECT vec_id AS fid, coarse FROM vc2
+         |  WHERE rn = 1 AND vec_id < (SELECT nc FROM prm)),
+         |cc2 AS (
+         |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
+         |  FROM e
+         |  JOIN vc2 ON vc2.vec_id = e.vec_id
+         |  JOIN fcell f ON f.coarse = vc2.coarse
+         |  JOIN e c ON c.vec_id = f.fid AND c.i = e.i
+         |  GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, fid AS bucket FROM (
+         |    SELECT vec_id, fid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
+         |    FROM cc2) WHERE rn = 1),
          |prs AS (
          |  SELECT x.vec_id AS v1, y.vec_id AS v2
          |  FROM bucket x JOIN bucket y

@@ -91,6 +91,14 @@ object Streams {
                           mBits: Int, k: Int): DataFrame = {
     import graft.llm.Dedup
     import graft.ops.Core
+    // Band keys below index signature columns POSITIONALLY (mh${b*r+j})
+    // while rowMinhashSigs names them by seed VALUE (mh$seed): the two
+    // coincide only for the contiguous 0..bands*rowsPerBand seed family.
+    // Fail fast here instead of an AnalysisException (or a silent
+    // wrong-family probe) at plan time.
+    require(seeds == (0 until bands * rowsPerBand),
+      s"lshNearDupTagStream requires seeds == 0 until bands*rowsPerBand " +
+        s"(= 0 until ${bands * rowsPerBand}); got $seeds")
     val sigs = Dedup.rowMinhashSigs(stream, textCol, seeds, n)
     val hits = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -353,6 +361,14 @@ object Streams {
     */
   def upsertBatch(batch: DataFrame, key: String, tsCol: String,
                   snapshotDir: String, buckets: Int): Unit = {
+    // NULL keys hash to a NULL bucket (__HIVE_DEFAULT_PARTITION__), which
+    // the touched-bucket isin() read-back can never select — their
+    // versions would accumulate without last-writer-wins collapsing.
+    // A keyed CDC feed has no meaning for a null key, so reject loudly
+    // rather than merge wrongly.
+    require(batch.where(col(key).isNull).isEmpty,
+      s"upsertBatch: null values in key column '$key' — keyed upserts " +
+        "require non-null keys")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val rest = batch.columns.filter(c => c != key && c != tsCol)
@@ -368,9 +384,14 @@ object Streams {
       .collect().map(_.getLong(0))
     // "snapshot present" = it has bucket partitions, not just an (empty)
     // directory — a fresh temp dir or a dir holding only _SUCCESS markers
-    // has nothing to merge and would fail schema inference
-    val hasSnapshot = Option(new java.io.File(snapshotDir).listFiles())
-      .exists(_.exists(_.getName.startsWith("bucket=")))
+    // has nothing to merge and would fail schema inference. Resolved
+    // through Hadoop's FileSystem so object-store / HDFS snapshot paths
+    // are seen (a java.io.File check reads any non-local snapshot as
+    // absent and would silently skip the merge-read).
+    val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSnapshot = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("bucket="))
     val existing =
       if (hasSnapshot)
         Some(spark.read.parquet(snapshotDir)
@@ -383,14 +404,13 @@ object Streams {
     val merged = latestPerKey(
       existing.fold(bNew)(e => bNew.unionByName(e)))
       .localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("bucket")
+    // per-writer option, not a session-conf set/restore: mutating the
+    // shared session's partitionOverwriteMode is a race against any
+    // concurrent writer on the same session
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
       .parquet(snapshotDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   /** Streaming keyed UPSERT sink via foreachBatch — the streaming

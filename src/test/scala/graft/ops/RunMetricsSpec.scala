@@ -93,6 +93,55 @@ class RunMetricsSpec extends SparkSpec {
       s"a round appears to re-shuffle the edge cache: $m")
   }
 
+  test("BFS rounds: one fused edge shuffle; rounds shuffle frontier-sized " +
+    "frames only") {
+    // Star graph as a directed multiset: 2000 rows (0<->1000 leaves, both
+    // directions). The r9 bfsRounds contract pins two claims at runtime:
+    // (1) edge prep is ONE fused exchange — repartition(src) writes the
+    //     2000-row multiset and the following distinct adds NO second
+    //     exchange (hash(src) satisfies its distribution); the pre-r9
+    //     caller-side distinct-then-repartition shape wrote ~2x;
+    // (2) each round's only exchange is the frontier-expansion distinct:
+    //     round 1 shuffles the 1000 unseen dsts (anti-join runs BEFORE
+    //     the distinct, so visited candidates never enter it), rounds
+    //     2-3 shuffle ~0 (every dst already visited). localCheckpoints
+    //     store partitions locally — no shuffle.
+    // Budget: 2000 (edge prep) + 1000 (round 1) + agg partials. An edge
+    // cache re-shuffling per round (+2000 each) or a second prep
+    // exchange trips the 4000 bound.
+    val leaves = (1L to 1000L)
+    val edges = leaves.map(l => (0L, l)).toDF("src", "dst")
+      .union(leaves.map(l => (l, 0L)).toDF("src", "dst"))
+    val (rows, m) = RunMetrics.measure(spark) {
+      Graph.bfsRounds(edges, rounds = 3).collect()
+    }
+    assert(rows.length == 1001, s"expected hub + 1000 leaves: ${rows.length}")
+    assert(m.shuffleWriteRecords < 4000L,
+      s"BFS moved more than one edge pass + one frontier: $m")
+  }
+
+  test("two-star CC: per-round shuffles stay edge-bounded across the run") {
+    // Path graph 0-1-...-63 (worst-case diameter for CC): two-star
+    // converges in ~log² rounds (≤6 here incl. the isStar certificates).
+    // Each round is a FIXED number of edge-bounded exchanges — large-star
+    // sym groupBy + join, small-star min + closing distinct, one isStar
+    // certificate — on a frame that only SHRINKS (edges collapse toward
+    // their component min). The pinned failure mode is lineage regrowth:
+    // without the per-round localCheckpoint, round r re-derives rounds
+    // 1..r-1 (the 12×/round fan-out, SCALE.md) and total shuffle volume
+    // goes quadratic in rounds. Budget: ≤6 rounds × ~6 exchanges ×
+    // ~2|E| (sym frames, 126 rows) ≈ 4.5k; measured ~2-3k; regrowth
+    // multiplies it several-fold.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (rows, m) = RunMetrics.measure(spark) {
+      graft.llm.Dedup.componentsTwoStar(pairs).collect()
+    }
+    assert(rows.length == 64 && rows.forall(_.getLong(1) == 0L),
+      "path must collapse to one component rooted at 0")
+    assert(m.shuffleWriteRecords < 8000L,
+      s"two-star rounds shuffled beyond the edge-bounded budget: $m")
+  }
+
   test("bloom prefilter probes at the scan: only build-side partials " +
     "shuffle, never the probed fact rows") {
     val fact = spark.range(0, 20000)
