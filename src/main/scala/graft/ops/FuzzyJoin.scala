@@ -69,14 +69,24 @@ object FuzzyJoin {
       .select(col("w"), length(col("w")).as("len"),
         posexplode(deletionsOnly(col("w"))).as(Seq("pos", "v")))
       .select(col("w"), col("len"), col("pos"), xxhash64(col("v")).as("vh"))
+    // merge (SMJ), NOT broadcast and NOT shuffled-hash: the variant table
+    // is Σ(|w|+1) rows over the DISTINCT key domain, and Catalyst's static
+    // estimate under a distinct + posexplode reads it as broadcast-able at
+    // ANY scale — at the 100×-domain smoke the planner's broadcast build
+    // OOM'd the driver, and a shuffle_hash hint moved the OOM to the
+    // executors (32 concurrent per-partition hash builds of domain/32
+    // rows; SHJ builds don't spill). Sort-merge is the only fully
+    // spillable choice for two domain-sized sides — and it BEAT the
+    // broadcast plan at sf0.1 too (3.2 → 1.4 s warm: the driver-side
+    // build was the cost; shuffle_hash measured 1.0 but cannot scale). r9, the domain-growing fixture's first catch.
     val subs = dels.as("x")
-      .join(dels.as("y"),
+      .join(dels.as("y").hint("merge"),
         col("x.vh") === col("y.vh") && col("x.pos") === col("y.pos") &&
           col("x.len") === col("y.len") && col("x.w") < col("y.w"))
       .select(col("x.w").as("name1"), col("y.w").as("name2"))
     val selfH = k.select(col("w"), xxhash64(col("w")).as("vh"))
     val insdel = dels.as("x")
-      .join(selfH.as("y"), col("x.vh") === col("y.vh"))
+      .join(selfH.as("y").hint("merge"), col("x.vh") === col("y.vh"))
       .select(least(col("x.w"), col("y.w")).as("name1"),
         greatest(col("x.w"), col("y.w")).as("name2"))
       .where(col("name1") =!= col("name2"))

@@ -1412,6 +1412,58 @@ object LlmOps {
             x => x.getField("dmd5")), "")).as("content_digest"))
     }),
 
+    // Exact-substring (SPAN-level) dedup — the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // operator the doc-level family can't express: find every maximal
+    // token span that appears verbatim in MORE THAN ONE document. Doc-
+    // level dedup keeps one copy of a duplicated DOC; this finds the
+    // boilerplate/quote/license spans duplicated ACROSS otherwise-unique
+    // docs — the op production pipelines run with suffix arrays, here as
+    // three declarative stages:
+    //  (1) positional K-token shingles (K = 8; Lee used 50-token windows
+    //      on web text, the fixture's docs are shorter), hashed to one
+    //      long so the shuffle never carries the text;
+    //  (2) cross-doc shingle set: groupBy(hash) keeping min(doc) ≠
+    //      max(doc) — an all-partial-agg test, cheaper than a distinct
+    //      count, no false negatives (a hash seen in 2+ docs always has
+    //      min ≠ max);
+    //  (3) per-doc gaps-and-islands merge of the surviving positions:
+    //      consecutive dup shingles at distance ≤ K overlap or touch, so
+    //      a break opens only when pos > prev + K; the running sum of
+    //      breaks is the span id — one doc-keyed window, all-integer.
+    // Output: (doc_id, span_id, start_tok, end_tok, span_toks), maximal
+    // duplicated spans ≥ K tokens. 100 TB shape: two shingle-table
+    // shuffles (the dup-set agg + the semi-join back, the decontaminate
+    // pattern) and one doc-local window; everything else is narrow.
+    "q_dedup_span_dupes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= K)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (K - 1)),
+          i => Core.md5Hash64(concat_ws(" ", slice(col("toks"), i, lit(K)))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("h"))
+      val dups = sh.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .where(col("mn") =!= col("mx"))
+        .select(col("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.join(dups, Seq("h"), "left_semi")
+        .withColumn("brk",
+          when(col("pos") > lag(col("pos"), 1).over(w) + K, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(wRun))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("start_tok"),
+          (max(col("pos")) + (K - 1)).as("end_tok"))
+        .select(col("doc_id"), (col("island") + 1).as("span_id"),
+          col("start_tok"), col("end_tok"),
+          (col("end_tok") - col("start_tok") + 1).as("span_toks"))
+    }),
+
     // Incremental (merkle) shard digest — the 100 TB form of
     // q_etl_shard_manifest's order-sensitive content digest, per
     // COVERAGE.md's own note: the flat concat digest re-reads a whole
@@ -3273,6 +3325,40 @@ object LlmOps {
          |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
          |FROM (SELECT doc_id, text, $h % 32 AS shard FROM documents)
          |GROUP BY shard""".stripMargin
+    },
+
+    // Span-dedup twin: positional 8-token shingles hashed with the shared
+    // md5-prefix hash, min≠max cross-doc test, identical gaps-and-islands
+    // window arithmetic.
+    "q_dedup_span_dupes" -> {
+      val h = sqlHash64("array_to_string(tk[pos:pos+7], ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8),
+         |shp AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, len(tk) - 7)) AS pos
+         |  FROM t),
+         |sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h AS hh FROM shp),
+         |dup AS (
+         |  SELECT hh FROM sh GROUP BY hh
+         |  HAVING min(doc_id) != max(doc_id)),
+         |mk AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (hh)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL THEN 0
+         |         WHEN pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+         |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM brk)
+         |SELECT doc_id, CAST(island + 1 AS BIGINT) AS span_id,
+         |  CAST(min(pos) AS BIGINT) AS start_tok,
+         |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+         |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_toks
+         |FROM isl GROUP BY doc_id, island""".stripMargin
     },
 
     // Merkle twin: identical shard hash, per-shard positional 64-doc

@@ -51,4 +51,16 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("empty-string keys join their 1-char neighbours and emit no " +
+    "spurious variants") {
+    // "" is at distance 1 from every single-char key (insertion); the
+    // unguarded deletionsOnly used to expand sequence(1, 0) → [1, 0] and
+    // emit two ""-variants with bogus positions (harmless but unscreened).
+    val df = Seq("", "a", "b", "ab").toDF("k")
+    val got = FuzzyJoin.editDistance1Pairs(df, "k")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("", "a", 1L), ("", "b", 1L), ("a", "ab", 1L),
+      ("ab", "b", 1L), ("a", "b", 1L)), got)
+  }
 }

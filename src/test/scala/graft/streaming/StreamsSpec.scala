@@ -550,4 +550,39 @@ class StreamsSpec extends SparkSpec {
     assert(run3 == 0L, s"no-op run should read 0 rows, got $run3")
     assert(spark.read.parquet(out).count() == 3L)
   }
+
+  test("upsertBatch rejects null keys loudly") {
+    // a null key hashes to the __HIVE_DEFAULT_PARTITION__ bucket, which
+    // the touched-bucket read-back can never select — versions would
+    // accumulate without collapsing; the contract is fail-fast
+    val s = spark
+    import s.implicits._
+    val snapDir =
+      java.nio.file.Files.createTempDirectory("graft-nullkey").toString
+    val bad = Seq((Some(1L), ts(1), "a"), (None, ts(2), "b"))
+      .toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Streams.upsertBatch(bad, "k", "ts", snapDir, 4)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
+  test("lshNearDupTagStream rejects a seed family that mismatches the " +
+    "band layout") {
+    // band keys index signature columns positionally; a non-contiguous
+    // seed family would probe the wrong columns — the require catches it
+    // before any plan is built
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val sigs = graft.llm.Dedup.minhashSigs(docs, "doc_id", "text", 3, 0 until 8)
+    val bits = graft.llm.Dedup.lshBandBloom(sigs, "doc_id",
+      bands = 4, rowsPerBand = 2, mBits = 1024, k = 3)
+    val e = intercept[IllegalArgumentException] {
+      Streams.lshNearDupTagStream(docs, bits, "text", 3,
+        seeds = Seq(1, 3, 5, 7, 9, 11, 13, 15), bands = 4, rowsPerBand = 2,
+        mBits = 1024, k = 3)
+    }
+    assert(e.getMessage.contains("seeds"), e.getMessage)
+  }
 }
