@@ -471,6 +471,110 @@ object Dedup {
     out
   }
 
+  /** Exact-substring (SPAN-level) dedup — Lee et al. 2022's operator in
+    * declarative form: every MAXIMAL token span of length ≥ k that appears
+    * verbatim in more than one document. Three stages: (1) positional
+    * k-token shingles hashed to one long (the shuffle never carries
+    * text); (2) cross-doc shingle set via min(doc) ≠ max(doc) — an
+    * all-partial-agg test with no distinct state and no false negatives;
+    * (3) per-doc gaps-and-islands merge: consecutive surviving positions
+    * at distance ≤ k overlap or touch, so a break opens only when
+    * pos > prev + k, and the running break-sum is the span id. Output:
+    * (idCol, span_id, start_tok, end_tok, span_toks), all-integer.
+    * 100 TB shape: two shingle-table shuffles (dup-set agg + semi-join
+    * back, the decontaminate pattern) + one doc-local window.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => Core.md5Hash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val dups = sh.groupBy(col("h"))
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sh.join(dups, Seq("h"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (k - 1)).as("end_tok"))
+      .select(col(idCol), (col("island") + 1).as("span_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_toks"))
+  }
+
+  /** Corpus SCRUB for exact-substring dedup — the actionable half of
+    * duplicatedSpans (Lee et al. cut all-but-one occurrence of every
+    * duplicated window): rebuilds each document with duplicated spans
+    * removed, keeping one global occurrence per duplicated k-gram.
+    *
+    * Deterministic policy: the KEPT occurrence of a duplicated shingle is
+    * its (doc, pos)-minimum; a token is CUT iff some non-kept duplicated
+    * occurrence covers it AND no kept occurrence in the same doc protects
+    * it (so the keeper doc's span survives intact even where it overlaps
+    * other duplicated windows). All decisions are integer/hash
+    * comparisons — the scrubbed text is byte-identical cross-engine.
+    *
+    * Output: (idCol, n_toks_kept, scrubbed_md5); a doc whose every token
+    * is cut (a non-keeper exact duplicate) disappears from the output —
+    * the rebuild agg has no rows to group — identically in both engines.
+    * 100 TB shape: the duplicatedSpans shuffles plus a k-wide coverage
+    * explode (Σ tokens × k rows, linear) and one doc-keyed rebuild agg;
+    * nothing is corpus-quadratic.
+    */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => Core.md5Hash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    // kept occurrence per duplicated hash = min (doc, pos); min ≠ max over
+    // docs = the cross-doc test (all map-side partials)
+    val dupOcc = sh.groupBy(col("h"))
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"),
+        min(struct(col(idCol).as("kd"), col("pos").as("kp"))).as("keep"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"), col("keep.kd").as("kd"), col("keep.kp").as("kp"))
+    val occ = sh.join(dupOcc, Seq("h"))
+      .select(col(idCol), col("pos"),
+        (col(idCol) === col("kd") && col("pos") === col("kp"))
+          .cast("long").as("kept"))
+    // k-wide coverage: token t is protected if ANY covering occurrence is
+    // kept, cut if covered at all and unprotected
+    val cover = occ
+      .select(col(idCol), explode(sequence(col("pos"),
+        col("pos") + (k - 1))).as("t"), col("kept"))
+      .groupBy(col(idCol), col("t"))
+      .agg(max(col("kept")).as("protected"))
+      .where(col("protected") === 0L)
+      .select(col(idCol).as("cut_doc"), col("t").as("cut_t"))
+    docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("i0", "tok")))
+      .select(col(idCol), (col("i0") + 1).cast("long").as("i"), col("tok"))
+      .join(cover, col(idCol) === col("cut_doc") && col("i") === col("cut_t"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), " ")).as("scrubbed_md5"))
+  }
+
   /** Exact n-gram Jaccard over ALL co-shingled pairs: self-join on shingle.
     * Quadratic in co-shingled docs — at scale, use lshCandidatePairs +
     * jaccardForPairs instead; this exists for small inputs and as the

@@ -1435,34 +1435,16 @@ object LlmOps {
     // duplicated spans ≥ K tokens. 100 TB shape: two shingle-table
     // shuffles (the dup-set agg + the semi-join back, the decontaminate
     // pattern) and one doc-local window; everything else is narrow.
-    "q_dedup_span_dupes" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val K = 8
-      val sh = table(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= K)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(col("toks")) - (K - 1)),
-          i => Core.md5Hash64(concat_ws(" ", slice(col("toks"), i, lit(K)))))))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("h"))
-      val dups = sh.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .where(col("mn") =!= col("mx"))
-        .select(col("h"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sh.join(dups, Seq("h"), "left_semi")
-        .withColumn("brk",
-          when(col("pos") > lag(col("pos"), 1).over(w) + K, 1L).otherwise(0L))
-        .withColumn("island", sum(col("brk")).over(wRun))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("pos")).as("start_tok"),
-          (max(col("pos")) + (K - 1)).as("end_tok"))
-        .select(col("doc_id"), (col("island") + 1).as("span_id"),
-          col("start_tok"), col("end_tok"),
-          (col("end_tok") - col("start_tok") + 1).as("span_toks"))
-    }),
+    "q_dedup_span_dupes" -> ((s, d) =>
+      Dedup.duplicatedSpans(table(s, d, "documents"), "doc_id", "text", 8)),
+
+    // The actionable half: rebuild the corpus with all-but-one occurrence
+    // of every duplicated 8-gram removed (Dedup.scrubSpans — keeper =
+    // global (doc,pos)-min per shingle; a token survives if unprotected-
+    // covered by no dup occurrence). scrubbed_md5 puts the BYTES of the
+    // scrubbed corpus under the cross-engine hash gate, not just counts.
+    "q_dedup_span_scrub" -> ((s, d) =>
+      Dedup.scrubSpans(table(s, d, "documents"), "doc_id", "text", 8)),
 
     // Incremental (merkle) shard digest — the 100 TB form of
     // q_etl_shard_manifest's order-sensitive content digest, per
@@ -3359,6 +3341,48 @@ object LlmOps {
          |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
          |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_toks
          |FROM isl GROUP BY doc_id, island""".stripMargin
+    },
+
+    // Scrub twin: same shingle/dup CTEs plus the keeper pick
+    // (min (doc,pos) per hash), k-wide coverage via generate_series, and
+    // the ordered string_agg rebuild.
+    "q_dedup_span_scrub" -> {
+      val h = sqlHash64("array_to_string(tk[pos:pos+7], ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8),
+         |shp AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, len(tk) - 7)) AS pos
+         |  FROM t),
+         |sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h AS hh FROM shp),
+         |dup AS (
+         |  SELECT hh, min({'d': doc_id, 'p': pos}) AS keep
+         |  FROM sh GROUP BY hh
+         |  HAVING min(doc_id) != max(doc_id)),
+         |occ AS (
+         |  SELECT s.doc_id, s.pos,
+         |    CASE WHEN s.doc_id = keep.d AND s.pos = keep.p
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM sh s JOIN dup USING (hh)),
+         |cover AS (
+         |  SELECT doc_id, t AS cut_t FROM (
+         |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t, kept
+         |    FROM occ)
+         |  GROUP BY doc_id, t HAVING max(kept) = 0),
+         |toks AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, tok
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split(text, ' ')) AS tok,
+         |          generate_subscripts(string_split(text, ' '), 1) AS i
+         |        FROM documents))
+         |SELECT toks.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_toks_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY i)) AS scrubbed_md5
+         |FROM toks
+         |LEFT JOIN cover ON cover.doc_id = toks.doc_id AND cover.cut_t = toks.i
+         |WHERE cover.doc_id IS NULL
+         |GROUP BY toks.doc_id""".stripMargin
     },
 
     // Merkle twin: identical shard hash, per-shard positional 64-doc

@@ -224,4 +224,52 @@ class DedupSpec extends SparkSpec {
     // doc3 shares no shingle with anything — no candidate can contain it
     assert(!cand.exists { case (a, b) => Set(a, b).contains(3L) })
   }
+
+  test("duplicatedSpans finds maximal cross-doc spans, merges overlapping " +
+    "shingles, splits on gaps, ignores unique docs") {
+    // hand-traced at k=3:
+    //  d1 "a b c d e f g": dup trigrams at pos 1-4 ("a b c".."d e f",
+    //     shared with d2/d4) merge to ONE maximal span [1, 6]
+    //  d2 "x x a b c d e y y": pos 3-5 → [3, 7]
+    //  d3 unique → no rows
+    //  d4 "a b c z d e f": pos {1, 5} — gap (5 > 1+3) → TWO spans
+    //     [1, 3] and [5, 7]
+    val d = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x x a b c d e y y"),
+      (3L, "p q r s t u v"),
+      (4L, "a b c z d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 6L, 6L),
+      (2L, 1L, 3L, 7L, 5L),
+      (4L, 1L, 1L, 3L, 3L),
+      (4L, 2L, 5L, 7L, 3L)), got)
+  }
+
+  test("scrubSpans keeps the global-min occurrence intact and cuts every " +
+    "other duplicated span's tokens") {
+    // same fixture as the span trace: d1 owns every keeper (its occs are
+    // all (doc,pos)-minimal), so d1 survives verbatim; d2 loses tokens
+    // 3-7 ("a b c d e"); d4 loses both spans leaving just "z"; unique d3
+    // is untouched
+    def m(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x x a b c d e y y"),
+      (3L, "p q r s t u v"),
+      (4L, "a b c z d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpans(d, "doc_id", "text", 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 7L, m("a b c d e f g")),
+      (2L, 4L, m("x x y y")),
+      (3L, 7L, m("p q r s t u v")),
+      (4L, 1L, m("z"))), got)
+  }
 }

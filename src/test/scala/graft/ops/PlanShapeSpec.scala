@@ -368,4 +368,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("merkle shard digest: ONE exchange — the window's hash(shard) " +
+    "partitioning satisfies both downstream groupBys") {
+    // the distribution-subset law (hash(shard) ⊆ clustering(shard, blk)):
+    // a regression inserting a second exchange would silently double the
+    // shuffle volume of every release-manifest build
+    val plan = executedPlan("q_etl_shard_merkle")
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("span dedup: shingle joins stay equi-joins; windows are doc-keyed") {
+    val plan = executedPlan("q_dedup_span_dupes")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fuzzy join: variant self-joins are sort-merge, never a broadcast " +
+    "build of the domain-sized variant table") {
+    // Catalyst's static estimate under distinct+posexplode reads the
+    // variant table as broadcast-able at ANY scale; the planner's
+    // broadcast build OOM'd the driver at a 100× key domain (SCALE.md
+    // r9) — the merge hints must hold
+    val plan = executedPlan("q_join_fuzzy_names")
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert("SortMergeJoin".r.findAllIn(plan).length >= 2, plan)
+  }
 }
