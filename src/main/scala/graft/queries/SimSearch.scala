@@ -178,10 +178,27 @@ object SimSearch {
     * size the same plan swaps to a shuffle join on the cell id, and the
     * coarse level recurses — each level is this method again.
     */
-  private[graft] def bucketAssignTwoLevel(e: DataFrame, nc: Int, n1: Int): DataFrame = {
-    val coarse = e.where(col("vec_id") < n1)
-      .select(struct(col("vec_id").as("cid"), col("v").as("cv"),
-        sqrt(Vectors.dotFast(col("v"), col("v"))).as("cnrm")).as("c"))
+  private[graft] def bucketAssignTwoLevel(e: DataFrame, nc: Int, n1: Int): DataFrame =
+    assignTwoLevelAgainst(e,
+      e.where(col("vec_id") < nc)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          (col("vec_id") < n1.toLong).as("is_coarse")))
+
+  /** The two-level two-probe assign against an ARBITRARY centroid frame
+    * (cid, cv, is_coarse) — the form IVF training needs (trained means
+    * are not corpus prefixes, and under ScaleUp's 10¹²-offset ids a
+    * `cid < bound` coarse rule collapses to copy-0 only, measured at
+    * sf10). The coarse level is the `is_coarse`-flagged SUBSET of the
+    * centroids — subset so every coarse cell holds at least its own
+    * defining fine centroid. Semantics otherwise identical to
+    * bucketAssignTwoLevel's scaladoc.
+    */
+  private[graft] def assignTwoLevelAgainst(e: DataFrame,
+      centsDf: DataFrame): DataFrame = {
+    val withNrm = centsDf.select(col("cid"), col("cv"), col("is_coarse"),
+      sqrt(Vectors.dotFast(col("cv"), col("cv"))).as("cnrm"))
+    val coarse = withNrm.where(col("is_coarse"))
+      .select(struct(col("cid"), col("cv"), col("cnrm")).as("c"))
       .groupBy().agg(collect_list(col("c")).as("cents"))
     // norm materialized BEFORE the crossJoin (r6 ivf trap: derived
     // columns computed after a 1-row crossJoin can fail resolution when
@@ -203,14 +220,15 @@ object SimSearch {
         array_max(filter(col("sc"),
           s => s.getField("cid") =!= col("coarse")))
           .getField("cid").as("coarse2"))
-    // fine centroids' own coarse cells derive from the FILTERED scan
-    // (vec_id < nc pushes to parquet), not from a shared big-side frame:
-    // the C-row branch re-derives cheaply and the n-row assign runs once.
-    // A fine centroid belongs to its FIRST cell only.
-    val fineByCell = withTop2(e.where(col("vec_id") < nc))
-      .groupBy(col("coarse"))
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm"))).as("fcents"))
+    // fine centroids' own coarse cells derive from the (small) centroid
+    // frame itself, not from a shared big-side frame: the C-row branch
+    // re-derives cheaply and the n-row assign runs once. A fine centroid
+    // belongs to its FIRST cell only.
+    val fineByCell =
+      withTop2(centsDf.select(col("cid").as("vec_id"), col("cv").as("v")))
+        .groupBy(col("coarse"))
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cnrm"))).as("fcents"))
     val f1 = fineByCell.select(col("coarse").as("c1"), col("fcents").as("fc1"))
     val f2 = fineByCell.select(col("coarse").as("c2"), col("fcents").as("fc2"))
     // BOTH probes join left: under duplicated vectors (ScaleUp copies) a
@@ -229,6 +247,31 @@ object SimSearch {
         argmaxCid(
           concat(coalesce(col("fc1"), emptyF), coalesce(col("fc2"), emptyF)),
           col("v"), col("nrm")).as("bucket"))
+  }
+
+  /** Sampled IVF training — one approximate-Lloyd round, fully
+    * declarative (no driver-held state, unlike llm.KMeans' k=8 literal
+    * centroids): assign the SAMPLE to prefix stand-in centroids with the
+    * two-level assign (FAISS trains its quantizer with approximate
+    * assignment for exactly this reason), then the M-step mean per
+    * bucket/dimension. Returns (cid, cv) — cids are the surviving
+    * stand-in ids (empty buckets vanish), cv components round(avg, 6)
+    * so the trained values are hash-exact cross-engine (the
+    * q_sim_ann_kmeans precedent). Training cost is sample-sized; the
+    * corpus is only touched by the final assign the caller runs.
+    */
+  private[graft] def trainCentroids(sample: DataFrame,
+      cents0: DataFrame): DataFrame = {
+    val asg = assignTwoLevelAgainst(sample, cents0)
+      .where(col("bucket").isNotNull)
+    sample.join(asg, Seq("vec_id"))
+      .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("bucket"), col("i"))
+      .agg(round(avg(col("x")), 6).as("cx"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+      .select(col("bucket").as("cid"), col("cv"))
   }
 
   /** Shared kNN-within-bucket tail: bucket self-join on ids only
@@ -406,6 +449,52 @@ object SimSearch {
       val C = math.max(32L, e.count() / 64).toInt
       val n1 = math.max(4, math.ceil(math.sqrt(C.toDouble)).toInt)
       val assigned = bucketAssignTwoLevel(e, C, n1)
+        .select(col("vec_id"), col("bucket")).cache()
+      knnWithinBuckets(s, d, assigned, K)
+    }),
+
+    // kNN graph with TRAINED centroids — the full IVF build path at
+    // scale-C, closing the gap SCALE.md's r9 record names (prefix
+    // stand-ins skew two-level buckets; FAISS trains k-means means on a
+    // sample to rebalance): deterministic 1-in-16 hash sample → one
+    // approximate-Lloyd round (trainCentroids, sample-sized) → two-level
+    // assign of the FULL corpus against the trained means → the same
+    // knn top-3 tail. Thresholds scale by the sample rate (the sample's
+    // stand-in prefix must span ~C ids of a 1/16-density id set). Every
+    // stage — sample membership, both two-level assigns, the rounded
+    // means — is replicated in the oracle, so the green row pins the
+    // entire train+assign pipeline cross-engine.
+    "q_sim_knn_graph_trained" -> ((s, d) => {
+      val K = 3
+      val Mod = 16
+      val e = embeds(s, d)
+      val n = e.count()
+      val c = math.max(32L, n / 64)
+      val n1 = math.max(4L, math.ceil(math.sqrt(c.toDouble)).toLong)
+      // every membership decision is a count-derived HASH predicate, not
+      // an id-prefix threshold: under ScaleUp's 10¹²-offset ids a
+      // `vec_id < bound` stand-in rule collapses to copy-0 only (116
+      // trained cents instead of ~3125 at sf10, measured) — hash rates
+      // are uniform over ANY id distribution. E[|sample|] = n/16,
+      // E[|stand-ins|] = C, E[|coarse|] = n1.
+      val kf = math.max(1L, n / (Mod * c))
+      val kc = math.max(1L, c / n1)
+      def h(salt: String) =
+        Core.md5Hash64(concat(lit(salt), col("vec_id").cast("string")))
+      val sample = e.where(pmod(h("samp|"), lit(Mod)) === 0)
+      val cents0 = sample.where(pmod(h("cent|"), lit(kf)) === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          (pmod(Core.md5Hash64(concat(lit("coarse|"),
+            col("vec_id").cast("string"))), lit(kc)) === 0).as("is_coarse"))
+      // trained is consumed twice inside the final assign (coarse list +
+      // per-cell fine lists) and is C rows of 64 doubles — cache beats
+      // re-running the sampled-Lloyd lineage per consumer
+      val trained = trainCentroids(sample, cents0)
+        .withColumn("is_coarse",
+          pmod(Core.md5Hash64(concat(lit("coarse|"),
+            col("cid").cast("string"))), lit(kc)) === 0)
+        .cache()
+      val assigned = assignTwoLevelAgainst(e, trained)
         .select(col("vec_id"), col("bucket")).cache()
       knnWithinBuckets(s, d, assigned, K)
     }),
@@ -1087,6 +1176,106 @@ object SimSearch {
          |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
          |      AS BIGINT) AS rank
          |  FROM sc) WHERE rank <= 3""".stripMargin,
+
+    // Trained-centroid twin: the whole pipeline re-derived — hash sample,
+    // two-level assign of the sample against the stand-in prefix, rounded
+    // per-bucket/dim means, then the two-level assign of the corpus
+    // against those means, then the knn tail. Thresholds scale by the
+    // 1-in-16 sample rate exactly as the Spark side.
+    "q_sim_knn_graph_trained" -> {
+      val sampH = LlmOps.sqlHash64("'samp|' || CAST(vec_id AS VARCHAR)")
+      val centH = LlmOps.sqlHash64("'cent|' || CAST(vec_id AS VARCHAR)")
+      val coarseCidH = LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")
+      s"""WITH $eSql,
+         |prm AS (SELECT
+         |  GREATEST(1, count(*) // (16 * GREATEST(32, count(*) // 64))) AS kf,
+         |  GREATEST(1, GREATEST(32, count(*) // 64)
+         |    // GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)))
+         |    AS kc
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, i, x FROM e WHERE $sampH % 16 = 0),
+         |c0 AS (SELECT vec_id AS cid, i, x FROM samp
+         |       WHERE $centH % (SELECT kf FROM prm) = 0),
+         |co0 AS (SELECT cid, i, x FROM c0
+         |        WHERE ${LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")}
+         |          % (SELECT kc FROM prm) = 0),
+         |scc1 AS (
+         |  SELECT s.vec_id, c.cid, ${cosSql("s", "c")} AS cos
+         |  FROM samp s JOIN co0 c ON s.i = c.i GROUP BY 1, 2),
+         |svc2 AS (
+         |  SELECT vec_id, cid AS coarse FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM scc1) WHERE rn <= 2),
+         |fcc1 AS (
+         |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
+         |  FROM c0 f JOIN co0 c ON f.i = c.i GROUP BY 1, 2),
+         |ffc AS (
+         |  SELECT fid, cid AS coarse FROM (
+         |    SELECT fid, cid,
+         |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM fcc1) WHERE rn = 1),
+         |scc2 AS (
+         |  SELECT s.vec_id, f.fid, ${cosSql("s", "c")} AS cos
+         |  FROM samp s
+         |  JOIN svc2 ON svc2.vec_id = s.vec_id
+         |  JOIN ffc f ON f.coarse = svc2.coarse
+         |  JOIN c0 c ON c.cid = f.fid AND c.i = s.i
+         |  GROUP BY 1, 2),
+         |sbucket AS (
+         |  SELECT vec_id, fid AS bucket FROM (
+         |    SELECT vec_id, fid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
+         |    FROM scc2) WHERE rn = 1),
+         |trained AS (
+         |  SELECT b.bucket AS cid, s.i, round(avg(s.x), 6) AS x
+         |  FROM sbucket b JOIN samp s ON s.vec_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |tco AS (SELECT cid, i, x FROM trained
+         |        WHERE $coarseCidH % (SELECT kc FROM prm) = 0),
+         |cc1 AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN tco c ON e.i = c.i GROUP BY 1, 2),
+         |vc2 AS (
+         |  SELECT vec_id, cid AS coarse FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc1) WHERE rn <= 2),
+         |tfcc AS (
+         |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
+         |  FROM trained f JOIN tco c ON f.i = c.i GROUP BY 1, 2),
+         |tffc AS (
+         |  SELECT fid, cid AS coarse FROM (
+         |    SELECT fid, cid,
+         |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM tfcc) WHERE rn = 1),
+         |cc2 AS (
+         |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
+         |  FROM e
+         |  JOIN vc2 ON vc2.vec_id = e.vec_id
+         |  JOIN tffc f ON f.coarse = vc2.coarse
+         |  JOIN trained c ON c.cid = f.fid AND c.i = e.i
+         |  GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, fid AS bucket FROM (
+         |    SELECT vec_id, fid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
+         |    FROM cc2) WHERE rn = 1),
+         |prs AS (
+         |  SELECT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bucket x JOIN bucket y
+         |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+         |sc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN prs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, rank, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+         |      AS BIGINT) AS rank
+         |  FROM sc) WHERE rank <= 3""".stripMargin
+    },
 
     "q_sim_ann_kmeans" -> {
       def dStep(cIn: String, dOut: String, aOut: String) =

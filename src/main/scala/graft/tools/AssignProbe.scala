@@ -29,7 +29,9 @@ object AssignProbe {
     // count() would PRUNE the assign projection (bucket unused) — fold the
     // bucket column into an agg so the argmax actually executes
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.agg(sum(col("bucket"))).collect(); ()
+      // pmod bounds the fold: ScaleUp bucket ids reach 10^14 and a raw
+      // sum over 200k of them overflows long under ANSI mode
+      df.agg(sum(pmod(col("bucket"), lit(1000000007L)))).collect(); ()
     }
     def timed(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -54,6 +56,27 @@ object AssignProbe {
     timed(s"2l assign C=$c2")(force(SimSearch.bucketAssignTwoLevel(e, c2, n12)))
     println("flat skew:"); skew(SimSearch.bucketAssign(e, c))
     println("2l skew:"); skew(SimSearch.bucketAssignTwoLevel(e, c, n1))
+    // trained centroids (sampled approximate Lloyd, hash-selected
+    // stand-ins): skew vs prefix stand-ins
+    def h(salt: String) = graft.ops.Core.md5Hash64(
+      concat(lit(salt), col("vec_id").cast("string")))
+    val kf = math.max(1L, n / (16 * c))
+    val kc = math.max(1L, c.toLong / n1)
+    val sample = e.where(pmod(h("samp|"), lit(16)) === 0)
+    val cents0 = sample.where(pmod(h("cent|"), lit(kf)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        (pmod(graft.ops.Core.md5Hash64(concat(lit("coarse|"),
+          col("vec_id").cast("string"))), lit(kc)) === 0).as("is_coarse"))
+    val trained = SimSearch.trainCentroids(sample, cents0)
+      .withColumn("is_coarse",
+        pmod(graft.ops.Core.md5Hash64(concat(lit("coarse|"),
+          col("cid").cast("string"))), lit(kc)) === 0)
+      .cache()
+    println(s"trained cents: ${trained.count()}")
+    def trainedAssign() = SimSearch.assignTwoLevelAgainst(e, trained)
+    timed("trained 2l assign")(force(trainedAssign()))
+    println("trained skew:")
+    skew(trainedAssign().where(col("bucket").isNotNull))
     spark.stop()
   }
 
