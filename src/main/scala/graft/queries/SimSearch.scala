@@ -499,6 +499,37 @@ object SimSearch {
       knnWithinBuckets(s, d, assigned, K)
     }),
 
+    // Recall gate for the trained kNN graph (the quality loop every ANN
+    // family member carries): truth = exact global top-3 per vector
+    // (O(n²), fixture-priced — at scale this runs on a sample, the
+    // q_sim_ann_recall convention); found = the trained pipeline's
+    // edges; one row (n_true, n_found, n_hit, recall), rank arithmetic
+    // only so the row is hash-exact.
+    "q_sim_knn_recall_trained" -> ((s, d) => {
+      val en = normEmbeds(s, d)
+      val truth = en.select(col("vec_id"), col("vn").as("a"))
+        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
+          col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("nbr"))))
+        .where(col("rank") <= 3)
+        .select(col("vec_id"), col("nbr"))
+      val found = queries("q_sim_knn_graph_trained")(s, d)
+        .select(col("vec_id"), col("nbr"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nF = found.agg(count(lit(1)).as("n_found"))
+      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nF).crossJoin(nH)
+        .select(col("n_true"), col("n_found"), col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true"), 4))
+            .as("recall"))
+    }),
+
     // Real IVF training: 2 deterministic Lloyd iterations (driver-held
     // centroids as broadcast literals, per-dimension mean via posexplode),
     // then the cluster profile of the final assignment. The full ANN build
@@ -1045,6 +1076,101 @@ object SimSearch {
        |  FROM sbks x JOIN sbks y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
 
+  /** The trained-pipeline CTE chain (sample → stand-ins → sample assign
+    * → rounded means → corpus assign → scored in-bucket pairs `sc`) —
+    * shared by the q_sim_knn_graph_trained result and its recall gate.
+    */
+  private lazy val trainedKnnCtes: String = {
+    val sampH = LlmOps.sqlHash64("'samp|' || CAST(vec_id AS VARCHAR)")
+    val centH = LlmOps.sqlHash64("'cent|' || CAST(vec_id AS VARCHAR)")
+    val coarseCidH = LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")
+    s"""$eSql,
+         |prm AS (SELECT
+         |  GREATEST(1, count(*) // (16 * GREATEST(32, count(*) // 64))) AS kf,
+         |  GREATEST(1, GREATEST(32, count(*) // 64)
+         |    // GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)))
+         |    AS kc
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, i, x FROM e WHERE $sampH % 16 = 0),
+         |c0 AS (SELECT vec_id AS cid, i, x FROM samp
+         |       WHERE $centH % (SELECT kf FROM prm) = 0),
+         |co0 AS (SELECT cid, i, x FROM c0
+         |        WHERE ${LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")}
+         |          % (SELECT kc FROM prm) = 0),
+         |scc1 AS (
+         |  SELECT s.vec_id, c.cid, ${cosSql("s", "c")} AS cos
+         |  FROM samp s JOIN co0 c ON s.i = c.i GROUP BY 1, 2),
+         |svc2 AS (
+         |  SELECT vec_id, cid AS coarse FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM scc1) WHERE rn <= 2),
+         |fcc1 AS (
+         |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
+         |  FROM c0 f JOIN co0 c ON f.i = c.i GROUP BY 1, 2),
+         |ffc AS (
+         |  SELECT fid, cid AS coarse FROM (
+         |    SELECT fid, cid,
+         |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM fcc1) WHERE rn = 1),
+         |scc2 AS (
+         |  SELECT s.vec_id, f.fid, ${cosSql("s", "c")} AS cos
+         |  FROM samp s
+         |  JOIN svc2 ON svc2.vec_id = s.vec_id
+         |  JOIN ffc f ON f.coarse = svc2.coarse
+         |  JOIN c0 c ON c.cid = f.fid AND c.i = s.i
+         |  GROUP BY 1, 2),
+         |sbucket AS (
+         |  SELECT vec_id, fid AS bucket FROM (
+         |    SELECT vec_id, fid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
+         |    FROM scc2) WHERE rn = 1),
+         |trained AS (
+         |  SELECT b.bucket AS cid, s.i, round(avg(s.x), 6) AS x
+         |  FROM sbucket b JOIN samp s ON s.vec_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |tco AS (SELECT cid, i, x FROM trained
+         |        WHERE $coarseCidH % (SELECT kc FROM prm) = 0),
+         |cc1 AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+         |  FROM e JOIN tco c ON e.i = c.i GROUP BY 1, 2),
+         |vc2 AS (
+         |  SELECT vec_id, cid AS coarse FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM cc1) WHERE rn <= 2),
+         |tfcc AS (
+         |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
+         |  FROM trained f JOIN tco c ON f.i = c.i GROUP BY 1, 2),
+         |tffc AS (
+         |  SELECT fid, cid AS coarse FROM (
+         |    SELECT fid, cid,
+         |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM tfcc) WHERE rn = 1),
+         |cc2 AS (
+         |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
+         |  FROM e
+         |  JOIN vc2 ON vc2.vec_id = e.vec_id
+         |  JOIN tffc f ON f.coarse = vc2.coarse
+         |  JOIN trained c ON c.cid = f.fid AND c.i = e.i
+         |  GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id, fid AS bucket FROM (
+         |    SELECT vec_id, fid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
+         |    FROM cc2) WHERE rn = 1),
+         |prs AS (
+         |  SELECT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bucket x JOIN bucket y
+         |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+         |sc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN prs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2)"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_sim_ann_lsh_scaled" ->
       s"""WITH $eSql,
@@ -1178,104 +1304,45 @@ object SimSearch {
          |  FROM sc) WHERE rank <= 3""".stripMargin,
 
     // Trained-centroid twin: the whole pipeline re-derived — hash sample,
-    // two-level assign of the sample against the stand-in prefix, rounded
-    // per-bucket/dim means, then the two-level assign of the corpus
-    // against those means, then the knn tail. Thresholds scale by the
-    // 1-in-16 sample rate exactly as the Spark side.
-    "q_sim_knn_graph_trained" -> {
-      val sampH = LlmOps.sqlHash64("'samp|' || CAST(vec_id AS VARCHAR)")
-      val centH = LlmOps.sqlHash64("'cent|' || CAST(vec_id AS VARCHAR)")
-      val coarseCidH = LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")
-      s"""WITH $eSql,
-         |prm AS (SELECT
-         |  GREATEST(1, count(*) // (16 * GREATEST(32, count(*) // 64))) AS kf,
-         |  GREATEST(1, GREATEST(32, count(*) // 64)
-         |    // GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)))
-         |    AS kc
-         |  FROM embeddings),
-         |samp AS (SELECT vec_id, i, x FROM e WHERE $sampH % 16 = 0),
-         |c0 AS (SELECT vec_id AS cid, i, x FROM samp
-         |       WHERE $centH % (SELECT kf FROM prm) = 0),
-         |co0 AS (SELECT cid, i, x FROM c0
-         |        WHERE ${LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")}
-         |          % (SELECT kc FROM prm) = 0),
-         |scc1 AS (
-         |  SELECT s.vec_id, c.cid, ${cosSql("s", "c")} AS cos
-         |  FROM samp s JOIN co0 c ON s.i = c.i GROUP BY 1, 2),
-         |svc2 AS (
-         |  SELECT vec_id, cid AS coarse FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM scc1) WHERE rn <= 2),
-         |fcc1 AS (
-         |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
-         |  FROM c0 f JOIN co0 c ON f.i = c.i GROUP BY 1, 2),
-         |ffc AS (
-         |  SELECT fid, cid AS coarse FROM (
-         |    SELECT fid, cid,
-         |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM fcc1) WHERE rn = 1),
-         |scc2 AS (
-         |  SELECT s.vec_id, f.fid, ${cosSql("s", "c")} AS cos
-         |  FROM samp s
-         |  JOIN svc2 ON svc2.vec_id = s.vec_id
-         |  JOIN ffc f ON f.coarse = svc2.coarse
-         |  JOIN c0 c ON c.cid = f.fid AND c.i = s.i
-         |  GROUP BY 1, 2),
-         |sbucket AS (
-         |  SELECT vec_id, fid AS bucket FROM (
-         |    SELECT vec_id, fid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
-         |    FROM scc2) WHERE rn = 1),
-         |trained AS (
-         |  SELECT b.bucket AS cid, s.i, round(avg(s.x), 6) AS x
-         |  FROM sbucket b JOIN samp s ON s.vec_id = b.vec_id
-         |  GROUP BY 1, 2),
-         |tco AS (SELECT cid, i, x FROM trained
-         |        WHERE $coarseCidH % (SELECT kc FROM prm) = 0),
-         |cc1 AS (
-         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
-         |  FROM e JOIN tco c ON e.i = c.i GROUP BY 1, 2),
-         |vc2 AS (
-         |  SELECT vec_id, cid AS coarse FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM cc1) WHERE rn <= 2),
-         |tfcc AS (
-         |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
-         |  FROM trained f JOIN tco c ON f.i = c.i GROUP BY 1, 2),
-         |tffc AS (
-         |  SELECT fid, cid AS coarse FROM (
-         |    SELECT fid, cid,
-         |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM tfcc) WHERE rn = 1),
-         |cc2 AS (
-         |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
-         |  FROM e
-         |  JOIN vc2 ON vc2.vec_id = e.vec_id
-         |  JOIN tffc f ON f.coarse = vc2.coarse
-         |  JOIN trained c ON c.cid = f.fid AND c.i = e.i
-         |  GROUP BY 1, 2),
-         |bucket AS (
-         |  SELECT vec_id, fid AS bucket FROM (
-         |    SELECT vec_id, fid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
-         |    FROM cc2) WHERE rn = 1),
-         |prs AS (
-         |  SELECT x.vec_id AS v1, y.vec_id AS v2
-         |  FROM bucket x JOIN bucket y
-         |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
-         |sc AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
-         |  FROM e a JOIN e b ON a.i = b.i
-         |  JOIN prs p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
-         |  GROUP BY 1, 2)
+    // two-level assign of the sample against the hash-selected stand-ins,
+    // rounded per-bucket/dim means, then the two-level assign of the
+    // corpus against those means, then the knn tail.
+    "q_sim_knn_graph_trained" ->
+      s"""WITH $trainedKnnCtes
          |SELECT vec_id, rank, nbr, cos FROM (
          |  SELECT vec_id, nbr, cos,
          |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
          |      AS BIGINT) AS rank
-         |  FROM sc) WHERE rank <= 3""".stripMargin
-    },
+         |  FROM sc) WHERE rank <= 3""".stripMargin,
+
+    // Recall gate for the trained kNN graph: truth = the exact global
+    // top-3 per vector (O(n²) ground truth, fixture-priced); found = the
+    // trained pipeline's edges; recall = overlap ratio. Rank arithmetic
+    // only — hash-exact.
+    "q_sim_knn_recall_trained" ->
+      s"""WITH $trainedKnnCtes,
+         |found AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM sc) WHERE rank <= 3),
+         |tsc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM tsc) WHERE rank <= 3),
+         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
+         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) > 0
+         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
 
     "q_sim_ann_kmeans" -> {
       def dStep(cIn: String, dOut: String, aOut: String) =
