@@ -39,10 +39,19 @@ object Smoke {
           // checkpointed components) construction IS the work and timing the
           // final count alone would report a fantasy number
           var df: org.apache.spark.sql.DataFrame = null
+          // SPARK_GRAFT_SMOKE_NOOP=1 → noop-write (materializes EVERY
+          // column, the Bench protocol) instead of count(): count prunes
+          // unreferenced aggregates, so digest/assign-style queries whose
+          // cost lives in pruned columns time as ~0 under count (merkle
+          // measured 0.65 s "at sf10" that way; the digests never ran)
+          val noop = sys.env.get("SPARK_GRAFT_SMOKE_NOOP").contains("1")
           for (run <- 1 to args.lift(2).map(_.toInt).getOrElse(1)) {
             val t0 = System.nanoTime()
             df = SparkEntry.queries(name)(spark, sfDir)
-            val n = df.count()
+            val n =
+              if (noop) {
+                df.write.mode("overwrite").format("noop").save(); -1L
+              } else df.count()
             println(s"QUERY=$name RUN=$run ROWS=$n SEC=${(System.nanoTime() - t0) / 1e9}")
           }
           // cached frames from one query must not distort the next (same
