@@ -23,6 +23,27 @@ object Sources {
       .option("columnNameOfCorruptRecord", columnNameOfCorruptRecord)
       .json(path)
 
+  /** Ingest quarantine: split a PERMISSIVE scan into (clean, quarantined)
+    * — the production JSONL-ingest pattern: clean rows flow on with the
+    * corrupt column dropped; quarantined rows keep the RAW malformed line
+    * for replay/audit. The parsed frame must be cached first: Spark
+    * refuses a query whose referenced columns are ONLY the internal
+    * corrupt-record column on an uncached scan (it would need a second
+    * parse to reconstruct the raw line), so the cache here is a
+    * correctness requirement, not an optimization. Caller unpersists the
+    * returned handle when both sides are consumed.
+    */
+  def quarantine(df: DataFrame,
+                 corruptCol: String = "_corrupt_record")
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val cached = df.cache()
+    val clean = cached.where(col(corruptCol).isNull).drop(corruptCol)
+    val bad = cached.where(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, bad, cached)
+  }
+
   /** S2/S3 — parquet scan; Hadoop glob patterns in `path` expand natively. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

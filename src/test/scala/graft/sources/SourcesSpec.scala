@@ -34,6 +34,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.where(col("_corrupt_record").isNotNull).count() == 1)
   }
 
+  test("quarantine splits clean rows from raw malformed lines") {
+    val dir = Files.createTempDirectory("graft-quar").toFile
+    val f = new java.io.File(dir, "in.json")
+    Files.writeString(f.toPath,
+      """{"id":"a","score":0.5}
+        |{broken
+        |{"id":"b","score":1.5}
+        |also broken
+        |""".stripMargin)
+    val (clean, bad, handle) =
+      Sources.quarantine(Sources.json(spark, f.getPath, schema))
+    assert(clean.columns.toSeq == Seq("id", "score"),
+      "corrupt column must not leak into the clean side")
+    assert(clean.as[(String, Double)].collect().toSet ==
+      Set(("a", 0.5), ("b", 1.5)))
+    val raw = bad.as[String].collect().toSet
+    assert(raw == Set("{broken", "also broken"),
+      s"quarantine must keep the RAW line for replay: $raw")
+    handle.unpersist()
+  }
+
   test("optionalJson switches pipeline mode on presence") {
     assert(Sources.optionalJson(spark, None, schema).isEmpty)
     assert(Sources.optionalJson(spark, Some(""), schema).isEmpty)
