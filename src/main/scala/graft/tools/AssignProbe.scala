@@ -77,6 +77,16 @@ object AssignProbe {
     timed("trained 2l assign")(force(trainedAssign()))
     println("trained skew:")
     skew(trainedAssign().where(col("bucket").isNotNull))
+    // does a SECOND Lloyd round on the sample buy more balance?
+    val trained2 = SimSearch.trainCentroids(sample, trained)
+      .withColumn("is_coarse",
+        pmod(graft.ops.Core.md5Hash64(concat(lit("coarse|"),
+          col("cid").cast("string"))), lit(kc)) === 0)
+      .cache()
+    println(s"round-2 trained cents: ${trained2.count()}")
+    println("round-2 trained skew:")
+    skew(SimSearch.assignTwoLevelAgainst(e, trained2)
+      .where(col("bucket").isNotNull))
     spark.stop()
   }
 
