@@ -249,6 +249,50 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 5L, 7L, 3L)), got)
   }
 
+  test("duplicatedSpans ≡ brute force on random small-vocab docs " +
+    "(positions, maximality, and gap splits all match)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val K = 3
+    val docGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    for (trial <- 1 to 5) {
+      val docs = (0 until 8).map(i =>
+        (i.toLong, docGen.pureApply(Gen.Parameters.default,
+          Seed(9000L * trial + i))))
+      // brute force: position p of doc d is dup-covered iff its K-gram
+      // occurs in some OTHER doc; islands merge while pos <= prev + K
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      def grams(id: Long): Seq[(Int, String)] = {
+        val t = toks(id)
+        if (t.length < K) Seq.empty
+        else (1 to t.length - K + 1).map(p =>
+          p -> t.slice(p - 1, p - 1 + K).mkString(" "))
+      }
+      val byGram = docs.flatMap { case (id, _) =>
+        grams(id).map { case (_, g) => g -> id } }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      val want = docs.flatMap { case (id, _) =>
+        val dupPos = grams(id).collect {
+          case (p, g) if (byGram(g) - id).nonEmpty => p
+        }
+        val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (cur :: rest), p) if p <= cur.head + K =>
+            (p :: cur) :: rest
+          case (acc, p) => List(p) :: acc
+        }.reverse
+        islands.zipWithIndex.map { case (ps, i) =>
+          (id, (i + 1).toLong, ps.min.toLong,
+            ps.max.toLong + (K - 1), (ps.max + K - ps.min).toLong)
+        }
+      }.toSet
+      val got = Dedup.duplicatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", K)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial: docs=$docs")
+    }
+  }
+
   test("scrubSpans keeps the global-min occurrence intact and cuts every " +
     "other duplicated span's tokens") {
     // same fixture as the span trace: d1 owns every keeper (its occs are
