@@ -173,6 +173,58 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(media_id: Long, n_samples: Long,
+                           n_zero_cross: Long, sum_abs: Long, max_abs: Long)
+
+  /** Real DSP over the real codec: encode the deterministic PCM16 buffer
+    * to WAV, decode it back, and compute integer signal features FROM THE
+    * DECODED SAMPLES — zero crossings (negativity flips between
+    * consecutive samples), Σ|s|, max|s|. All-integer outputs of a
+    * lossless codec pass, so the oracle replicates the arithmetic and the
+    * green row pins decode + feature extraction end to end (the audio
+    * analogue of phashRoundTrip's decoded-pixel hashing). Same
+    * mapPartitions codec boundary.
+    */
+  def wavFeatures(specs: Dataset[AudioSpec]): Dataset[AudioFeatures] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { rows =>
+      rows.map { sp =>
+        val pcm = new Array[Byte](sp.n_samples * 2)
+        var i = 0
+        while (i < sp.n_samples) {
+          val s = (((sp.media_id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sp.sample_rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, sp.n_samples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val decoded = back.readAllBytes()
+        val n = decoded.length / 2
+        def sample(j: Int): Int =
+          (decoded(2 * j) & 0xff) | (decoded(2 * j + 1).toInt << 8)
+        var zc = 0L; var sumAbs = 0L; var maxAbs = 0L
+        var j = 0
+        while (j < n) {
+          val x = sample(j)
+          if (j > 0 && ((sample(j - 1) < 0) != (x < 0))) zc += 1
+          val a = math.abs(x.toLong)
+          sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          j += 1
+        }
+        AudioFeatures(sp.media_id, n.toLong, zc, sumAbs, maxAbs)
+      }
+    }
+  }
+
   case class VideoSpec(media_id: Long, width: Int, height: Int, n_frames: Int)
   case class DecodedFrame(media_id: Long, frame_no: Int, width: Int,
                           height: Int, rgb0: Long)

@@ -87,6 +87,22 @@ object Media {
       Multimodal.wavRoundTrip(specs).toDF()
     }),
 
+    // Real DSP features from DECODED audio (Multimodal.wavFeatures): the
+    // same PCM16→WAV→decode pass as the roundtrip, then zero crossings /
+    // Σ|s| / max|s| computed from the decoded samples — all-integer, so
+    // the oracle's arithmetic replication pins codec losslessness AND the
+    // feature extraction together (the audio analogue of the decoded-
+    // pixel phash).
+    "q_media_wav_features" -> ((s, d) => {
+      import s.implicits._
+      val specs = table(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
+        (lit(64) + col("n_chars") % 192).cast("int").as("n_samples")
+      ).as[Multimodal.AudioSpec]
+      Multimodal.wavFeatures(specs).toDF()
+    }),
+
     // REAL multi-frame container on the record (animated GIF through
     // javax.imageio): per-doc deterministic frame sequence → one GIF byte
     // stream → frame-by-frame decode, all inside the partition loop — the
@@ -190,6 +206,26 @@ object Media {
         |  CAST((doc_id * 31 + (64 + n_chars % 192 - 1) * 17) % 65536 - 32768
         |    AS BIGINT) AS s_last
         |FROM documents""".stripMargin,
+
+    // Feature twin: regenerate the deterministic samples, lag for the
+    // negativity-flip crossings, integer folds.
+    "q_media_wav_features" ->
+      """WITH sp AS (
+        |  SELECT doc_id, 64 + n_chars % 192 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |      FROM sp),
+        |v AS (SELECT doc_id, n, i,
+        |        (doc_id * 31 + i * 17) % 65536 - 32768 AS x
+        |      FROM s),
+        |c AS (SELECT doc_id, n, i, x,
+        |        lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+        |      FROM v)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(count(*) FILTER (px IS NOT NULL AND ((px < 0) != (x < 0)))
+        |    AS BIGINT) AS n_zero_cross,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(x)) AS BIGINT) AS max_abs
+        |FROM c GROUP BY doc_id, n""".stripMargin,
 
     "q_media_gif_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
