@@ -1049,7 +1049,11 @@ object LlmOps {
       val grams = docs
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("w"))
       val tf = grams.groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("tf")).cache()
+        // NO cache: ReuseExchange already dedups the tf exchange between
+        // the df branch and the candidate join, and the trigram tf table
+        // is the biggest frame in the query — the columnar fill measured
+        // +1.4 s at sf0.1 (3.8 vs 2.4 s cache-cleared)
+        .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val dl = docs.select(col("doc_id"),
         size(TextOps.shingles(col("text"), 3)).cast("long").as("dl"))
@@ -1219,7 +1223,8 @@ object LlmOps {
         .select(col("doc_id"), col("chunk_id"),
           explode(TextOps.shingles(col("ptext"), 3)).as("w"))
         .groupBy(col("doc_id"), col("chunk_id"), col("w"))
-        .agg(count(lit(1)).as("tf")).cache()
+        // no cache — same ReuseExchange argument as q_text_bm25_dfcap
+        .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val dl = passages.select(col("doc_id"), col("chunk_id"),
         size(TextOps.shingles(col("ptext"), 3)).cast("long").as("dl"))
