@@ -286,16 +286,21 @@ object SimSearch {
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
     val en = normEmbeds(s, d)
+    // per-vector top-k via the BOUNDED pair aggregator: the window form
+    // shuffles and SORTS every bucket-pruned scored pair per vector
+    // (≈ occupancy·n rows); TopKPairAgg map-side-combines to k pairs per
+    // (vector, partition). Output identical by the aggregator's
+    // (score DESC, id ASC) ≡ row_number contract (TopKPairAggSpec).
     pairs
       .join(en.select(col("vec_id"), col("vn").as("a")), Seq("vec_id"))
       .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")), Seq("nbr"))
       .select(col("vec_id"), col("nbr"),
         round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("nbr"))).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), k).as("t"))
+      .select(col("vec_id"), posexplode(col("t")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("nbr"), col("col._1").as("cos"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -507,16 +512,20 @@ object SimSearch {
     // only so the row is hash-exact.
     "q_sim_knn_recall_trained" -> ((s, d) => {
       val en = normEmbeds(s, d)
+      // top-3 via the BOUNDED pair aggregator, not a window: the window
+      // form shuffles and sorts all n² scored pairs per vector; TopKPairAgg
+      // map-side-combines to 3 pairs per (vector, partition) — the same
+      // output by the aggregator's (score DESC, id ASC) contract
       val truth = en.select(col("vec_id"), col("vn").as("a"))
         .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
           col("vec_id") =!= col("nbr"))
         .select(col("vec_id"), col("nbr"),
           round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("nbr"))))
-        .where(col("rank") <= 3)
-        .select(col("vec_id"), col("nbr"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKPairAgg
+          .topK(col("cos"), col("nbr"), 3).as("t"))
+        .select(col("vec_id"), explode(col("t")).as("p"))
+        .select(col("vec_id"), col("p._2").as("nbr"))
       val found = queries("q_sim_knn_graph_trained")(s, d)
         .select(col("vec_id"), col("nbr"))
       val nT = truth.agg(count(lit(1)).as("n_true"))
