@@ -187,6 +187,50 @@ object LlmOps {
       Dedup.components(pairs, iters = 4)
     }),
 
+    // Leakage-safe train/eval split — the dedup-aware sampling step every
+    // eval-honest training pipeline needs: a doc-hash split puts one
+    // member of a near-dup cluster in train and its twin in eval, leaking
+    // the eval set into training. Here the SPLIT KEY IS THE CLUSTER
+    // (LSH → est-Jaccard ≥ 0.5 → min-label components; singletons are
+    // their own cluster), so a near-dup pair can never straddle. Output
+    // is one summary row: per-split doc/cluster counts plus
+    // n_cross_pairs — the straddle count, 0 BY CONSTRUCTION, and the
+    // oracle independently recomputes that 0 from its own clustering.
+    // Scale shape: the dedup family's existing stages + one hash on the
+    // cluster id; the split adds no new shuffle.
+    "q_sample_cluster_split" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sigs = Dedup
+        .minhashSigs(docs, "doc_id", "text", 3, MinhashSeeds).cache()
+      val pairs = Dedup
+        .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      val clustered = docs.select(col("doc_id"))
+        .join(Dedup.components(pairs, iters = 4), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val split = clustered.select(col("doc_id"), col("cluster"),
+        when(pmod(Core.md5Hash64(
+          concat(lit("split|"), col("cluster").cast("string"))), lit(10)) < 8,
+          lit("train")).otherwise(lit("eval")).as("split"))
+        .cache()
+      val sides = split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("nc"))
+      val cross = pairs
+        .join(split.select(col("doc_id").as("doc1"), col("split").as("s1")),
+          Seq("doc1"))
+        .join(split.select(col("doc_id").as("doc2"), col("split").as("s2")),
+          Seq("doc2"))
+        .agg(count(when(col("s1") =!= col("s2"), true)).as("n_cross_pairs"))
+      sides.where(col("split") === "train")
+        .select(col("n").as("n_train_docs"), col("nc").as("n_train_clusters"))
+        .crossJoin(sides.where(col("split") === "eval")
+          .select(col("n").as("n_eval_docs"), col("nc").as("n_eval_clusters")))
+        .crossJoin(cross)
+    }),
+
     // Same clustering, different algorithm: alternating large-star /
     // small-star rounds (Kiveris SoCC'14) rewrite the EDGE SET until it is
     // a forest of stars centered at component minima — O(log² n) rounds
@@ -2690,6 +2734,36 @@ object LlmOps {
     },
 
     "q_dedup_components" -> componentsOracleSql,
+
+    // Cluster-split twin: the components CTE chain, singleton coalesce,
+    // the same cluster-hash split, and an independent recomputation of
+    // the straddle count (provably 0 — split is a function of cluster).
+    "q_sample_cluster_split" -> {
+      val h = sqlHash64("'split|' || CAST(cluster AS VARCHAR)")
+      s"""$componentsCtes,
+         |clustered AS (
+         |  SELECT d.doc_id, coalesce(l4.label, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN l4 ON l4.doc_id = d.doc_id),
+         |sp AS (
+         |  SELECT doc_id, cluster,
+         |    CASE WHEN $h % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+         |  FROM clustered),
+         |sides AS (
+         |  SELECT split, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT cluster) AS BIGINT) AS nc
+         |  FROM sp GROUP BY split),
+         |cross_p AS (
+         |  SELECT CAST(count(*) FILTER (a.split != b.split) AS BIGINT)
+         |    AS n_cross_pairs
+         |  FROM ed JOIN sp a ON a.doc_id = ed.s JOIN sp b ON b.doc_id = ed.t
+         |  WHERE ed.s < ed.t)
+         |SELECT
+         |  (SELECT n FROM sides WHERE split = 'train') AS n_train_docs,
+         |  (SELECT nc FROM sides WHERE split = 'train') AS n_train_clusters,
+         |  (SELECT n FROM sides WHERE split = 'eval') AS n_eval_docs,
+         |  (SELECT nc FROM sides WHERE split = 'eval') AS n_eval_clusters,
+         |  (SELECT n_cross_pairs FROM cross_p) AS n_cross_pairs""".stripMargin
+    },
 
     // two-star converges to exactly the min-label components, so the
     // 4-iteration propagation oracle is shared (the fixture's clusters
