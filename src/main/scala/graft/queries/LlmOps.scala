@@ -1267,8 +1267,14 @@ object LlmOps {
         .select(col("doc_id"), col("chunk_id"),
           explode(TextOps.shingles(col("ptext"), 3)).as("w"))
         .groupBy(col("doc_id"), col("chunk_id"), col("w"))
-        // no cache — same ReuseExchange argument as q_text_bm25_dfcap
-        .agg(count(lit(1)).as("tf"))
+        // CACHED — the opposite call from q_text_bm25_dfcap, both measured
+        // at sf10: dropping bm25's doc-level tf cache won at every scale
+        // (ReuseExchange covers it; fill cost only), but the PASSAGE tf is
+        // ~3× taller (chunk explosion) and its recompute across the df
+        // branch and the candidate join is NOT fully reused at sf10 —
+        // uncached measured 52-58 s vs 25-37 s cached (sf0.1 prefers
+        // uncached by ~0.9 s; the 100× behavior wins the call)
+        .agg(count(lit(1)).as("tf")).cache()
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val dl = passages.select(col("doc_id"), col("chunk_id"),
         size(TextOps.shingles(col("ptext"), 3)).cast("long").as("dl"))
