@@ -334,6 +334,88 @@ object Multimodal {
     }
   }
 
+  case class ResizedCodec(media_id: Long, up_w: Int, up_h: Int,
+                          n_white_up: Long, recovered_fp: Long)
+
+  /** REAL pixel-space resize through the PNG codec — the upgrade of the
+    * `resize` stub above for payloads we can synthesize: render the row's
+    * 60-bit pattern as an 8×8 PNG, encode, DECODE, nearest-neighbor
+    * upscale ×k FROM THE DECODED PIXELS, re-encode, decode AGAIN, then
+    * (a) count white pixels in the decoded upscaled image and (b) box-
+    * filter back down to 8×8 (majority threshold per k×k cell) and
+    * rebuild the 60-bit fingerprint from the downscaled cells.
+    *
+    * Both outputs are exact cross-engine invariants: PNG is lossless and
+    * NN-upscale maps each source pixel to a k×k block, so
+    * `n_white_up = popcount(bits) · k²` and `recovered_fp = bits` — pure
+    * arithmetic the DuckDB oracle replicates, yet computed here only via
+    * two real encode+decode passes and a genuine resampling kernel. A
+    * lossy codec or a broken scaler breaks the hash gate immediately.
+    * Same mapPartitions codec boundary as the rest of the family.
+    */
+  def resizeRoundTrip(specs: Dataset[PhashSpec], k: Int): Dataset[ResizedCodec] = {
+    import specs.sparkSession.implicits._
+    require(k >= 1, s"scale factor must be >= 1: $k")
+    specs.mapPartitions { rows =>
+      rows.map { sp =>
+        val bits = sp.pat ^ (1L << sp.flip_pos)
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < 64) {
+          val white = p < 60 && ((bits >> p) & 1L) == 1L
+          img.setRGB(p % 8, p / 8, if (white) 0xffffff else 0x000000)
+          p += 1
+        }
+        val bos1 = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos1)
+        val dec1 = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos1.toByteArray))
+        // NN upscale from DECODED pixels (not the spec bits)
+        val up = new java.awt.image.BufferedImage(
+          8 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8 * k) {
+          var x = 0
+          while (x < 8 * k) {
+            up.setRGB(x, y, dec1.getRGB(x / k, y / k) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos2 = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(up, "png", bos2)
+        val dec2 = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos2.toByteArray))
+        var nWhite = 0L
+        var fp = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            var whiteSub = 0
+            var dy = 0
+            while (dy < k) {
+              var dx = 0
+              while (dx < k) {
+                if ((dec2.getRGB(cx * k + dx, cy * k + dy) & 0xffffff) == 0xffffff) {
+                  whiteSub += 1; nWhite += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            val cell = cy * 8 + cx
+            if (cell < 60 && whiteSub * 2 > k * k) fp |= 1L << cell
+            cx += 1
+          }
+          cy += 1
+        }
+        ResizedCodec(sp.media_id, 8 * k, 8 * k, nWhite, fp)
+      }
+    }
+  }
+
   /** Documents → media table adapter: UTF-8 payloads standing in for real
     * image/audio bytes (the fixtures ship no binary media), typed via the
     * MediaRow encoder.

@@ -145,6 +145,24 @@ object Media {
         blocks = 4, blockBits = 15, maxDist = 3)
     }),
 
+    // REAL pixel-space resize through the codec — the stub-resize upgrade:
+    // per-doc 60-bit pattern → 8×8 PNG encode+decode → NN upscale ×3 from
+    // the decoded pixels → re-encode+decode → white-pixel count of the
+    // decoded 24×24 image + box-filter downscale back to the fingerprint.
+    // PNG losslessness + exact NN block replication make both outputs
+    // pure arithmetic of the spec (n_white_up = popcount·9, recovered_fp
+    // = pattern), so the oracle pins two codec passes AND the resampling
+    // kernel in one hash row.
+    "q_media_resize_codec" -> ((s, d) => {
+      import s.implicits._
+      val specs = table(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        graft.ops.Core.md5Hash64(col("doc_id").cast("string")).as("pat"),
+        ((col("doc_id") * 7) % 60).cast("int").as("flip_pos")
+      ).as[Multimodal.PhashSpec]
+      Multimodal.resizeRoundTrip(specs, k = 3).toDF()
+    }),
+
     // Hash-derived feature vector (stub embedding), exploded to columns.
     "q_media_features" -> ((s, d) => {
       val f = Multimodal.features(encode(col("text"), "UTF-8"), 4)
@@ -260,6 +278,20 @@ object Media {
          |SELECT doc1, doc2, CAST(bit_count(xor(sim1, sim2)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sim1, sim2)) <= $maxDist""".stripMargin
     },
+
+    // Resize invariants are pure arithmetic of the per-doc pattern: the
+    // codec passes are lossless and NN-upscale replicates each pixel 9×.
+    "q_media_resize_codec" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    xor(${h("CAST(doc_id AS VARCHAR)")},
+         |        1::BIGINT << CAST((doc_id * 7) % 60 AS INT)) AS bits
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CAST(24 AS INTEGER) AS up_w, CAST(24 AS INTEGER) AS up_h,
+         |  CAST(bit_count(bits) AS BIGINT) * 9 AS n_white_up,
+         |  bits AS recovered_fp
+         |FROM fp""".stripMargin,
 
     "q_media_features" -> {
       val cols = (0 until 4)

@@ -74,6 +74,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == (((1L << 60) - 1) ^ (1L << 7)))
   }
 
+  test("resizeRoundTrip: NN upscale + box downscale through two real PNG " +
+    "passes is identity on the pattern, and the decoded white count is " +
+    "popcount times k-squared") {
+    import spark.implicits._
+    val pat = 0x0ABCDEF1234567L
+    val specs = Seq(
+      PhashSpec(1L, pat, 0),
+      PhashSpec(2L, 0L, 7),             // single white pixel
+      PhashSpec(3L, (1L << 60) - 1, 59) // dense pattern, top bit flipped
+    ).toDS()
+    for (k <- Seq(1, 3)) {
+      val out = resizeRoundTrip(specs, k).collect().map(r => r.media_id -> r).toMap
+      assert(out(1L).up_w == 8 * k && out(1L).up_h == 8 * k)
+      assert(out(1L).recovered_fp == (pat ^ 1L))
+      assert(out(2L).recovered_fp == (1L << 7))
+      assert(out(3L).recovered_fp == (((1L << 60) - 1) ^ (1L << 59)))
+      for (id <- 1L to 3L)
+        assert(out(id).n_white_up ==
+          java.lang.Long.bitCount(out(id).recovered_fp).toLong * k * k)
+    }
+  }
+
   test("wavRoundTrip: a real javax.sound WAV encode/decode preserves the " +
     "sample count, rate, and PCM16 sample values") {
     import spark.implicits._
