@@ -257,4 +257,36 @@ class RunMetricsSpec extends SparkSpec {
     assert(m.shuffleWriteRecords < n,
       s"sketch rollup appears to shuffle event rows: $m (n=$n)")
   }
+
+  test("two-level IVF assign: the corpus rides broadcasts — only " +
+    "centroid-sized frames shuffle") {
+    // The q_sim_knn_graph_trained scale claim, runtime-measured: the
+    // full-corpus assign is crossJoin(broadcast(coarse)) + two broadcast
+    // probe joins, so the n-row side never enters an exchange. The only
+    // shuffles are centroid-side: the coarse collect_list partials and
+    // the per-cell fine-list groupBy — both bounded by C x map tasks,
+    // independent of n. A regression that demotes a probe join to a
+    // shuffle join (or computes fine cells from a corpus-lineage frame)
+    // moves ~n records and trips the bound by an order of magnitude.
+    val n = 5000
+    val dim = 8
+    val mkV = (id: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(dim - 1)),
+        i => ((id * 31 + i) % 97 + 1).cast("double") / 97.0)
+    val e = spark.range(0, n)
+      .select(col("id").as("vec_id"), mkV(col("id")).as("v"))
+    val cents = spark.range(0, 25)
+      .select(col("id").as("cid"), mkV(col("id") * 113).as("cv"),
+        (col("id") < 5).as("is_coarse"))
+    val (_, m) = RunMetrics.measure(spark) {
+      graft.queries.SimSearch.assignTwoLevelAgainst(e, cents)
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(m.shuffleWriteRecords > 0, m)
+    assert(m.shuffleWriteRecords <= 1000L,
+      s"assign shuffled beyond centroid-sized frames: $m (C=25)")
+    assert(m.shuffleWriteRecords < n / 2L,
+      s"the corpus appears to enter an exchange: $m (n=$n)")
+  }
 }
