@@ -37,7 +37,20 @@ object SimSearch {
   val ScaledNPlanes = 96
   val ScaledOccupancy = 16
   val ScaledMinBits = 4
-  val ScaledMaxBits = 12
+  // 24, not 12: the cap is itself a fixed capacity, and the r9 1000×
+  // sweep measured exactly the failure the sizing law exists to prevent —
+  // at n = 2M the old 12-bit clamp froze the bucket count at 4096/band,
+  // occupancy grew to ~490, and the candidate join spilled >60 GB of
+  // shuffle to disk (the fourth "fixed capacity = quadratic time bomb",
+  // after fixed LSH banding, fixed knn/semdedup C, and corpus-scaling
+  // BM25 queries). 24 bits keeps bands = 96/bits ≥ 4 inside the fixed
+  // plane pool and holds occupancy ≈ 16 to n = 16·2²⁴ ≈ 268M vectors;
+  // past THAT the pool itself must grow (more planes), which changes
+  // fixture outputs — a deliberate cliff, documented not hidden. Recall
+  // per band decays as p^bits (constant-candidate LSH trades recall as
+  // n grows); constant-recall LSH needs n^ρ more bands — at that regime
+  // use the IVF/trained-kNN family, which holds recall with √C assign.
+  val ScaledMaxBits = 24
   val ScaledThreshold = 0.8
 
   /** bits/band for n vectors — the Scala twin of the oracle's
@@ -376,9 +389,18 @@ object SimSearch {
     "q_sim_ann_lsh_scaled" -> ((s, d) => {
       val (pairs, n, bits, bands) = scaledLshCandidates(s, d)
       val en = normEmbeds(s, d)
+      // BOTH vector fetches broadcast: at occupancy 16 the candidate set
+      // is ≈ bands·8·n pairs, and a shuffle re-fetch would carry the
+      // 64-double array through two pair-sized exchanges (~40 GB each at
+      // 2M vectors — measured as a >60 GB disk-spill kill before the
+      // bits fix). The normalized frame is ~0.5 KB/vector — executor-
+      // memory-sized to ~10⁷ vectors, the FAISS replicated-index
+      // analogue; past that shard the verify by vector range instead.
       pairs
-        .join(en.select(col("vec_id").as("v1"), col("vn").as("a")), Seq("v1"))
-        .join(en.select(col("vec_id").as("v2"), col("vn").as("b")), Seq("v2"))
+        .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
+          Seq("v1"))
+        .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
+          Seq("v2"))
         .select(round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
         .agg(count(lit(1)).as("n_cand"),
           count(when(col("cos") >= ScaledThreshold, true)).as("n_match"))
@@ -659,9 +681,15 @@ object SimSearch {
       // so it's cached: (id, bucket, vn) per vector, not the corpus.
       // SemDeDup's contract is clusters ∝ n (Σ n_c² ≈ 64·n); a FIXED
       // cluster count made the in-bucket pair join n²/8 — same sizing
-      // law as q_sim_knn_graph, C from a cheap count (r8 fix).
+      // law as q_sim_knn_graph, C from a cheap count (r8 fix). The
+      // assign is TWO-LEVEL (r9 fix): with C ∝ n the flat argmax is
+      // n·C = n²/64 dots — measured 255 s at 2M vectors (1000× sweep)
+      // where sf10 read 0.7 s; coarse-then-fine is 3n·√C and the
+      // centroid-prefix construction guarantees a non-null bucket for
+      // every vector (see bucketAssignTwoLevel's scaladoc).
       val C = math.max(NCentroids, (e.count() / 64).toInt)
-      val mvn = bucketAssign(e, C)
+      val n1 = math.max(4, math.ceil(math.sqrt(C.toDouble)).toInt)
+      val mvn = bucketAssignTwoLevel(e, C, n1)
         .where(col("vec_id") >= C)
         .select(col("vec_id"), col("bucket"))
         .join(normEmbeds(s, d), Seq("vec_id")).cache()
@@ -971,6 +999,46 @@ object SimSearch {
   private def cosSql(a: String, b: String) =
     s"round(sum($a.x * $b.x) / (sqrt(sum($a.x * $a.x)) * sqrt(sum($b.x * $b.x))), 6)"
 
+  /** Shared two-level-assign CTE block (prm/coarse/cc1/vc2/fcell/cc2/
+    * bucket) — the SQL twin of bucketAssignTwoLevel over prefix stand-in
+    * centroids with C = GREATEST(cFloor, n//64) and n1 = GREATEST(4,
+    * ceil(sqrt(C))). cc1 scores n×n1 coarse pairs, vc2 keeps each
+    * vector's TWO best coarse cells, cc2 scores only fine centroids
+    * whose own first-choice cell is one of the two. Used by the
+    * knn-graph and semdedup twins (any query whose cluster count grows
+    * ∝ n — a flat argmax CTE there is the oracle replica of the n²/64
+    * scan the Spark side no longer runs).
+    */
+  private def twoLevelBucketCtes(cFloor: Int): String =
+    s"""prm AS (SELECT GREATEST($cFloor, count(*) // 64) AS nc,
+       |  GREATEST(4, CAST(ceil(sqrt(GREATEST($cFloor, count(*) // 64))) AS BIGINT)) AS n1
+       |  FROM embeddings),
+       |coarse AS (SELECT vec_id AS cid, i, x FROM e
+       |           WHERE vec_id < (SELECT n1 FROM prm)),
+       |cc1 AS (
+       |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
+       |  FROM e JOIN coarse c ON e.i = c.i GROUP BY 1, 2),
+       |vc2 AS (
+       |  SELECT vec_id, cid AS coarse, rn FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+       |    FROM cc1) WHERE rn <= 2),
+       |fcell AS (
+       |  SELECT vec_id AS fid, coarse FROM vc2
+       |  WHERE rn = 1 AND vec_id < (SELECT nc FROM prm)),
+       |cc2 AS (
+       |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
+       |  FROM e
+       |  JOIN vc2 ON vc2.vec_id = e.vec_id
+       |  JOIN fcell f ON f.coarse = vc2.coarse
+       |  JOIN e c ON c.vec_id = f.fid AND c.i = e.i
+       |  GROUP BY 1, 2),
+       |bucket AS (
+       |  SELECT vec_id, fid AS bucket FROM (
+       |    SELECT vec_id, fid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
+       |    FROM cc2) WHERE rn = 1)""".stripMargin
+
   /** PQ subspace distances + nearest-code assignment (llm.Pq twin):
     * subspace j = (i-1)//8, codebook = vectors with id < K.
     */
@@ -1269,34 +1337,7 @@ object SimSearch {
     // exactly.
     "q_sim_knn_graph_2l" ->
       s"""WITH $eSql,
-         |prm AS (SELECT GREATEST(32, count(*) // 64) AS nc,
-         |  GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)) AS n1
-         |  FROM embeddings),
-         |coarse AS (SELECT vec_id AS cid, i, x FROM e
-         |           WHERE vec_id < (SELECT n1 FROM prm)),
-         |cc1 AS (
-         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
-         |  FROM e JOIN coarse c ON e.i = c.i GROUP BY 1, 2),
-         |vc2 AS (
-         |  SELECT vec_id, cid AS coarse, rn FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM cc1) WHERE rn <= 2),
-         |fcell AS (
-         |  SELECT vec_id AS fid, coarse FROM vc2
-         |  WHERE rn = 1 AND vec_id < (SELECT nc FROM prm)),
-         |cc2 AS (
-         |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
-         |  FROM e
-         |  JOIN vc2 ON vc2.vec_id = e.vec_id
-         |  JOIN fcell f ON f.coarse = vc2.coarse
-         |  JOIN e c ON c.vec_id = f.fid AND c.i = e.i
-         |  GROUP BY 1, 2),
-         |bucket AS (
-         |  SELECT vec_id, fid AS bucket FROM (
-         |    SELECT vec_id, fid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
-         |    FROM cc2) WHERE rn = 1),
+         |${twoLevelBucketCtes(32)},
          |prs AS (
          |  SELECT x.vec_id AS v1, y.vec_id AS v2
          |  FROM bucket x JOIN bucket y
@@ -1403,21 +1444,14 @@ object SimSearch {
          |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
 
+    // Two-level-assign twin (r9): the flat cent/cc CTEs became the SQL
+    // replica of the n²/64 scan the Spark side no longer runs — the
+    // bucket now comes from the shared coarse-then-fine block.
     "q_dedup_semdedup" ->
       s"""WITH $eSql,
-         |nc AS (SELECT GREATEST($NCentroids, count(*) // 64) AS c FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, i, x FROM e
-         |         WHERE vec_id < (SELECT c FROM nc)),
-         |cc AS (
-         |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
-         |  FROM e JOIN cent c ON e.i = c.i GROUP BY 1, 2),
-         |bucket AS (
-         |  SELECT vec_id, cid AS bucket FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
-         |    FROM cc) WHERE rn = 1),
+         |${twoLevelBucketCtes(NCentroids)},
          |mem AS (SELECT vec_id, bucket FROM bucket
-         |        WHERE vec_id >= (SELECT c FROM nc)),
+         |        WHERE vec_id >= (SELECT nc FROM prm)),
          |pc AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2
          |  FROM e a JOIN e b ON a.i = b.i

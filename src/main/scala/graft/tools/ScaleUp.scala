@@ -26,16 +26,28 @@ import org.apache.spark.sql.functions._
   *   physical form the source fixture uses (long nanos or timestamp[us] —
   *   Core.table branches on the scanned type either way).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [stage]
+  *
+  * `stage` (default 1) composes sweeps: a stage-2 run takes a stage-1
+  * OUTPUT as its source and shifts every decorrelation constant past the
+  * range stage 1 used — key offset 10^14 (> any stage-1 factor-100 id),
+  * time shift 6400 days (> stage 1's 30 + 99·64-day horizon), fresh
+  * salt/sign seeds (offset by 1024 so no stage-2 copy reuses a stage-1
+  * mask — dim-64 sign masks make accidental xor-collisions ~2^-64).
+  * Copy 0 stays the identity at every stage, so sf0.1 ⊂ sf10 ⊂ sf100.
   */
 object ScaleUp {
-
-  private val KeyOffset = 1000000000000L // 10^12, divisible by 4 and 100
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    val stage = if (args.length > 3) args(3).toInt else 1
     require(factor >= 1, s"factor must be >= 1: $factor")
+    require(stage == 1 || stage == 2, s"stage must be 1 or 2: $stage")
+    // 10^12 / 10^14: both divisible by the moduli fixtures use (4, 100)
+    val KeyOffset = if (stage == 1) 1000000000000L else 100000000000000L
+    val ShiftDaysPerCopy = if (stage == 1) 64L else 6400L
+    val SeedOff = if (stage == 1) 0 else 1024
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +88,8 @@ object ScaleUp {
       df.withColumn("c_custkey", col("c_custkey") + off(c))
         .withColumn("c_name",
           if (c == 0) col("c_name")
-          else concat(col("c_name"), lit(f"-$c%02d"))))
+          else concat(col("c_name"),
+            lit(if (stage == 1) f"-$c%02d" else f"=$c%02d"))))
     replicate("supplier")((df, c) =>
       df.withColumn("s_suppkey", col("s_suppkey") + off(c)))
     replicate("part")((df, c) =>
@@ -97,7 +110,7 @@ object ScaleUp {
     // sizes grow linearly like a real corpus. 64 days > the 30-day span;
     // works on both physical vintages (long nanos / timestamp[us]).
     replicate("events")((df, c) => {
-      val shiftDays = c.toLong * 64L
+      val shiftDays = c.toLong * ShiftDaysPerCopy
       val shifted = df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", col("ts") + lit(shiftDays * 86400L * 1000000000L))
@@ -114,7 +127,8 @@ object ScaleUp {
       else {
         val salted = array_join(
           transform(split(col("text"), " "), t =>
-            when(pmod(hash(t, lit(c)), lit(2)) === 0, concat(t, lit(s"_c$c")))
+            when(pmod(hash(t, lit(c + SeedOff)), lit(2)) === 0,
+              concat(t, lit(if (stage == 1) s"_c$c" else s"_d$c")))
               .otherwise(t)),
           " ")
         df.withColumn("doc_id", col("doc_id") + off(c))
@@ -128,7 +142,7 @@ object ScaleUp {
         .withColumn("vec_id", col("vec_id") + off(c))
         .withColumn("embedding",
           transform(col("embedding"), (x, i) =>
-            when(pmod(hash(i, lit(c)), lit(2)) === 0, x).otherwise(-x)
+            when(pmod(hash(i, lit(c + SeedOff)), lit(2)) === 0, x).otherwise(-x)
               .cast("float"))))
 
     spark.stop()
