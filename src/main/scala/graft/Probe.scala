@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.SimSearch
+
+/** Dev-only component timer for the semdedup/IVF assign family:
+  * `runMain graft.Probe <probe[,probe...]> <sfDir>`. Each probe isolates
+  * one stage of q_dedup_semdedup so a full-query wall number can be
+  * attributed (the sf100 sweep measured two-level semdedup SLOWER than
+  * flat — 482 vs 255 s — which the 3n·√C vs n·C/64 FLOP math says is
+  * impossible unless a non-dot cost dominates). Results print as
+  * PROBE=<name> SEC=<s> plus probe-specific stats. Not part of the
+  * driver surface; no oracle.
+  */
+object Probe {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
+    val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val s = session()
+    val e = SimSearch.embeds(s, d)
+    val n = e.count()
+    val C = math.max(SimSearch.NCentroids, (n / 64).toInt)
+    val n1 = math.max(4, math.ceil(math.sqrt(C.toDouble)).toInt)
+    println(s"PROBE=setup N=$n C=$C N1=$n1")
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(s"PROBE=$name SEC=${(System.nanoTime() - t0) / 1e9}")
+      s.catalog.clearCache()
+    }
+
+    // uniform stand-in assignment: occupancy ≈ 64 with hash-uniform
+    // buckets — times the pair stage with ZERO assign cost and NO skew
+    def uniformAssign: DataFrame =
+      e.select(col("vec_id"), pmod(xxhash64(col("vec_id")), lit(C.toLong)).as("bucket"))
+
+    def skewStats(asg: DataFrame, name: String): Unit = {
+      val row = asg.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("sumsq"), max(col("c")).as("mx"),
+          count(lit(1)).as("nbuckets")).head()
+      println(s"STATS=$name SUMSQ=${row.getLong(0)} MAXBUCKET=${row.getLong(1)} NBUCKETS=${row.getLong(2)}")
+    }
+
+    names.foreach {
+      case "assignflat" => timed("assignflat") {
+        noop(SimSearch.bucketAssign(e, C).select(col("vec_id"), col("bucket")))
+      }
+      case "assign2l" => timed("assign2l") {
+        noop(SimSearch.bucketAssignTwoLevel(e, C, n1))
+      }
+      case "skewflat" => timed("skewflat") {
+        skewStats(SimSearch.bucketAssign(e, C)
+          .where(col("vec_id") >= C).select(col("vec_id"), col("bucket")), "skewflat")
+      }
+      case "skew2l" => timed("skew2l") {
+        skewStats(SimSearch.bucketAssignTwoLevel(e, C, n1)
+          .where(col("vec_id") >= C), "skew2l")
+      }
+      case "skewuniform" => timed("skewuniform") {
+        skewStats(uniformAssign, "skewuniform")
+      }
+      case "pairsuniform" => timed("pairsuniform") {
+        // the semdedup tail (mvn join + in-bucket pair join + dedup agg)
+        // over the uniform assign — isolates pair cost from assign cost
+        val mvn = uniformAssign.join(SimSearch.normEmbeds(s, d), Seq("vec_id")).cache()
+        val dropped = mvn.as("a").join(mvn.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .where(round(graft.llm.Vectors.dotFast(col("a.vn"), col("b.vn")), 6)
+            >= SimSearch.NearDupThreshold)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        noop(mvn.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_members"),
+            count(when(col("dup").isNull, 1)).as("n_kept")))
+      }
+      case other => println(s"PROBE=$other SKIPPED=unknown")
+    }
+    s.stop()
+  }
+}

@@ -124,7 +124,7 @@ object SimSearch {
     * rides the codegen'd dot (not the per-element HOF fold); `nrm` sits
     * behind its own projection so the 64-lane transform reads an attribute.
     */
-  private def normEmbeds(s: SparkSession, d: String): DataFrame =
+  private[graft] def normEmbeds(s: SparkSession, d: String): DataFrame =
     embeds(s, d)
       .withColumn("nrm", sqrt(Vectors.dotFast(col("v"), col("v"))))
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
@@ -164,11 +164,23 @@ object SimSearch {
     * inside the lambda (r6 lesson: interpreted HOF folds cost 3-7×).
     */
   private def argmaxCid(cents: Column, v: Column, nrm: Column): Column =
+    argmaxStruct(cents, v, nrm).getField("cid")
+
+  /** The (cos, cid) max struct itself — callers that argmax over SEVERAL
+    * candidate arrays take `greatest` of the per-array maxima instead of
+    * concatenating the arrays first: max is associative, struct ordering
+    * is the same lexicographic (cos, cid), and `greatest` skips a null
+    * (empty-array) side — but the concat form deep-copies every
+    * element's 64-double vector into a fresh row-local array (~90 KB per
+    * probe cell per ROW), which at 2M vectors measured as ~2× the
+    * entire flat-assign wall (SCALE.md r9 1000× sweep). Per-cell argmax
+    * reads the broadcast-side vectors in place.
+    */
+  private def argmaxStruct(cents: Column, v: Column, nrm: Column): Column =
     array_max(transform(cents, c =>
       struct(round(Vectors.dotFast(v, c.getField("cv"))
         / (nrm * c.getField("cnrm")), 6).as("cos"),
         c.getField("cid").as("cid"))))
-      .getField("cid")
 
   /** Two-level (coarse → fine) IVF assignment with a top-2 coarse probe —
     * the hierarchical assign that removes the flat scan's n·C ceiling
@@ -253,13 +265,21 @@ object SimSearch {
     // outcome exactly.
     val emptyF = array().cast(
       "array<struct<cid:bigint,cv:array<double>,cnrm:double>>")
+    // per-cell argmax + greatest, NOT argmax over concat(fc1, fc2): the
+    // concat deep-copied both cells' vectors into a fresh ~180 KB array
+    // per row, and that memcpy (not the dots) dominated the assign at 2M
+    // vectors — see argmaxStruct's scaladoc. Semantics are identical:
+    // max is associative, (cos, cid) struct order gives the same
+    // higher-cid tie-break, greatest skips the null an empty cell yields,
+    // and both cells null still degrades to a null bucket.
     withTop2(e)
       .join(broadcast(f1), col("coarse") === col("c1"), "left")
       .join(broadcast(f2), col("coarse2") === col("c2"), "left")
       .select(col("vec_id"),
-        argmaxCid(
-          concat(coalesce(col("fc1"), emptyF), coalesce(col("fc2"), emptyF)),
-          col("v"), col("nrm")).as("bucket"))
+        greatest(
+          argmaxStruct(coalesce(col("fc1"), emptyF), col("v"), col("nrm")),
+          argmaxStruct(coalesce(col("fc2"), emptyF), col("v"), col("nrm")))
+          .getField("cid").as("bucket"))
   }
 
   /** Sampled IVF training — one approximate-Lloyd round, fully
