@@ -7,11 +7,14 @@ import graft.queries.SimSearch
 /** Dev-only component timer for the semdedup/IVF assign family:
   * `runMain graft.Probe <probe[,probe...]> <sfDir>`. Each probe isolates
   * one stage of q_dedup_semdedup so a full-query wall number can be
-  * attributed (the sf100 sweep measured two-level semdedup SLOWER than
-  * flat — 482 vs 255 s — which the 3n·√C vs n·C/64 FLOP math says is
-  * impossible unless a non-dot cost dominates). Results print as
-  * PROBE=<name> SEC=<s> plus probe-specific stats. Not part of the
-  * driver surface; no oracle.
+  * attributed. RESOLVED r10: the r9 sf100 inversion (two-level 482 s vs
+  * flat 255 s) was BUCKET SKEW, not assign cost — assign2l measured
+  * 26.6 s at 2M vectors, but skew2l showed the prefix-stand-in two-level
+  * assign filling only 2000 of 31250 buckets (Σsize² 8.6e9 vs uniform
+  * 1.3e8), inflating the in-bucket pair join ~66×. The trained assign
+  * (skewtrained/pairstrained) restores near-uniform occupancy and is what
+  * q_dedup_semdedup now ships. Results print as PROBE=<name> SEC=<s> plus
+  * probe-specific stats. Not part of the driver surface; no oracle.
   */
 object Probe {
   private def session(): SparkSession = {
@@ -53,6 +56,23 @@ object Probe {
     def uniformAssign: DataFrame =
       e.select(col("vec_id"), pmod(xxhash64(col("vec_id")), lit(C.toLong)).as("bucket"))
 
+    // the semdedup tail (mvn join + in-bucket pair join + dedup agg)
+    // over an arbitrary (vec_id, bucket) assign — isolates pair cost
+    // (∝ Σ bucket-size²) from assign cost
+    def semdedupTail(sess: SparkSession, dir: String, asg: DataFrame): Unit = {
+      val mvn = asg.join(SimSearch.normEmbeds(sess, dir), Seq("vec_id")).cache()
+      val dropped = mvn.as("a").join(mvn.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .where(round(graft.llm.Vectors.dotFast(col("a.vn"), col("b.vn")), 6)
+          >= SimSearch.NearDupThreshold)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      noop(mvn.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_members"),
+          count(when(col("dup").isNull, 1)).as("n_kept")))
+    }
+
     def skewStats(asg: DataFrame, name: String): Unit = {
       val row = asg.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as("sumsq"), max(col("c")).as("mx"),
@@ -79,19 +99,16 @@ object Probe {
         skewStats(uniformAssign, "skewuniform")
       }
       case "pairsuniform" => timed("pairsuniform") {
-        // the semdedup tail (mvn join + in-bucket pair join + dedup agg)
-        // over the uniform assign — isolates pair cost from assign cost
-        val mvn = uniformAssign.join(SimSearch.normEmbeds(s, d), Seq("vec_id")).cache()
-        val dropped = mvn.as("a").join(mvn.as("b"),
-            col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .where(round(graft.llm.Vectors.dotFast(col("a.vn"), col("b.vn")), 6)
-            >= SimSearch.NearDupThreshold)
-          .select(col("b.vec_id").as("vec_id")).distinct()
-        noop(mvn.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_members"),
-            count(when(col("dup").isNull, 1)).as("n_kept")))
+        semdedupTail(s, d, uniformAssign)
+      }
+      case "skewtrained" => timed("skewtrained") {
+        skewStats(SimSearch.trainedAssign(e).where(col("bucket").isNotNull),
+          "skewtrained")
+      }
+      case "pairstrained" => timed("pairstrained") {
+        semdedupTail(s, d,
+          SimSearch.trainedAssign(e).where(col("bucket").isNotNull)
+            .select(col("vec_id"), col("bucket")))
       }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }

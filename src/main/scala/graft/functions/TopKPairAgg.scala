@@ -21,8 +21,27 @@ class TopKPairAgg(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)],
       Array[(Double, Long)]] {
 
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // NaN-safe score compare replicating Spark's DoubleType ordering
+  // (nanSafeCompareDoubles): NaN ranks GREATEST and -0.0 == 0.0.
+  // Primitive >/== are false both ways for NaN, so a NaN-scored pair
+  // (e.g. dot/(0·nrm) on a zero-norm embedding) would otherwise rank
+  // nondeterministically and break the claimed ≡ row_number output
+  // identity. (java.lang.Double.compare is NOT a substitute: it orders
+  // -0.0 < 0.0 where Spark's window ties them and falls to the id.)
+  private def cmpScore(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1
+    else -1
+  }
+
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = cmpScore(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Array[(Double, Long)] = Array.empty
 

@@ -216,19 +216,28 @@ object LlmOps {
           concat(lit("split|"), col("cluster").cast("string"))), lit(10)) < 8,
           lit("train")).otherwise(lit("eval")).as("split"))
         .cache()
-      val sides = split.groupBy(col("split"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("nc"))
+      // scalar aggregates, not crossJoined filtered sides: a filtered
+      // side with zero rows would make the WHOLE summary 0 rows where
+      // the oracle's scalar subqueries still emit 1 row with NULLs for
+      // the empty side; when(cnt > 0, ...) reproduces those NULLs
+      // (cnt = 0 iff the side is empty).
+      val sides = split.agg(
+          count(when(col("split") === "train", 1)).as("tn"),
+          countDistinct(when(col("split") === "train", col("cluster"))).as("tc"),
+          count(when(col("split") === "eval", 1)).as("en"),
+          countDistinct(when(col("split") === "eval", col("cluster"))).as("ec"))
+        .select(
+          when(col("tn") > 0, col("tn")).as("n_train_docs"),
+          when(col("tn") > 0, col("tc")).as("n_train_clusters"),
+          when(col("en") > 0, col("en")).as("n_eval_docs"),
+          when(col("en") > 0, col("ec")).as("n_eval_clusters"))
       val cross = pairs
         .join(split.select(col("doc_id").as("doc1"), col("split").as("s1")),
           Seq("doc1"))
         .join(split.select(col("doc_id").as("doc2"), col("split").as("s2")),
           Seq("doc2"))
         .agg(count(when(col("s1") =!= col("s2"), true)).as("n_cross_pairs"))
-      sides.where(col("split") === "train")
-        .select(col("n").as("n_train_docs"), col("nc").as("n_train_clusters"))
-        .crossJoin(sides.where(col("split") === "eval")
-          .select(col("n").as("n_eval_docs"), col("nc").as("n_eval_clusters")))
-        .crossJoin(cross)
+      sides.crossJoin(cross)
     }),
 
     // Same clustering, different algorithm: alternating large-star /
@@ -1750,6 +1759,34 @@ object LlmOps {
         .select(col("doc_id"), col("n_hit_bands"), col("flagged"))
     }),
 
+    // Right-sized streaming LSH screen — the decon_sized sizing pass
+    // applied to the stream index: the fixed 16 Kbit bitset above
+    // saturates past 10× (SCALE.md — occupancy → 1, every probe a false
+    // positive, the screen stops screening). Here m, k derive from the
+    // index's DISTINCT band-key count via Bloom.bitsFor/hashesFor — one
+    // count job at INDEX BUILD time (the corpus side, amortized like any
+    // index build; the stream side stays stateless and shuffle-free) —
+    // so screen precision holds at any corpus scale. m/k ride the output
+    // so the DuckDB twin re-derives them from the same count with the
+    // same formulas and the hash gate pins the sizing arithmetic too.
+    "q_stream_lsh_sized" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sigs = Dedup.minhashSigs(docs.where(col("source") === "src0"),
+        "doc_id", "text", 3, MinhashSeeds).cache()
+      val nKeys = Dedup.bandKeys(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("bk")).distinct().count()
+      val m = graft.ops.Bloom.bitsFor(nKeys, 0.01)
+      val kh = graft.ops.Bloom.hashesFor(m, nKeys)
+      val bits = Dedup.lshBandBloom(sigs, "doc_id",
+        bands = 4, rowsPerBand = 2, mBits = m, k = kh)
+      graft.streaming.Streams.lshNearDupTagStream(
+          docs.where(col("source") =!= "src0"), bits,
+          "text", 3, MinhashSeeds, bands = 4, rowsPerBand = 2,
+          mBits = m, k = kh)
+        .select(col("doc_id"), col("n_hit_bands"), col("flagged"),
+          lit(m.toLong).as("m_bits"), lit(kh.toLong).as("k_hashes"))
+    }),
+
     // Right-sized decontamination — the production sizing the static
     // 16 Kbit instance above deliberately doesn't do (its fixed m is what
     // the oracle pins; SCALE.md documents its saturation at 10×). Here
@@ -2180,6 +2217,71 @@ object LlmOps {
          |SELECT d.doc_id,
          |  CAST(coalesce(nh.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
          |  coalesce(nh.n_hit_bands, 0) > 0 AS flagged
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN nh USING (doc_id)""".stripMargin
+    },
+
+    // Sized streaming-screen twin: the lsh_batch key CTEs + decon_sized's
+    // prm/prm2 sizing block (m word-rounded from the DISTINCT band-key
+    // count, k = round(m/n·ln2) — positive-half-up rounds identically in
+    // both engines), then the same UBIGINT word math with m, k as columns.
+    "q_stream_lsh_sized" -> {
+      val hr = 2147483648L // BloomAgg.HashRange
+      val mins = MinhashSeeds.map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      def keyRows(src: String) = (0 until 4)
+        .map(b => s"SELECT doc_id, '$b|' || concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bk FROM $src")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents
+         |        WHERE source = 'src0' AND $minDocSql)
+         |  GROUP BY doc_id),
+         |keys AS (
+         |  ${keyRows("sigs")}),
+         |dk AS (SELECT DISTINCT bk FROM keys),
+         |prm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ((CAST(ceil(-count(*) * ln(0.01) / (ln(2) * ln(2))) AS BIGINT) + 63)
+         |      // 64) * 64 AS m
+         |  FROM dk),
+         |prm2 AS (
+         |  SELECT n, m, GREATEST(1, CAST(round(m / n * ln(2)) AS BIGINT)) AS k
+         |  FROM prm),
+         |ks AS (SELECT unnest(generate_series(0, (SELECT k FROM prm2) - 1)) AS i),
+         |ref_h AS (
+         |  SELECT ${sqlHash64("bk")} % $hr AS b1,
+         |         ${sqlHash64("'bl|' || bk")} % $hr AS b2 FROM keys),
+         |words AS (
+         |  SELECT p // 64 AS widx, bit_or(1::UBIGINT << CAST(p % 64 AS INT)) AS wbits
+         |  FROM (SELECT (b1 + i * b2) % (SELECT m FROM prm2) AS p
+         |        FROM ref_h CROSS JOIN ks)
+         |  GROUP BY 1),
+         |ssigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents
+         |        WHERE source <> 'src0' AND $minDocSql)
+         |  GROUP BY doc_id),
+         |skeys AS (
+         |  ${keyRows("ssigs")}),
+         |sprobe AS (
+         |  SELECT doc_id, bk, i, (b1 + i * b2) % (SELECT m FROM prm2) AS p
+         |  FROM (SELECT doc_id, bk, ${sqlHash64("bk")} % $hr AS b1,
+         |               ${sqlHash64("'bl|' || bk")} % $hr AS b2 FROM skeys)
+         |  CROSS JOIN ks),
+         |hitks AS (
+         |  SELECT doc_id, bk
+         |  FROM sprobe LEFT JOIN words ON sprobe.p // 64 = words.widx
+         |  GROUP BY doc_id, bk
+         |  HAVING sum(CASE WHEN (coalesce(wbits, 0::UBIGINT)
+         |                        & (1::UBIGINT << CAST(sprobe.p % 64 AS INT))) <> 0
+         |             THEN 1 ELSE 0 END) = (SELECT k FROM prm2)),
+         |nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+         |       FROM hitks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nh.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+         |  coalesce(nh.n_hit_bands, 0) > 0 AS flagged,
+         |  (SELECT m FROM prm2) AS m_bits,
+         |  (SELECT k FROM prm2) AS k_hashes
          |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
          |LEFT JOIN nh USING (doc_id)""".stripMargin
     },

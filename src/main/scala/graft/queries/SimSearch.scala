@@ -307,6 +307,83 @@ object SimSearch {
       .select(col("bucket").as("cid"), col("cv"))
   }
 
+  /** Range-sharded candidate verify — the path past the ~10⁷-vector
+    * broadcast ceiling of the LSH verify stage (q_sim_ann_lsh_scaled
+    * broadcasts the WHOLE normalized table twice; ~0.5 KB/vector caps
+    * that at executor memory). The vector table splits into `shards`
+    * hash-ranges; candidates partition exactly over the (v1-shard,
+    * v2-shard) grid, and each grid cell joins two SHARD-sized broadcasts
+    * — peak broadcast memory |table|/shards, and pairs still never carry
+    * a 64-double array through an exchange (the property whose loss
+    * measured as a >60 GB spill-kill at 2M vectors, SCALE.md r9).
+    * ReuseExchange collapses the grid's 2·R² broadcast references to 2R
+    * physical builds (each shard's broadcast is the same exchange reused
+    * across its row/column of the grid — ShardedVerifySpec pins the
+    * build count). Cost: the candidate source is re-scanned R² times; at
+    * cluster scale candidates ride a localCheckpoint partitioned by the
+    * shard pair so each cell reads only its own partition — the
+    * FAISS sharded-replica trade (memory ∝ 1/R for scan-fan-out ∝ R).
+    * Output ≡ the broadcast path row-for-row (spec-pinned equality).
+    */
+  private[graft] def shardedCosVerify(en: DataFrame, pairs: DataFrame,
+      shards: Int): DataFrame = {
+    def shardOf(c: Column) = pmod(xxhash64(c), lit(shards.toLong))
+    val branches = for {
+      r1 <- 0 until shards
+      r2 <- 0 until shards
+    } yield pairs
+      .where(shardOf(col("v1")) === r1 && shardOf(col("v2")) === r2)
+      .join(broadcast(en.where(shardOf(col("vec_id")) === r1)
+        .select(col("vec_id").as("v1"), col("vn").as("a"))), Seq("v1"))
+      .join(broadcast(en.where(shardOf(col("vec_id")) === r2)
+        .select(col("vec_id").as("v2"), col("vn").as("b"))), Seq("v2"))
+    branches.reduce(_ union _)
+      .select(col("v1"), col("v2"),
+        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+  }
+
+  /** The full trained-centroid assignment pipeline — deterministic 1-in-16
+    * hash sample → hash-picked stand-ins → one approximate-Lloyd round
+    * (trainCentroids) → two-level assign of the FULL corpus against the
+    * trained means. Returns (vec_id, bucket); bucket may be null when both
+    * probed cells are empty (see assignTwoLevelAgainst). Shared by the
+    * trained kNN graph and semdedup: trained means spread with the DATA
+    * distribution, where prefix stand-ins collapse to copy-0 under
+    * ScaleUp's 10¹²-offset ids and skew the in-bucket pair stage — the r9
+    * sf100 sweep measured the prefix two-level assign filling only 2000 of
+    * 31250 buckets at 2M vectors (Σsize² 8.6e9 vs uniform 1.3e8, a ~66×
+    * pair-work inflation that made semdedup SLOWER than the flat assign it
+    * replaced). Every membership decision is a count-derived HASH
+    * predicate, never an id-prefix threshold (the 10¹²-offset trap);
+    * E[|sample|] = n/16, E[|stand-ins|] = C = max(32, n/64),
+    * E[|coarse|] = n1 ≈ √C. Training cost is sample-sized; the corpus is
+    * touched once by the final broadcast-centroid assign.
+    */
+  private[graft] def trainedAssign(e: DataFrame): DataFrame = {
+    val Mod = 16
+    val n = e.count()
+    val c = math.max(32L, n / 64)
+    val n1 = math.max(4L, math.ceil(math.sqrt(c.toDouble)).toLong)
+    val kf = math.max(1L, n / (Mod * c))
+    val kc = math.max(1L, c / n1)
+    def h(salt: String) =
+      Core.md5Hash64(concat(lit(salt), col("vec_id").cast("string")))
+    val sample = e.where(pmod(h("samp|"), lit(Mod)) === 0)
+    val cents0 = sample.where(pmod(h("cent|"), lit(kf)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        (pmod(Core.md5Hash64(concat(lit("coarse|"),
+          col("vec_id").cast("string"))), lit(kc)) === 0).as("is_coarse"))
+    // trained is consumed twice inside the final assign (coarse list +
+    // per-cell fine lists) and is C rows of 64 doubles — cache beats
+    // re-running the sampled-Lloyd lineage per consumer
+    val trained = trainCentroids(sample, cents0)
+      .withColumn("is_coarse",
+        pmod(Core.md5Hash64(concat(lit("coarse|"),
+          col("cid").cast("string"))), lit(kc)) === 0)
+      .cache()
+    assignTwoLevelAgainst(e, trained)
+  }
+
   /** Shared kNN-within-bucket tail: bucket self-join on ids only
     * (hard-won rule: broadcast-able id re-fetch beats carrying vectors
     * through the pair shuffle), exact cosine on candidates, per-vector
@@ -409,6 +486,9 @@ object SimSearch {
     "q_sim_ann_lsh_scaled" -> ((s, d) => {
       val (pairs, n, bits, bands) = scaledLshCandidates(s, d)
       val en = normEmbeds(s, d)
+      // past ~10⁷ vectors the whole-table broadcasts below exceed executor
+      // memory — swap in shardedCosVerify(en, pairs, R), which caps peak
+      // broadcast at |table|/R and is output-identical (ShardedVerifySpec)
       // BOTH vector fetches broadcast: at occupancy 16 the candidate set
       // is ≈ bands·8·n pairs, and a shuffle re-fetch would carry the
       // 64-double array through two pair-sized exchanges (~40 GB each at
@@ -513,35 +593,7 @@ object SimSearch {
     // entire train+assign pipeline cross-engine.
     "q_sim_knn_graph_trained" -> ((s, d) => {
       val K = 3
-      val Mod = 16
-      val e = embeds(s, d)
-      val n = e.count()
-      val c = math.max(32L, n / 64)
-      val n1 = math.max(4L, math.ceil(math.sqrt(c.toDouble)).toLong)
-      // every membership decision is a count-derived HASH predicate, not
-      // an id-prefix threshold: under ScaleUp's 10¹²-offset ids a
-      // `vec_id < bound` stand-in rule collapses to copy-0 only (116
-      // trained cents instead of ~3125 at sf10, measured) — hash rates
-      // are uniform over ANY id distribution. E[|sample|] = n/16,
-      // E[|stand-ins|] = C, E[|coarse|] = n1.
-      val kf = math.max(1L, n / (Mod * c))
-      val kc = math.max(1L, c / n1)
-      def h(salt: String) =
-        Core.md5Hash64(concat(lit(salt), col("vec_id").cast("string")))
-      val sample = e.where(pmod(h("samp|"), lit(Mod)) === 0)
-      val cents0 = sample.where(pmod(h("cent|"), lit(kf)) === 0)
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          (pmod(Core.md5Hash64(concat(lit("coarse|"),
-            col("vec_id").cast("string"))), lit(kc)) === 0).as("is_coarse"))
-      // trained is consumed twice inside the final assign (coarse list +
-      // per-cell fine lists) and is C rows of 64 doubles — cache beats
-      // re-running the sampled-Lloyd lineage per consumer
-      val trained = trainCentroids(sample, cents0)
-        .withColumn("is_coarse",
-          pmod(Core.md5Hash64(concat(lit("coarse|"),
-            col("cid").cast("string"))), lit(kc)) === 0)
-        .cache()
-      val assigned = assignTwoLevelAgainst(e, trained)
+      val assigned = trainedAssign(embeds(s, d))
         .select(col("vec_id"), col("bucket")).cache()
       knnWithinBuckets(s, d, assigned, K)
     }),
@@ -689,9 +741,10 @@ object SimSearch {
     // ε-neighbourhood). Clustering makes the quadratic term Σ n_c²
     // instead of n²; at 100 TB cluster count grows ∝ n so buckets stay
     // executor-sized and the in-bucket self-join is the only pair work
-    // (same tractability argument as the paper; same deterministic
-    // stand-in centroids as the IVF family so DuckDB replays the
-    // assignment). Output: per-cluster members vs survivors.
+    // (same tractability argument as the paper; same hash-sampled
+    // TRAINED centroids as the trained kNN graph so DuckDB replays the
+    // whole train+assign pipeline). Output: per-cluster members vs
+    // survivors.
     "q_dedup_semdedup" -> ((s, d) => {
       val e = embeds(s, d)
       // unit-normalized vectors ride INTO the self-join (one codegen'd dot
@@ -702,15 +755,19 @@ object SimSearch {
       // SemDeDup's contract is clusters ∝ n (Σ n_c² ≈ 64·n); a FIXED
       // cluster count made the in-bucket pair join n²/8 — same sizing
       // law as q_sim_knn_graph, C from a cheap count (r8 fix). The
-      // assign is TWO-LEVEL (r9 fix): with C ∝ n the flat argmax is
-      // n·C = n²/64 dots — measured 255 s at 2M vectors (1000× sweep)
-      // where sf10 read 0.7 s; coarse-then-fine is 3n·√C and the
-      // centroid-prefix construction guarantees a non-null bucket for
-      // every vector (see bucketAssignTwoLevel's scaladoc).
-      val C = math.max(NCentroids, (e.count() / 64).toInt)
-      val n1 = math.max(4, math.ceil(math.sqrt(C.toDouble)).toInt)
-      val mvn = bucketAssignTwoLevel(e, C, n1)
-        .where(col("vec_id") >= C)
+      // assign is the TRAINED two-level pipeline (r10 fix): prefix
+      // stand-in centroids collapse to copy-0 under ScaleUp ids and the
+      // two-probe approximation then concentrated 2M vectors into 2000
+      // buckets (Σsize² 8.6e9 vs uniform 1.3e8, Probe r10) — the pair
+      // stage inherited ~66× the work and measured 482 s vs flat's
+      // 255 s. Trained means follow the data distribution, so buckets
+      // stay near target occupancy and Σ n_c² ≈ 64·n holds (the paper's
+      // tractability argument needs BALANCED clusters, not just many).
+      // bucket can be null when BOTH probed cells are empty; the
+      // oracle's bucket CTE (rn=1 over cc2) drops such vectors, so drop
+      // them here too instead of emitting a bucket=NULL group.
+      val mvn = trainedAssign(e)
+        .where(col("bucket").isNotNull)
         .select(col("vec_id"), col("bucket"))
         .join(normEmbeds(s, d), Seq("vec_id")).cache()
       val dropped = mvn.as("a").join(mvn.as("b"),
@@ -1464,26 +1521,20 @@ object SimSearch {
          |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
 
-    // Two-level-assign twin (r9): the flat cent/cc CTEs became the SQL
-    // replica of the n²/64 scan the Spark side no longer runs — the
-    // bucket now comes from the shared coarse-then-fine block.
+    // Trained-assign twin (r10): shares the full trained CTE chain with
+    // the kNN-graph twin — sample, stand-ins, Lloyd round, corpus assign,
+    // and the scored in-bucket pairs `sc` — so the green row pins the
+    // entire train+assign+dedup pipeline cross-engine. `sc` holds both
+    // pair directions; the keeper rule reads only the v1 < v2 half.
     "q_dedup_semdedup" ->
-      s"""WITH $eSql,
-         |${twoLevelBucketCtes(NCentroids)},
-         |mem AS (SELECT vec_id, bucket FROM bucket
-         |        WHERE vec_id >= (SELECT nc FROM prm)),
-         |pc AS (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM e a JOIN e b ON a.i = b.i
-         |  JOIN mem ma ON ma.vec_id = a.vec_id
-         |  JOIN mem mb ON mb.vec_id = b.vec_id AND mb.bucket = ma.bucket
-         |  WHERE a.vec_id < b.vec_id
-         |  GROUP BY 1, 2
-         |  HAVING ${cosSql("a", "b")} >= $NearDupThreshold),
-         |dropped AS (SELECT DISTINCT v2 AS vec_id FROM pc)
-         |SELECT m.bucket, count(*) AS n_members,
-         |  count(CASE WHEN d.vec_id IS NULL THEN 1 END) AS n_kept
-         |FROM mem m LEFT JOIN dropped d USING (vec_id)
+      s"""WITH $trainedKnnCtes,
+         |dropped AS (
+         |  SELECT DISTINCT nbr AS vec_id FROM sc
+         |  WHERE vec_id < nbr AND cos >= $NearDupThreshold)
+         |SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(CASE WHEN d.vec_id IS NULL THEN 1 END) AS BIGINT)
+         |    AS n_kept
+         |FROM bucket b LEFT JOIN dropped d USING (vec_id)
          |GROUP BY 1""".stripMargin,
 
     "q_sim_ann_ivf2" -> ivf2OracleSql,

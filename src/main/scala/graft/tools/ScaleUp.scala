@@ -113,7 +113,12 @@ object ScaleUp {
       val shiftDays = c.toLong * ShiftDaysPerCopy
       val shifted = df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", col("ts") + lit(shiftDays * 86400L * 1000000000L))
+          // driver-side Scala multiplication has no ANSI guard: at
+          // ShiftDaysPerCopy=6400 the nanos shift wraps Long past copy
+          // ~16 and silently corrupts the fixture (both engines would
+          // read the same garbage, so oracles stay green). Fail fast.
+          val shiftNanos = Math.multiplyExact(shiftDays, 86400L * 1000000000L)
+          df.withColumn("ts", col("ts") + lit(shiftNanos))
         case _ =>
           df.withColumn("ts", col("ts") + expr(s"INTERVAL $shiftDays DAYS"))
       }

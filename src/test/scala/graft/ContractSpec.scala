@@ -33,4 +33,15 @@ class ContractSpec extends SparkSpec {
   test("the flagship entry query is oracle-checked") {
     assert(SparkEntry.oracleSql.contains("q_harmonic_topk"))
   }
+
+  test("SCALE.md holds no unfilled measurement placeholders") {
+    // r9 shipped "[SF100_SEMDEDUP]"-style tokens where measured numbers
+    // belonged, and the prose around them read as closed fixes — the
+    // record must never claim a measurement it doesn't hold. Guard the
+    // whole [SF...] placeholder convention, not one token.
+    val scale = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALE.md")), "UTF-8")
+    val hits = "\\[SF[0-9]+_[A-Z_]+\\]".r.findAllIn(scale).toList
+    assert(hits.isEmpty, s"unfilled SCALE.md placeholders: $hits")
+  }
 }
