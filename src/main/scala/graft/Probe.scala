@@ -110,6 +110,18 @@ object Probe {
           SimSearch.trainedAssign(e).where(col("bucket").isNotNull)
             .select(col("vec_id"), col("bucket")))
       }
+      case "train" => timed("train") {
+        noop(SimSearch.trainedCentroidFrame(e, n))
+      }
+      case "assigntrainedonly" =>
+        // trained materialized + cached OUTSIDE the timing: isolates the
+        // corpus assign against already-built centroids
+        val tr = SimSearch.trainedCentroidFrame(e, n).cache()
+        noop(tr)
+        timed("assigntrainedonly") {
+          noop(SimSearch.assignTwoLevelAgainst(e, tr)
+            .select(col("vec_id"), col("bucket")))
+        }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -38,6 +38,13 @@ object Vectors {
   def dotFast(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.GraftSql.dotFast(a, b)
 
+  /** Codegen'd max-cosine argmax over an array<struct<cid,cv,cnrm>>
+    * centroid column — the assign kernel as one loop (see ArgmaxCos).
+    * Returns struct(cos, cid); `exclude` skips one cid (lit(-1L) = none).
+    */
+  def argmaxCos(cents: Column, v: Column, nrm: Column, exclude: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.argmaxCos(cents, v, nrm, exclude)
+
   /** Unit-normalize a double vector; pair with dotFast for cheap cosine. */
   def normalize(v: Column): Column = {
     val n = norm(v)

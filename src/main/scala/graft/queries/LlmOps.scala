@@ -71,6 +71,59 @@ object LlmOps {
       .agg(sum(col("score_t")).as("score_fp"))
   }
 
+  /** Df-capped trigram BM25 candidate scores — q_text_bm25_dfcap's scorer,
+    * shared with the retrieval-eval gate. Terms are word trigrams; the
+    * count-derived df·4 ≤ N guard prunes stopword terms on the QUERY side
+    * before the tf join (see q_text_bm25_dfcap's rationale). Returns
+    * (query_id, doc_id, score_fp), all-BIGINT scoring. The trigram tf
+    * table is deliberately NOT cached: ReuseExchange already dedups its
+    * exchange between the df branch and the candidate join, and the
+    * columnar fill measured +1.4 s at sf0.1.
+    */
+  private def dfcapPairs(docs: DataFrame, qids: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("w"))
+    val tf = grams.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.shingles(col("text"), 3)).cast("long").as("dl"))
+    val nl = docs
+      .select(size(TextOps.shingles(col("text"), 3)).cast("long").as("tl"))
+      .agg(count(lit(1)).as("nn"), sum(col("tl")).as("ll"))
+    val qterms = docs
+      .join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"),
+        explode(array_distinct(slice(TextOps.shingles(col("text"), 3), 1, 5)))
+          .as("w"))
+    // the df guard prunes the QUERY side, so capped-out terms never
+    // reach the candidate join — that is what makes it a bound, not a
+    // post-filter
+    val qdf = qterms.join(df, Seq("w"))
+      .crossJoin(broadcast(nl.select(col("nn").as("nn_cap"))))
+      .where(col("df") * 4 <= col("nn_cap"))
+      .select(col("query_id"), col("w"), col("df"))
+    tf.join(broadcast(qdf), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nl))
+      .withColumn("score_t",
+        expr("((1000000 * (nn - df + 1)) div (df + 1)) * (tf * 2200)" +
+          " div (1000 * tf + 300 + (900 * dl * nn) div ll)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_t")).as("score_fp"))
+  }
+
+  /** nDCG@10 rank-discount weights as FIXED-POINT integers,
+    * W_r = round(10⁶/log₂(r+1)), plus their prefix sums (ideal-DCG
+    * lookup). Computed ONCE here and interpolated into the oracle SQL as
+    * literals (the Planes pattern), so neither engine re-derives a log —
+    * DCG sums are exact integer arithmetic and the only doubles in the
+    * eval are two single correctly-rounded divisions per query.
+    */
+  private[graft] val NdcgW: Seq[Long] =
+    (1 to 10).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+  private[graft] val NdcgCum: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keep lowest doc_id. One shuffle on
     // the 128-bit digest — the canonical 100 TB exact-dedup plan.
@@ -1081,6 +1134,72 @@ object LlmOps {
         .select(col("query_id"), col("rn"), col("doc_id"), col("score_fp"))
     }),
 
+    // Retrieval-quality gate for the BM25 family: per-query MRR and
+    // nDCG@10 of the dfcap (trigram-term) ranking against a
+    // deterministic pseudo-relevance set — the ranking-quality loop the
+    // ANN family already has (recall gates) applied to lexical
+    // retrieval. The dfcap ranker is the one worth gating: the
+    // word-token original's query terms are all stopwords on this
+    // corpus's 31-word vocabulary, so it retrieves NOTHING relevant
+    // (measured — every hit count 0); the trigram ranker actually ranks
+    // overlap. Relevance = shares ≥ 2 distinct word trigrams with the
+    // query doc (an integer count, zero FP — a lexical pseudo-label,
+    // which is what gates ranking-change regressions when no human
+    // labels exist). Rank discounts are the shared NdcgW fixed-point
+    // literals, so DCG/IDCG are exact integers and each query's
+    // mrr/ndcg is ONE correctly-rounded division. Self-hits are
+    // excluded from ranking and truth (the query doc trivially
+    // retrieves itself). Per-QUERY rows, not a global average: a
+    // cross-query mean would sum doubles in engine-dependent order.
+    // Scale shape: ranking cost is q_text_bm25_dfcap's (bounded query
+    // budget, df-bounded candidates); the truth join is
+    // intersection-bounded (only docs SHARING a shingle with a query
+    // doc can be relevant).
+    "q_text_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val qids = docs.where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"))
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      val ranked = dfcapPairs(docs, qids)
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(w10).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rn"))
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      val qsh = sh.join(broadcast(qids), col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("w"))
+      val rel = qsh.join(sh, Seq("w"))
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("ni"))
+        .where(col("ni") >= 2)
+        .select(col("query_id"), col("doc_id"))
+        .cache()
+      val wArr = array(NdcgW.map(lit(_)): _*)
+      val cumArr = array(NdcgCum.map(lit(_)): _*)
+      val hits = ranked.join(rel, Seq("query_id", "doc_id"))
+        .groupBy(col("query_id"))
+        .agg(min(col("rn")).as("first_rank"),
+          sum(element_at(wArr, col("rn").cast("int"))).as("dcg_fp"),
+          count(lit(1)).as("n_hits"))
+      val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      qids.join(nrel, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("first_rank"),
+          when(col("first_rank").isNotNull,
+            round(lit(1.0) / col("first_rank"), 6)).otherwise(lit(0.0))
+            .as("mrr"),
+          when(coalesce(col("n_rel"), lit(0L)) > 0,
+            round(coalesce(col("dcg_fp"), lit(0L)).cast("double") /
+              element_at(cumArr, least(col("n_rel"), lit(10L)).cast("int")),
+              6)).as("ndcg10"))
+    }),
+
     // Df-bounded BM25 — the production-regime variant of q_text_bm25. Two
     // changes, both of which the original's 100× rows showed are needed
     // (SCALE.md: 24× at 100×, candidates ≈ queries × corpus because the
@@ -1099,44 +1218,11 @@ object LlmOps {
     "q_text_bm25_dfcap" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, d, "documents")
-      val grams = docs
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("w"))
-      val tf = grams.groupBy(col("doc_id"), col("w"))
-        // NO cache: ReuseExchange already dedups the tf exchange between
-        // the df branch and the candidate join, and the trigram tf table
-        // is the biggest frame in the query — the columnar fill measured
-        // +1.4 s at sf0.1 (3.8 vs 2.4 s cache-cleared)
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val dl = docs.select(col("doc_id"),
-        size(TextOps.shingles(col("text"), 3)).cast("long").as("dl"))
-      val nl = docs
-        .select(size(TextOps.shingles(col("text"), 3)).cast("long").as("tl"))
-        .agg(count(lit(1)).as("nn"), sum(col("tl")).as("ll"))
       val qids = docs.where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("query_id"))
-      val qterms = docs
-        .join(broadcast(qids), col("doc_id") === col("query_id"))
-        .select(col("query_id"),
-          explode(array_distinct(slice(TextOps.shingles(col("text"), 3), 1, 5)))
-            .as("w"))
-      // the df guard prunes the QUERY side, so capped-out terms never
-      // reach the candidate join — that is what makes it a bound, not a
-      // post-filter
-      val qdf = qterms.join(df, Seq("w"))
-        .crossJoin(broadcast(nl.select(col("nn").as("nn_cap"))))
-        .where(col("df") * 4 <= col("nn_cap"))
-        .select(col("query_id"), col("w"), col("df"))
       val w10 = Window.partitionBy(col("query_id"))
         .orderBy(col("score_fp").desc, col("doc_id"))
-      tf.join(broadcast(qdf), Seq("w"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(nl))
-        .withColumn("score_t",
-          expr("((1000000 * (nn - df + 1)) div (df + 1)) * (tf * 2200)" +
-            " div (1000 * tf + 300 + (900 * dl * nn) div ll)"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("score_t")).as("score_fp"))
+      dfcapPairs(docs, qids)
         .withColumn("rn", row_number().over(w10).cast("long"))
         .where(col("rn") <= 10)
         .select(col("query_id"), col("rn"), col("doc_id"), col("score_fp"))
@@ -3247,6 +3333,81 @@ object LlmOps {
         |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
         |  FROM sc)
         |WHERE rn <= 10""".stripMargin,
+
+    // Eval twin: the dfcap CTE chain (self-hits excluded before
+    // ranking), ≥2-shared-trigram relevance (integer count), and the
+    // SAME NdcgW/NdcgCum fixed-point literals as a VALUES relation —
+    // DCG arithmetic is exact integers on both engines.
+    "q_text_retrieval_eval" -> {
+      val wts = NdcgW.zip(NdcgCum).zipWithIndex
+        .map { case ((w, cw), i) => s"(${i + 1}, ${w}::BIGINT, ${cw}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3
+         |      THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         |            FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+         |      ELSE [] END AS gl
+         |  FROM documents),
+         |toks AS (SELECT doc_id, unnest(gl) AS w FROM g),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, w),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |dl AS (SELECT doc_id, CAST(len(gl) AS BIGINT) AS dl FROM g),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |              CAST(sum(len(gl)) AS BIGINT) AS ll FROM g),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(gl[1:5])) AS w
+         |       FROM g WHERE doc_id % 100 = 0 AND doc_id < 5000),
+         |qc AS (SELECT query_id, qt.w, df FROM qt JOIN df USING (w)
+         |       WHERE df * 4 <= (SELECT nn FROM nl)),
+         |sc AS (
+         |  SELECT query_id, tf.doc_id AS doc_id,
+         |    CAST(sum(((1000000 * (nn - qc.df + 1)) // (qc.df + 1)) * (tf * 2200)
+         |      // (1000 * tf + 300 + (900 * dl * nn) // ll)) AS BIGINT) AS score_fp
+         |  FROM qc JOIN tf USING (w)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nl
+         |  GROUP BY query_id, tf.doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, rn FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rn
+         |    FROM sc WHERE doc_id != query_id)
+         |  WHERE rn <= 10),
+         |sh AS (SELECT doc_id, $shingleSql FROM documents),
+         |rel AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT q.doc_id AS query_id, s.doc_id AS doc_id,
+         |      CAST(count(*) AS BIGINT) AS ni
+         |    FROM sh q JOIN sh s ON q.w = s.w AND s.doc_id != q.doc_id
+         |    WHERE q.doc_id % 100 = 0 AND q.doc_id < 5000
+         |    GROUP BY 1, 2)
+         |  WHERE ni >= 2),
+         |wts AS (SELECT * FROM (VALUES $wts) v(r, w, cw)),
+         |hits AS (
+         |  SELECT r.query_id, min(r.rn) AS first_rank,
+         |    CAST(sum(w.w) AS BIGINT) AS dcg_fp,
+         |    CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ranked r JOIN rel USING (query_id, doc_id)
+         |  JOIN wts w ON w.r = r.rn
+         |  GROUP BY 1),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM rel GROUP BY 1),
+         |q AS (SELECT doc_id AS query_id FROM documents
+         |      WHERE doc_id % 100 = 0 AND doc_id < 5000)
+         |SELECT q.query_id,
+         |  coalesce(n_rel, 0) AS n_rel,
+         |  coalesce(n_hits, 0) AS n_hits,
+         |  first_rank,
+         |  CASE WHEN first_rank IS NOT NULL
+         |    THEN round(1.0 / first_rank, 6) ELSE 0.0 END AS mrr,
+         |  CASE WHEN coalesce(n_rel, 0) > 0 THEN
+         |    round(CAST(coalesce(dcg_fp, 0) AS DOUBLE) /
+         |      (SELECT cw FROM wts WHERE r = LEAST(n_rel, 10)), 6)
+         |  END AS ndcg10
+         |FROM q LEFT JOIN nrel USING (query_id)
+         |LEFT JOIN hits USING (query_id)""".stripMargin
+    },
 
     // Trigram-term twin: gl = the word-trigram list (empty under 3
     // tokens, matching Spark's shingles() guard), tf/df/dl/nl at trigram

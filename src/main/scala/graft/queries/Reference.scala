@@ -68,12 +68,23 @@ object Reference {
     "q_pipeline_drug_disease" -> ((s, d) => {
       val li = table(s, d, "lineitem")
       val o = table(s, d, "orders")
-      // 5 consumers re-derive this fact join; measured CHEAPER than caching
-      // (columnar cache fill blocks pipelining and cost 5x the recompute at
-      // sf0.1 — the broadcast join + pruned scans are nearly free)
-      val lines = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // 5 consumers read this fact join. Materialize-vs-recompute is a
+      // COUNT-DERIVED decision (the decon_sized sizing-pass pattern
+      // applied to caching): at sf0.1 recomputing was measured 5×
+      // cheaper than the columnar cache fill (the broadcast join +
+      // pruned scans are nearly free), but at 1000× orders outgrows the
+      // broadcast and each re-derivation becomes its own 600M-row
+      // sort-merge join — five of them spilled >54 GB and killed the
+      // box on disk (r10 sf100 sweep). Past the threshold the join runs
+      // ONCE into a disk-backed persist; below it the sf0.1-optimal
+      // recompute plan is unchanged. The parquet-metadata count is free.
+      val linesBase = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"), col("l_partkey"),
           col("o_orderstatus"), col("o_orderpriority"))
+      val lines =
+        if (li.count() > 10000000L)
+          linesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else linesBase
       val custParts = lines.where(col("o_orderstatus") === "O")
         .groupBy(col("o_custkey"))
         .agg(collect_set(col("l_partkey")).as("parts_dis"))

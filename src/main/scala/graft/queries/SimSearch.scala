@@ -149,10 +149,7 @@ object SimSearch {
         sqrt(Vectors.dotFast(col("v"), col("v"))).as("nrm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"),
-        array_max(transform(col("cents"), c =>
-          struct(round(Vectors.dotFast(col("v"), c.getField("cv"))
-            / (col("nrm") * c.getField("cnrm")), 6).as("cos"),
-            c.getField("cid").as("cid"))))
+        Vectors.argmaxCos(col("cents"), col("v"), col("nrm"), lit(-1L))
           .getField("cid").as("bucket"))
   }
 
@@ -177,10 +174,12 @@ object SimSearch {
     * reads the broadcast-side vectors in place.
     */
   private def argmaxStruct(cents: Column, v: Column, nrm: Column): Column =
-    array_max(transform(cents, c =>
-      struct(round(Vectors.dotFast(v, c.getField("cv"))
-        / (nrm * c.getField("cnrm")), 6).as("cos"),
-        c.getField("cid").as("cid"))))
+    // native ArgmaxCos (FP-identical to the HOF
+    // array_max(transform(struct(round(dot/(nrm·cnrm),6), cid))) form it
+    // replaces — ArgmaxCosSpec pins the equivalence): the HOF allocated a
+    // C-element struct array per row outside whole-stage codegen, which
+    // Probe r10 measured as the dominant assign cost at 2M vectors
+    Vectors.argmaxCos(cents, v, nrm, lit(-1L))
 
   /** Two-level (coarse → fine) IVF assignment with a top-2 coarse probe —
     * the hierarchical assign that removes the flat scan's n·C ceiling
@@ -230,20 +229,22 @@ object SimSearch {
     // sibling branches share lineage); the scored array and its max each
     // materialize behind their own select (Catalyst re-evaluates repeated
     // non-attribute subexpressions per reference)
+    // top-2 coarse probe via TWO ArgmaxCos passes (second excludes the
+    // first's winner) instead of materializing a scored n1-struct array
+    // per row and array_max/filter-ing it twice: the re-dot of pass 2 is
+    // cheaper than the per-row array allocation the HOF form paid
+    // (Probe r10), and `coarse` sits behind its own select so the
+    // exclude argument reads an attribute (Catalyst re-evaluates
+    // repeated non-attribute subexpressions)
     def withTop2(rows: DataFrame) = rows
       .select(col("vec_id"), col("v"),
         sqrt(Vectors.dotFast(col("v"), col("v"))).as("nrm"))
       .crossJoin(broadcast(coarse))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        transform(col("cents"), c =>
-          struct(round(Vectors.dotFast(col("v"), c.getField("cv"))
-            / (col("nrm") * c.getField("cnrm")), 6).as("cos"),
-            c.getField("cid").as("cid"))).as("sc"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("sc"),
-        array_max(col("sc")).getField("cid").as("coarse"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cents"),
+        Vectors.argmaxCos(col("cents"), col("v"), col("nrm"), lit(-1L))
+          .getField("cid").as("coarse"))
       .select(col("vec_id"), col("v"), col("nrm"), col("coarse"),
-        array_max(filter(col("sc"),
-          s => s.getField("cid") =!= col("coarse")))
+        Vectors.argmaxCos(col("cents"), col("v"), col("nrm"), col("coarse"))
           .getField("cid").as("coarse2"))
     // fine centroids' own coarse cells derive from the (small) centroid
     // frame itself, not from a shared big-side frame: the C-row branch
@@ -360,8 +361,20 @@ object SimSearch {
     * touched once by the final broadcast-centroid assign.
     */
   private[graft] def trainedAssign(e: DataFrame): DataFrame = {
+    // trained is consumed twice inside the final assign (coarse list +
+    // per-cell fine lists) and is C rows of 64 doubles — cache beats
+    // re-running the sampled-Lloyd lineage per consumer
+    val trained = trainedCentroidFrame(e, e.count()).cache()
+    assignTwoLevelAgainst(e, trained)
+  }
+
+  /** The training half of trainedAssign — sample, stand-ins, one Lloyd
+    * round, coarse flags — exposed so Probe can time train vs the corpus
+    * assign separately. Returns (cid, cv, is_coarse), E[C] = max(32, n/64)
+    * rows.
+    */
+  private[graft] def trainedCentroidFrame(e: DataFrame, n: Long): DataFrame = {
     val Mod = 16
-    val n = e.count()
     val c = math.max(32L, n / 64)
     val n1 = math.max(4L, math.ceil(math.sqrt(c.toDouble)).toLong)
     val kf = math.max(1L, n / (Mod * c))
@@ -373,15 +386,10 @@ object SimSearch {
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         (pmod(Core.md5Hash64(concat(lit("coarse|"),
           col("vec_id").cast("string"))), lit(kc)) === 0).as("is_coarse"))
-    // trained is consumed twice inside the final assign (coarse list +
-    // per-cell fine lists) and is C rows of 64 doubles — cache beats
-    // re-running the sampled-Lloyd lineage per consumer
-    val trained = trainCentroids(sample, cents0)
+    trainCentroids(sample, cents0)
       .withColumn("is_coarse",
         pmod(Core.md5Hash64(concat(lit("coarse|"),
           col("cid").cast("string"))), lit(kc)) === 0)
-      .cache()
-    assignTwoLevelAgainst(e, trained)
   }
 
   /** Shared kNN-within-bucket tail: bucket self-join on ids only

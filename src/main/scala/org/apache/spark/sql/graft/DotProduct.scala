@@ -77,4 +77,11 @@ object GraftSql {
   /** DEFLATE-compressed byte count of a string column. */
   def deflateLen(s: Column): Column =
     column(DeflateLen(expression(s)))
+
+  /** Codegen'd max-cosine centroid argmax (see ArgmaxCos). `exclude` is a
+    * bigint column of one centroid id to skip, lit(-1L) for none.
+    */
+  def argmaxCos(cents: Column, v: Column, nrm: Column, exclude: Column): Column =
+    column(ArgmaxCos(expression(cents), expression(v), expression(nrm),
+      expression(exclude)))
 }
