@@ -122,6 +122,13 @@ object Probe {
           noop(SimSearch.assignTwoLevelAgainst(e, tr)
             .select(col("vec_id"), col("bucket")))
         }
+      case "lshcand" => timed("lshcand") {
+        // candidate stage of q_sim_ann_lsh_scaled alone (band self-join +
+        // distinct) — attributes the scaled-LSH wall between candidate
+        // generation and the broadcast verify
+        val (pairs, _, _, _) = SimSearch.scaledLshCandidates(s, d)
+        noop(pairs)
+      }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

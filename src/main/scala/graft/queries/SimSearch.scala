@@ -399,21 +399,29 @@ object SimSearch {
     */
   private def knnWithinBuckets(s: SparkSession, d: String,
       assigned: DataFrame, k: Int): DataFrame = {
-    val pairs = assigned.as("x")
-      .join(assigned.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
-    val en = normEmbeds(s, d)
+    // vn rides INTO the bucket self-join (the semdedup pair-stage shape,
+    // r10): the old ids-only self-join + two vector re-fetch joins
+    // sorted the PAIR-sized frame (occupancy·n ≈ 126M rows at 2M
+    // vectors) twice — the re-fetch rule ("broadcast-able id joins beat
+    // shuffle width") inverts once the vector table outgrows the
+    // broadcast threshold and the fetches become pair-sized SMJs
+    // (measured at sf100/2M: the old shape DISK-KILLED after 25 min of
+    // pair-sort spill; this one runs 112.8 s with zero spill errors,
+    // and the sf10 warm wall dropped 13.6 → 8.5 s — same-session A/B).
+    // Here the only sort is the two 1·n sides of the bucket
+    // SMJ; the scored pairs flow straight into TopKPairAgg's map-side
+    // combine (k pairs per vector per partition) and never shuffle as
+    // rows.
+    val mvn = assigned.join(normEmbeds(s, d), Seq("vec_id")).cache()
     // per-vector top-k via the BOUNDED pair aggregator: the window form
-    // shuffles and SORTS every bucket-pruned scored pair per vector
-    // (≈ occupancy·n rows); TopKPairAgg map-side-combines to k pairs per
-    // (vector, partition). Output identical by the aggregator's
+    // shuffles and SORTS every bucket-pruned scored pair per vector;
+    // TopKPairAgg map-side-combines. Output identical by the aggregator's
     // (score DESC, id ASC) ≡ row_number contract (TopKPairAggSpec).
-    pairs
-      .join(en.select(col("vec_id"), col("vn").as("a")), Seq("vec_id"))
-      .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")), Seq("nbr"))
-      .select(col("vec_id"), col("nbr"),
-        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+    mvn.as("x")
+      .join(mvn.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
+        round(Vectors.dotFast(col("x.vn"), col("y.vn")), 6).as("cos"))
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), k).as("t"))
       .select(col("vec_id"), posexplode(col("t")))
