@@ -134,6 +134,34 @@ object Probe {
         val (pairs, _, _, _) = SimSearch.scaledLshCandidates(s, d)
         noop(pairs)
       }
+      case "lshskew" => timed("lshskew") {
+        // WHERE the scaled-LSH candidate mass lives: per-(band,bucket)
+        // pair mass Σ C(size,2) + max pocket, and the signature-family
+        // structure (vectors identical in EVERY band — the only shape a
+        // rep-collapse can delete losslessly)
+        val (banded, n, bits, bands) = SimSearch.scaledLshBanded(
+          SimSearch.embeds(s, d))
+        val bk = banded.cache()
+        val m = bk.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1) / 2).as("pairmass"),
+            max(col("c")).as("mx"), count(lit(1)).as("nbuckets")).head()
+        println(s"STATS=lshskew N=$n BITS=$bits BANDS=$bands " +
+          s"PAIRMASS=${m.getLong(0)} MAXBUCKET=${m.getLong(1)} " +
+          s"NBUCKETS=${m.getLong(2)}")
+        val fams = bk.groupBy(col("vec_id"))
+          .agg(array_sort(collect_list(concat_ws(":", col("band"), col("bucket"))))
+            .as("sigkey"))
+          .groupBy(col("sigkey")).agg(count(lit(1)).as("f"))
+          .agg(count(when(col("f") > 1, 1)).as("nfams"),
+            coalesce(sum(when(col("f") > 1, col("f"))), lit(0L)).as("nvecs_in_fams"),
+            coalesce(sum(col("f") * (col("f") - 1) / 2), lit(0L)).as("intra_pairs"),
+            max(col("f")).as("maxfam")).head()
+        println(s"STATS=lshskew_sigfams NFAMS=${fams.getLong(0)} " +
+          s"NVECS=${fams.getLong(1)} INTRAPAIRS=${fams.getLong(2)} " +
+          s"MAXFAM=${fams.getLong(3)}")
+        bk.unpersist()
+      }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -2310,7 +2310,9 @@ object LlmOps {
     // Sized streaming-screen twin: the lsh_batch key CTEs + decon_sized's
     // prm/prm2 sizing block (m word-rounded from the DISTINCT band-key
     // count, k = round(m/n·ln2) — positive-half-up rounds identically in
-    // both engines), then the same UBIGINT word math with m, k as columns.
+    // both engines; the 2^30-bit saturation cap mirrors Bloom.bitsFor
+    // before AND after word-rounding so m agrees at any corpus scale),
+    // then the same UBIGINT word math with m, k as columns.
     "q_stream_lsh_sized" -> {
       val hr = 2147483648L // BloomAgg.HashRange
       val mins = MinhashSeeds.map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
@@ -2327,8 +2329,9 @@ object LlmOps {
          |dk AS (SELECT DISTINCT bk FROM keys),
          |prm AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    ((CAST(ceil(-count(*) * ln(0.01) / (ln(2) * ln(2))) AS BIGINT) + 63)
-         |      // 64) * 64 AS m
+         |    LEAST(((LEAST(CAST(ceil(-count(*) * ln(0.01) / (ln(2) * ln(2))) AS BIGINT),
+         |                  1073741824) + 63)
+         |      // 64) * 64, 1073741824) AS m
          |  FROM dk),
          |prm2 AS (
          |  SELECT n, m, GREATEST(1, CAST(round(m / n * ln(2)) AS BIGINT)) AS k
@@ -2375,8 +2378,10 @@ object LlmOps {
     // Dynamic twin of the right-sized decon: m, k re-derived in SQL from
     // the same distinct-gram count with the same bitsFor/hashesFor
     // formulas (ceil(-n·ln(fpp)/ln²2) word-rounded; round(m/n·ln2) —
-    // positive-half-up rounds identically in both engines), then the same
-    // UBIGINT word math as the static oracle with m, k as columns.
+    // positive-half-up rounds identically in both engines; the 2^30-bit
+    // saturation cap mirrors Bloom.bitsFor before AND after word-rounding),
+    // then the same UBIGINT word math as the static oracle with m, k as
+    // columns.
     "q_dedup_decon_sized" -> {
       val hr = 2147483648L // BloomAgg.HashRange
       val sh5 = shingleSqlN(5, distinct = true)
@@ -2384,8 +2389,9 @@ object LlmOps {
          |  SELECT DISTINCT w AS g FROM (SELECT $sh5 FROM documents WHERE source = 'src0')),
          |prm AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    ((CAST(ceil(-count(*) * ln(0.01) / (ln(2) * ln(2))) AS BIGINT) + 63)
-         |      // 64) * 64 AS m
+         |    LEAST(((LEAST(CAST(ceil(-count(*) * ln(0.01) / (ln(2) * ln(2))) AS BIGINT),
+         |                  1073741824) + 63)
+         |      // 64) * 64, 1073741824) AS m
          |  FROM refg),
          |prm2 AS (
          |  SELECT n, m, GREATEST(1, CAST(round(m / n * ln(2)) AS BIGINT)) AS k

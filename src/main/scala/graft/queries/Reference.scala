@@ -65,58 +65,7 @@ object Reference {
     // pair join — 20 smallest part ids per supplier — so the (pair ×
     // part-set) blowup ships 20 longs per pair, not the full set (the
     // unbounded form moved ~75M candidate rows at sf0.1 and took 35s).
-    "q_pipeline_drug_disease" -> ((s, d) => {
-      val li = table(s, d, "lineitem")
-      val o = table(s, d, "orders")
-      // 5 consumers read this fact join. Materialize-vs-recompute is a
-      // COUNT-DERIVED decision (the decon_sized sizing-pass pattern
-      // applied to caching): at sf0.1 recomputing was measured 5×
-      // cheaper than the columnar cache fill (the broadcast join +
-      // pruned scans are nearly free), but at 1000× orders outgrows the
-      // broadcast and each re-derivation becomes its own 600M-row
-      // sort-merge join — five of them spilled >54 GB and killed the
-      // box on disk (r10 sf100 sweep). Past the threshold the join runs
-      // ONCE into a disk-backed persist; below it the sf0.1-optimal
-      // recompute plan is unchanged. The parquet-metadata count is free.
-      val linesBase = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey"), col("l_partkey"),
-          col("o_orderstatus"), col("o_orderpriority"))
-      val lines =
-        if (li.count() > 10000000L)
-          linesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else linesBase
-      val custParts = lines.where(col("o_orderstatus") === "O")
-        .groupBy(col("o_custkey"))
-        .agg(collect_set(col("l_partkey")).as("parts_dis"))
-      val suppParts = lines.where(col("o_orderstatus") === "F")
-        .groupBy(col("l_suppkey"))
-        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 20).as("parts_tgt"))
-      val pairs = lines.where(col("o_orderstatus") === "F")
-        .select(col("o_custkey"), col("l_suppkey")).distinct()
-      val partAes = lines.groupBy(col("l_partkey"))
-        .agg(collect_set(col("o_orderpriority")).as("part_aes"))
-      val custAes = lines.groupBy(col("o_custkey"))
-        .agg(collect_set(col("o_orderpriority")).as("cust_aes"))
-      val s1 = lit(1.0) -
-        size(array_except(col("part_aes"), col("cust_aes"))).cast("double") /
-          size(col("part_aes"))
-      val s2 = lit(1.0) -
-        size(array_except(col("cust_aes"), col("part_aes"))).cast("double") /
-          size(col("cust_aes"))
-      pairs
-        .join(suppParts, Seq("l_suppkey"))
-        .join(custParts, Seq("o_custkey"), "left_outer")
-        .withColumn("new_parts",
-          slice(array_except(col("parts_tgt"),
-            coalesce(col("parts_dis"), array().cast("array<bigint>"))), 1, 5))
-        .where(size(col("new_parts")) > 0)
-        .withColumn("part_hypothesis", explode(col("new_parts")))
-        .join(partAes, col("part_hypothesis") === partAes("l_partkey"))
-        .join(custAes, Seq("o_custkey"))
-        .select(col("o_custkey"), col("l_suppkey"), col("part_hypothesis"),
-          round(lit(0.4) * s1 + lit(0.6) * s2, 6).as("ae_score"))
-        .where(col("ae_score") > 0.5)
-    }),
+    "q_pipeline_drug_disease" -> ((s, d) => drugDiseasePipeline(s, d)),
 
     // Whitelist pipeline mode (sc:439-459): evidences restricted to
     // whitelisted diseases and RE-KEYED by whitelist id — associations
@@ -477,4 +426,122 @@ object Reference {
     // (engine-specific HLL estimate / DuckDB lacks sha1) → rows-only check;
     // q_evidence_sha256 puts the same id construction under the hash gate.
   )
+
+  // ---------------------------------------------------------------------
+  // q_pipeline_drug_disease — the composed second half of the reference
+  // pipeline (sc:478-509) over the star schema: customer=disease,
+  // supplier=target, part=drug. "New drugs" = parts the supplier ships
+  // minus parts the customer already ordered (array_except), top-5
+  // hypotheses per pair; AE-profile containment scores between part and
+  // customer priority profiles, 0.4/0.6 blend, threshold. Candidate
+  // generation is bounded BEFORE the pair join — 20 smallest part ids per
+  // supplier — so the (pair × part-set) blowup ships 20 longs per pair,
+  // not the full set (the unbounded form moved ~75M candidate rows at
+  // sf0.1 and took 35s).
+  // ---------------------------------------------------------------------
+
+  private def ddCustParts(lines: DataFrame): DataFrame =
+    lines.where(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey"))
+      .agg(collect_set(col("l_partkey")).as("parts_dis"))
+
+  private def ddSuppParts(lines: DataFrame): DataFrame =
+    lines.where(col("o_orderstatus") === "F")
+      .groupBy(col("l_suppkey"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 20).as("parts_tgt"))
+
+  private def ddPairs(lines: DataFrame): DataFrame =
+    lines.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+
+  private def ddPartAes(lines: DataFrame): DataFrame =
+    lines.groupBy(col("l_partkey"))
+      .agg(collect_set(col("o_orderpriority")).as("part_aes"))
+
+  private def ddCustAes(lines: DataFrame): DataFrame =
+    lines.groupBy(col("o_custkey"))
+      .agg(collect_set(col("o_orderpriority")).as("cust_aes"))
+
+  /** Final hypothesis assembly over the five key-sized derived frames —
+    * shared verbatim by the recompute and staged paths, so the staged
+    * variant can never drift semantically.
+    */
+  private def ddAssemble(custParts: DataFrame, suppParts: DataFrame,
+                         pairs: DataFrame, partAes: DataFrame,
+                         custAes: DataFrame): DataFrame = {
+    val s1 = lit(1.0) -
+      size(array_except(col("part_aes"), col("cust_aes"))).cast("double") /
+        size(col("part_aes"))
+    val s2 = lit(1.0) -
+      size(array_except(col("cust_aes"), col("part_aes"))).cast("double") /
+        size(col("cust_aes"))
+    pairs
+      .join(suppParts, Seq("l_suppkey"))
+      .join(custParts, Seq("o_custkey"), "left_outer")
+      .withColumn("new_parts",
+        slice(array_except(col("parts_tgt"),
+          coalesce(col("parts_dis"), array().cast("array<bigint>"))), 1, 5))
+      .where(size(col("new_parts")) > 0)
+      .withColumn("part_hypothesis", explode(col("new_parts")))
+      .join(partAes, col("part_hypothesis") === partAes("l_partkey"))
+      .join(custAes, Seq("o_custkey"))
+      .select(col("o_custkey"), col("l_suppkey"), col("part_hypothesis"),
+        round(lit(0.4) * s1 + lit(0.6) * s2, 6).as("ae_score"))
+      .where(col("ae_score") > 0.5)
+  }
+
+  /** 5 consumers read the lineitem-orders fact join on 3 different agg
+    * keys. Recompute-vs-stage is a COUNT-DERIVED decision (the
+    * decon_sized sizing-pass pattern applied to materialization):
+    *
+    *  - BELOW the threshold, each consumer re-derives the join — at
+    *    sf0.1 recomputing was measured 5× cheaper than a columnar cache
+    *    fill (the broadcast join + pruned scans are nearly free). Plan
+    *    unchanged from r10.
+    *  - ABOVE it, a single-action DAG is a DISK bomb: Spark retains
+    *    every stage's shuffle files for the lifetime of the job, so
+    *    peak disk = the SUM of the five consumers' 600M-row shuffles
+    *    (>200 GB, killed the r10 sf100 runs; the r10 persist bounded
+    *    recompute but not retained shuffle). The staged form applies
+    *    Streams.upsertBatch's materialize-then-read discipline: write
+    *    the fact join to scratch parquet ONCE, then run each per-key
+    *    aggregation as its OWN action over the (column-pruned) parquet
+    *    and stage its key-sized result; a System.gc() between actions
+    *    lets ContextCleaner drop the finished action's shuffle files, so
+    *    peak disk ≈ the largest SINGLE shuffle + the staged parquet,
+    *    not the sum. The final assembly joins only key-sized frames.
+    *
+    * The parquet-metadata count that picks the path is free.
+    * `stageRows` is the threshold (tests force 0 to exercise the staged
+    * path at fixture scale).
+    */
+  private[queries] def drugDiseasePipeline(
+      s: SparkSession, d: String,
+      stageRows: Long = 10000000L): DataFrame = {
+    val li = table(s, d, "lineitem")
+    val o = table(s, d, "orders")
+    val linesBase = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"), col("l_partkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    if (li.count() > stageRows) {
+      val root = Relational.scratchPath(s, d, "pipeline_dd")
+      def stage(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$root/$name")
+        // the staged action is complete: drop its shuffle files now
+        // (ContextCleaner reaps on GC) instead of at session end
+        System.gc()
+        s.read.parquet(s"$root/$name")
+      }
+      val lines = stage(linesBase, "lines")
+      ddAssemble(
+        stage(ddCustParts(lines), "cust_parts"),
+        stage(ddSuppParts(lines), "supp_parts"),
+        stage(ddPairs(lines), "pairs"),
+        stage(ddPartAes(lines), "part_aes"),
+        stage(ddCustAes(lines), "cust_aes"))
+    } else {
+      ddAssemble(ddCustParts(linesBase), ddSuppParts(linesBase),
+        ddPairs(linesBase), ddPartAes(linesBase), ddCustAes(linesBase))
+    }
+  }
 }

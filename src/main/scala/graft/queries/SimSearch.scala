@@ -69,7 +69,21 @@ object SimSearch {
     * one footer read at any scale.
     */
   def scaledLshCandidates(s: SparkSession, d: String): (DataFrame, Long, Int, Int) = {
-    val e = embeds(s, d)
+    val (banded, n, bits, bands) = scaledLshBanded(embeds(s, d))
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    (pairs, n, bits, bands)
+  }
+
+  /** The (vec_id, band, bucket) frame behind the adaptive-banding pair
+    * join, with the count-derived config — factored out so variants (the
+    * rep-collapsed path, the skew probe) reuse the exact banding.
+    */
+  def scaledLshBanded(e: DataFrame): (DataFrame, Long, Int, Int) = {
     val n = e.count()
     val bits = scaledBits(n)
     val bands = ScaledNPlanes / bits
@@ -89,13 +103,7 @@ object SimSearch {
     val banded = sig
       .select(col("vec_id"), explode(bandStructs).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
-    (pairs, n, bits, bands)
+    (banded, n, bits, bands)
   }
 
   /** Recall floor pinned by AnnRecallSpec. Sign-LSH theory at this config:

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The staged (materialize-then-read) drug-disease pipeline must be
+  * row-identical to the recompute plan — the sub-threshold path is what the
+  * sf0.01 oracle gate exercises, so the staged path (the one that actually
+  * runs at scale) needs its own equivalence pin. Forcing `stageRows = 0`
+  * runs the full stage/write/read-back machinery at fixture scale.
+  */
+class PipelineStagedSpec extends SparkSpec {
+  private val dir =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Double)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("staged path is row-identical to the recompute path") {
+    val direct = Reference.drugDiseasePipeline(spark, dir)
+    val staged = Reference.drugDiseasePipeline(spark, dir, stageRows = 0L)
+    val dRows = rows(direct)
+    val sRows = rows(staged)
+    assert(dRows.nonEmpty, "fixture produced no hypotheses — spec is vacuous")
+    assert(sRows == dRows)
+  }
+
+  test("staged scratch holds the five key-sized frames plus the fact join") {
+    // the equivalence test above already wrote the scratch; assert layout
+    val root = new java.io.File(
+      Relational.scratchPath(spark, dir, "pipeline_dd"))
+    val expected =
+      Set("lines", "cust_parts", "supp_parts", "pairs", "part_aes", "cust_aes")
+    val present = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(expected.subsetOf(present), s"missing staged dirs: ${expected -- present}")
+  }
+}
