@@ -86,6 +86,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
+    // Append-only archival copy: BENCH_DETAIL.json is overwritten per run,
+    // which limited the r10 regression scan to the 69 queries surviving in a
+    // truncated stdout tail — the history file keeps every run's full
+    // per-query detail (timestamped) for cross-round scans.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (s"""{"ts":${System.currentTimeMillis()},""" + detail.drop(1) + "\n")
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[bench] history write: $e") }
     println(detail)
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -144,7 +144,7 @@ object Probe {
         val bk = banded.cache()
         val m = bk.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * (col("c") - 1) / 2).as("pairmass"),
+          .agg(sum(shiftright(col("c") * (col("c") - 1), 1)).as("pairmass"),
             max(col("c")).as("mx"), count(lit(1)).as("nbuckets")).head()
         println(s"STATS=lshskew N=$n BITS=$bits BANDS=$bands " +
           s"PAIRMASS=${m.getLong(0)} MAXBUCKET=${m.getLong(1)} " +
@@ -155,7 +155,8 @@ object Probe {
           .groupBy(col("sigkey")).agg(count(lit(1)).as("f"))
           .agg(count(when(col("f") > 1, 1)).as("nfams"),
             coalesce(sum(when(col("f") > 1, col("f"))), lit(0L)).as("nvecs_in_fams"),
-            coalesce(sum(col("f") * (col("f") - 1) / 2), lit(0L)).as("intra_pairs"),
+            coalesce(sum(shiftright(col("f") * (col("f") - 1), 1)), lit(0L))
+              .as("intra_pairs"),
             max(col("f")).as("maxfam")).head()
         println(s"STATS=lshskew_sigfams NFAMS=${fams.getLong(0)} " +
           s"NVECS=${fams.getLong(1)} INTRAPAIRS=${fams.getLong(2)} " +

@@ -404,6 +404,16 @@ object SimSearch {
     * (hard-won rule: broadcast-able id re-fetch beats carrying vectors
     * through the pair shuffle), exact cosine on candidates, per-vector
     * top-k window over the bucket-pruned pair set.
+    *
+    * CACHE CONTRACT: `mvn` below (assign ⋈ normalized vectors — n rows ×
+    * ~65 columns) is cached because BOTH sides of the bucket self-join
+    * read it; the cache is released by the harness's
+    * `catalog.clearCache()` between queries (Bench/Smoke/Verify all do
+    * this), NOT by this function — the returned frame is lazy, so there
+    * is no safe point inside it to unpersist. An embedding user composing
+    * several kNN calls in one session must call
+    * `spark.catalog.clearCache()` (or track and unpersist) between them,
+    * or the caches accumulate at n-rows-of-vectors each.
     */
   private def knnWithinBuckets(s: SparkSession, d: String,
       assigned: DataFrame, k: Int): DataFrame = {
@@ -530,6 +540,84 @@ object SimSearch {
           count(when(col("cos") >= ScaledThreshold, true)).as("n_match"))
         .select(lit(n).as("n_vec"), lit(bits.toLong).as("bits_per_band"),
           lit(bands.toLong).as("n_bands"), col("n_cand"), col("n_match"))
+    }),
+
+    // Dedup-first composition of the scale-adaptive LSH (the production
+    // ordering for crawl-shaped corpora): collapse SIGNATURE FAMILIES —
+    // vectors identical in every band — to one representative BEFORE the
+    // candidate self-join, then fan rep-level decisions back to members.
+    // Exact content duplicates are the cos=1 special case of a signature
+    // family (identical vectors get identical sign bits), so this subsumes
+    // "exact-dedup-first" — and it is the EXACT collapse for this operator:
+    // the r10 Probe attributed 533.6 of 661.8 s at 2M vectors to
+    // duplicate-family size² pockets inside candidate generation (every
+    // family of size f pays f²·bands join rows and a f²-row distinct;
+    // collapsed, it pays bands rows and ZERO distinct — intra-family pairs
+    // are enumerated directly from the member map, no join, no dedup).
+    // Candidate-set equality with q_sim_ann_lsh_scaled is exact: members
+    // of one family collide in every band (intra pairs, all candidates);
+    // a cross-family pair collides iff its reps collide (reps carry the
+    // family's banding verbatim). DedupLshSpec pins the equality; the
+    // one-row summary forces the oracle through the full composition —
+    // banding, family collapse, rep join, fan-out, verify.
+    "q_sim_ann_lsh_dedup" -> ((s, d) => {
+      val (banded, n, bits, bands) = scaledLshBanded(embeds(s, d))
+      // bk feeds BOTH the signature grouping and the rep-band join; the
+      // n·bands frame is 3 narrow columns — cache beats re-running the
+      // 96-plane dot pipeline per consumer (harness clearCache releases)
+      val bk = banded.cache()
+      // full-signature key: band-sorted (band, bucket) list. Only the
+      // PARTITION induced by the key must agree cross-engine (grouping is
+      // injective on the banding both sides), not the key bytes.
+      val sig = bk.groupBy(col("vec_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("band"), col("bucket")))),
+          t => concat_ws(":", t.getField("band"), t.getField("bucket"))), ",")
+          .as("sigkey"))
+      // member map (vec_id, rep, sz): one shuffle on sigkey; family
+      // partitions are family-sized, so the window sort is pocket-local
+      val w = Window.partitionBy(col("sigkey"))
+      val member = sig
+        .withColumn("rep", min(col("vec_id")).over(w))
+        .withColumn("sz", count(lit(1)).over(w))
+        .select(col("vec_id"), col("rep"), col("sz"))
+        .cache()
+      val nRep = member.where(col("vec_id") === col("rep")).count()
+      // rep-level banding is bk filtered to reps — no second dot pass
+      val rb = bk.join(
+        member.where(col("vec_id") === col("rep")).select(col("vec_id")),
+        Seq("vec_id"))
+      val rpairs = rb.as("x")
+        .join(rb.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("r1"), col("y.vec_id").as("r2"))
+        .distinct()
+      // fan back: cross-family pairs expand rep pairs through the member
+      // map; intra-family pairs come straight off the map — no join with
+      // the band table, no distinct (each unordered pair appears once)
+      val cross = rpairs
+        .join(member.select(col("rep").as("r1"), col("vec_id").as("v1")), Seq("r1"))
+        .join(member.select(col("rep").as("r2"), col("vec_id").as("v2")), Seq("r2"))
+        .select(col("v1"), col("v2"))
+      val intra = member.as("a")
+        .join(member.as("b"),
+          col("a.rep") === col("b.rep") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      val en = normEmbeds(s, d)
+      // verify unchanged from the scaled path (broadcast re-fetch; past
+      // ~10⁷ vectors swap in shardedCosVerify — same caveat, same fix)
+      cross.union(intra)
+        .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
+          Seq("v1"))
+        .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
+          Seq("v2"))
+        .select(round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+        .agg(count(lit(1)).as("n_cand"),
+          count(when(col("cos") >= ScaledThreshold, true)).as("n_match"))
+        .select(lit(n).as("n_vec"), lit(nRep).as("n_rep"),
+          lit(bits.toLong).as("bits_per_band"), lit(bands.toLong).as("n_bands"),
+          col("n_cand"), col("n_match"))
     }),
 
     // ANN recall gate: the quality loop on the LSH family. The LSH result
@@ -1364,6 +1452,46 @@ object SimSearch {
          |  CAST(count(*) AS BIGINT) AS n_cand,
          |  CAST(count(*) FILTER (cos >= $ScaledThreshold) AS BIGINT) AS n_match
          |FROM scored""".stripMargin,
+
+    "q_sim_ann_lsh_dedup" ->
+      s"""WITH $eSql,
+         |$scaledLshCtes,
+         |sig AS (
+         |  SELECT vec_id,
+         |    string_agg(band || ':' || bucket, ',' ORDER BY band) AS sigkey
+         |  FROM sbks GROUP BY vec_id),
+         |mem AS (
+         |  SELECT vec_id,
+         |    min(vec_id) OVER (PARTITION BY sigkey) AS rep,
+         |    count(*) OVER (PARTITION BY sigkey) AS sz
+         |  FROM sig),
+         |rb AS (
+         |  SELECT b.vec_id, b.band, b.bucket
+         |  FROM sbks b JOIN (SELECT DISTINCT rep FROM mem) r
+         |    ON b.vec_id = r.rep),
+         |rp AS (
+         |  SELECT DISTINCT x.vec_id AS r1, y.vec_id AS r2
+         |  FROM rb x JOIN rb y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |crossp AS (
+         |  SELECT m1.vec_id AS v1, m2.vec_id AS v2
+         |  FROM rp JOIN mem m1 ON m1.rep = rp.r1 JOIN mem m2 ON m2.rep = rp.r2),
+         |intrap AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.vec_id < b.vec_id),
+         |allp AS (SELECT v1, v2 FROM crossp UNION ALL SELECT v1, v2 FROM intrap),
+         |dscored AS (
+         |  SELECT p.v1, p.v2, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  JOIN allp p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT (SELECT n_vec FROM prm2) AS n_vec,
+         |  (SELECT CAST(count(DISTINCT rep) AS BIGINT) FROM mem) AS n_rep,
+         |  (SELECT bits FROM prm2) AS bits_per_band,
+         |  (SELECT bands FROM prm2) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(count(*) FILTER (cos >= $ScaledThreshold) AS BIGINT) AS n_match
+         |FROM dscored""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       s"""WITH $eSql

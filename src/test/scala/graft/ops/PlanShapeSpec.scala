@@ -384,6 +384,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("trained knn tail: scored pairs flow from the bucket self-join " +
+    "straight into the TopKPair partial aggregate — no pair-sized sort or " +
+    "exchange between them") {
+    // The r10 lesson as a regression guard: the ONLY pair-sized frame in
+    // the query (the bucket self-join's output, occupancy·n rows) must be
+    // consumed by TopKPairAgg's map-side combine in the same stage. A Sort
+    // or Exchange between the partial aggregate and the join means either
+    // the id-re-fetch shape came back (pair-sized SMJ sorts — disk-killed
+    // at 2M vectors) or the ObjectHashAggregate sort-fallback re-engaged.
+    val plan = executedPlan("q_sim_knn_graph_trained")
+    val lines = plan.linesIterator.toVector
+    // the partial TopKPair agg is the LAST agg line naming the udaf (tree
+    // prints final agg first, partial below it, join below that)
+    val pa = lines.lastIndexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.toLowerCase.contains("topkpair"))
+    assert(pa >= 0, s"TopKPair ObjectHashAggregate not found:\n$plan")
+    val join = lines.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"), pa + 1)
+    assert(join > pa, s"no join below the partial TopKPair agg:\n$plan")
+    val between = lines.slice(pa + 1, join)
+    assert(!between.exists(_.contains("Sort ")),
+      s"pair-sized Sort between bucket join and TopKPair agg:\n$plan")
+    assert(!between.exists(_.contains("Exchange")),
+      s"pair-sized Exchange between bucket join and TopKPair agg:\n$plan")
+  }
+
   test("fuzzy join: variant self-joins are sort-merge, never a broadcast " +
     "build of the domain-sized variant table") {
     // Catalyst's static estimate under distinct+posexplode reads the
