@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTopK)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // per-operator object-agg fallback threshold: bounded-buffer udafs get
+    // hash mode at any key count; unbounded builtins keep the spill-safe
+    // session default (see BoundedAggFallback's scaladoc for both failure
+    // modes, each measured)
+    ext.injectQueryStagePrepRule(_ => org.apache.spark.sql.graft.BoundedAggFallback)
   }
 }

@@ -12,11 +12,9 @@ object Smoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // bounded-buffer object aggs (TopK/TopKPair/sketches) must stay
-      // hash-based: Spark's default fallback flips to SORT-based agg at
-      // 128 keys, sorting the whole input stream (disk-killed the knn
-      // pair agg at 2M vectors, r10)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // object-agg sort fallback stays at Spark's spill-safe default;
+      // bounded-buffer udafs get hash mode per-operator via the
+      // BoundedAggFallback query-stage prep rule (GraftExtensions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

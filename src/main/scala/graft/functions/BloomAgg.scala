@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions.udaf
   * is far too big for a broadcast-hash join relation.
   */
 class BloomAgg(mBits: Int, k: Int)
-  extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+  extends Aggregator[(Long, Long), Array[Long], Array[Long]]
+  with BoundedBufferAgg {
 
   require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
   require(k > 0, s"k must be positive: $k")

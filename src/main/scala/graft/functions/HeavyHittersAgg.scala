@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions.udaf
   * count from every entry and drop non-positives — the result keeps the
   * combined error bound.
   */
-class HeavyHittersAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+class HeavyHittersAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]]
+    with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
 
   override def zero: Map[String, Long] = Map.empty

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions.udaf
   * element_at unpacks them into columns.
   */
 class HistQuantileAgg(width: Double, qs: Seq[Double])
-    extends Aggregator[Double, Map[Long, Long], Array[Double]] {
+    extends Aggregator[Double, Map[Long, Long], Array[Double]]
+    with BoundedBufferAgg {
   require(width > 0, "width must be > 0")
   require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
 
@@ -80,7 +81,8 @@ object HistQuantileAgg {
   * must not collect the group.
   */
 class BottomKAgg(k: Int)
-    extends Aggregator[(Long, String), Array[(Long, String)], Array[String]] {
+    extends Aggregator[(Long, String), Array[(Long, String)], Array[String]]
+    with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
 
   private val ord = Ordering.Tuple2[Long, String]
@@ -135,7 +137,8 @@ object BottomKAgg {
   * BottomKAgg deliberately keeps duplicate hashes (it samples ROWS); KMV
   * must dedupe (it estimates DISTINCT values), hence its own buffer.
   */
-class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]]
+    with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
 
   override def zero: Array[Long] = Array.empty

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions.udaf
   * the min only when full (O(k) per displacing row); finish sorts
   * descending — output is identical to the collect+sort+slice form.
   */
-class TopKAgg(k: Int) extends Aggregator[Double, Array[Double], Array[Double]] {
+class TopKAgg(k: Int) extends Aggregator[Double, Array[Double], Array[Double]]
+    with BoundedBufferAgg {
 
   override def zero: Array[Double] = Array.emptyDoubleArray
 

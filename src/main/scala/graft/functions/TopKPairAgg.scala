@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions.udaf
   */
 class TopKPairAgg(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)],
-      Array[(Double, Long)]] {
+      Array[(Double, Long)]] with BoundedBufferAgg {
 
   // NaN-safe score compare replicating Spark's DoubleType ordering
   // (nanSafeCompareDoubles): NaN ranks GREATEST and -0.0 == 0.0.

@@ -14,11 +14,9 @@ object TestSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.session.timeZone", "UTC")
-    // bounded-buffer object aggs (TopK/TopKPair/sketches) must stay
-    // hash-based: Spark's default fallback flips to SORT-based agg at
-    // 128 keys, sorting the whole input stream (disk-killed the knn
-    // pair agg at 2M vectors, r10)
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    // object-agg sort fallback stays at Spark's spill-safe default;
+    // bounded-buffer udafs get hash mode per-operator via the
+    // BoundedAggFallback query-stage prep rule (GraftExtensions)
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
