@@ -161,6 +161,44 @@ object Probe {
           s"MAXFAM=${fams.getLong(3)}")
         bk.unpersist()
       }
+      case "recallsampled" =>
+        // Recall at scales where the O(n²) truth of the registered recall
+        // gates is intractable: truth = brute-force top-3 against the FULL
+        // corpus for a ~2000-vector hash-sampled query set (count-derived
+        // uniform predicate — NEVER an id prefix, ScaleUp ids collapse
+        // those to copy-0), found = each trained-kNN variant's edges for
+        // the sampled queries. Prints probe-1 vs probe-2 recall — the
+        // wall A/B's quality half.
+        val en = SimSearch.normEmbeds(s, d).cache()
+        val every = math.max(1L, n / 2000)
+        val qs = en.where(pmod(xxhash64(concat(lit("rq|"),
+            col("vec_id").cast("string"))), lit(every)) === 0)
+          .select(col("vec_id").as("qid"), col("vn").as("qv"))
+        val truth = qs
+          .join(en.select(col("vec_id").as("nbr"), col("vn")),
+            col("qid") =!= col("nbr"))
+          .select(col("qid"), col("nbr"),
+            graft.llm.Vectors.dotFast(col("qv"), col("vn")).as("cos"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), 3)
+            .as("t"))
+          .select(col("qid"), explode(col("t")).as("p"))
+          .select(col("qid"), col("p._2").as("nbr"))
+          .localCheckpoint()
+        val nTrue = truth.count()
+        for (q <- Seq("q_sim_knn_graph_trained", "q_sim_knn_graph_trained2")) {
+          s.catalog.clearCache()
+          timed(s"recall_$q") {
+            val found = SparkEntry.queries(q)(s, d)
+              .select(col("vec_id").as("qid"), col("nbr"))
+              .join(truth.select(col("qid")).distinct(), Seq("qid"),
+                "left_semi")
+              .localCheckpoint()
+            val hit = truth.join(found, Seq("qid", "nbr"), "left_semi").count()
+            println(s"STATS=recall Q=$q N_TRUE=$nTrue N_HIT=$hit " +
+              s"RECALL=${hit.toDouble / nTrue}")
+          }
+        }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -289,7 +289,8 @@ object Dedup {
     * localCheckpoint every few rounds to cut the growing lineage).
     * Returns (doc_id, cluster).
     */
-  def components(pairs: DataFrame, iters: Int): DataFrame = {
+  def components(pairs: DataFrame, iters: Int,
+                 checkpointEvery: Int = 0): DataFrame = {
     val vertices = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2").as("doc_id"))).distinct()
     // undirected edges + self-loops: one join+groupBy per iteration.
@@ -309,11 +310,22 @@ object Dedup {
       .repartition(col("t"))
       .cache()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = edges
         .join(labels.withColumnRenamed("doc_id", "t"), Seq("t"))
         .groupBy(col("s").as("doc_id"))
         .agg(min(col("label")).as("label"))
+      // checkpointEvery > 0: each round becomes its OWN action, so the
+      // round's shuffle files are reclaimable (ContextCleaner on GC)
+      // instead of retained until the final materialization — at 1000x
+      // one lazy 4-round action retains the SUM of all rounds' shuffles
+      // (the q_pipeline_drug_disease disk lesson applied to loops). The
+      // label frame written per round is vertex-sized (2 longs), tiny
+      // next to the edge shuffles freed. 0 = single lazy action.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        labels = labels.localCheckpoint()
+        System.gc()
+      }
     }
     val out = labels.withColumnRenamed("label", "cluster").localCheckpoint()
     edges.unpersist(blocking = false)

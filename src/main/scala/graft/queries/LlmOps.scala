@@ -240,6 +240,24 @@ object LlmOps {
       Dedup.components(pairs, iters = 4)
     }),
 
+    // Checkpoint-per-round A/B twin of q_dedup_components: identical
+    // labels (the checkpoint is a materialization boundary, not a
+    // semantic change — same oracle), but each propagation round runs as
+    // its own action so round N's edge-join shuffle files are
+    // reclaimable before round N+1 starts. At 1000x the lazy 4-round
+    // action retains the sum of all rounds' shuffles; this variant's
+    // peak disk is one round's. Wall A/B at sf10/sf100 lives in SCALE.md.
+    "q_dedup_components_ckpt" -> ((s, d) => {
+      val sigs = Dedup
+        .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
+        .cache()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"))
+        .cache()
+      Dedup.components(pairs, iters = 4, checkpointEvery = 1)
+    }),
+
     // Leakage-safe train/eval split — the dedup-aware sampling step every
     // eval-honest training pipeline needs: a doc-hash split puts one
     // member of a near-dup cluster in train and its twin in eval, leaking
@@ -2934,6 +2952,7 @@ object LlmOps {
     },
 
     "q_dedup_components" -> componentsOracleSql,
+    "q_dedup_components_ckpt" -> componentsOracleSql,
 
     // Cluster-split twin: the components CTE chain, singleton coalesce,
     // the same cluster-hash split, and an independent recomputation of
