@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TopKAgg
+import graft.functions.{MinKDistinctAgg, TopKAgg}
 import graft.ops.{Core, Graph, Scoring}
 
 /** Reference-pipeline semantics (SURVEY.md §2.4-2.8, §3) re-expressed over
@@ -440,57 +440,101 @@ object Reference {
   // sf0.1 and took 35s).
   // ---------------------------------------------------------------------
 
-  private def ddCustParts(lines: DataFrame): DataFrame =
-    lines.where(col("o_orderstatus") === "O")
-      .groupBy(col("o_custkey"))
-      .agg(collect_set(col("l_partkey")).as("parts_dis"))
+  // Every derived frame below is BOUNDED-BUFFER or codegen'd by
+  // construction — the r11 rewrite that removed the pipeline's three
+  // unbounded collect_set aggregations. The original array form held the
+  // full per-customer part set and per-key priority sets in object-agg
+  // buffers: in hash mode that OOM'd a 64 GB heap at 1000x, in sort mode
+  // it sorted 600M rows three times (SCALE.md r11). Now:
+  //  - priority sets ride a <=64-value domain, so they aggregate as a
+  //    BITMASK (bit_or of 1L<<idx): a codegen'd HashAggregate whose
+  //    map-side partial is ONE LONG per key instead of a partial set;
+  //  - the supplier's 20 smallest parts use the bounded MinKDistinctAgg
+  //    (K longs per buffer, hash mode via BoundedAggFallback);
+  //  - the per-customer owned-part set is never materialized as an array
+  //    at all — candidates anti-join the (custkey, partkey) pair relation,
+  //    the spill-safe relational form of array_except.
+  // Set algebra on masks: |A \ B| = bit_count(A & ~B), |A| = bit_count(A)
+  // — identical integers to the array form, hence identical doubles and
+  // an unchanged oracle hash.
+
+  /** The (<=64-value) o_orderpriority domain keyed to stable bit
+    * positions — derived from the data (no hard-coded vocabulary),
+    * collected ONCE to the driver (distinct's map-side partials reduce
+    * 600M rows to the domain before the shuffle; the require guards the
+    * bitmask's 64-bit capacity, so the collect is driver-bounded like the
+    * KMeans-centroid sites) and rebroadcast as a literal dimension so the
+    * two mask builds don't each re-scan lines for it.
+    */
+  private def ddPrioBits(s: SparkSession, lines: DataFrame): DataFrame = {
+    import s.implicits._
+    val domain = lines.select(col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderpriority"))
+      .as[String].collect()
+    require(domain.length <= 64,
+      s"o_orderpriority domain has ${domain.length} values — " +
+        "bitmask form holds at most 64")
+    domain.toSeq.zipWithIndex.toDF("o_orderpriority", "prio_bit")
+  }
+
+  private def ddMask(lines: DataFrame, prioBits: DataFrame,
+                     key: String, maskCol: String): DataFrame =
+    lines.join(broadcast(prioBits), Seq("o_orderpriority"))
+      .groupBy(col(key))
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("prio_bit")))
+        .as(maskCol))
 
   private def ddSuppParts(lines: DataFrame): DataFrame =
     lines.where(col("o_orderstatus") === "F")
       .groupBy(col("l_suppkey"))
-      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 20).as("parts_tgt"))
+      .agg(MinKDistinctAgg.minK(col("l_partkey"), 20).as("parts_tgt"))
 
   private def ddPairs(lines: DataFrame): DataFrame =
     lines.where(col("o_orderstatus") === "F")
       .select(col("o_custkey"), col("l_suppkey")).distinct()
 
-  private def ddPartAes(lines: DataFrame): DataFrame =
-    lines.groupBy(col("l_partkey"))
-      .agg(collect_set(col("o_orderpriority")).as("part_aes"))
-
-  private def ddCustAes(lines: DataFrame): DataFrame =
-    lines.groupBy(col("o_custkey"))
-      .agg(collect_set(col("o_orderpriority")).as("cust_aes"))
-
-  /** Final hypothesis assembly over the five key-sized derived frames —
-    * shared verbatim by the recompute and staged paths, so the staged
-    * variant can never drift semantically.
+  /** Distinct (customer, part) pairs the customer already ordered — the
+    * relational form of the old per-customer collect_set array.
     */
-  private def ddAssemble(custParts: DataFrame, suppParts: DataFrame,
-                         pairs: DataFrame, partAes: DataFrame,
-                         custAes: DataFrame): DataFrame = {
-    val s1 = lit(1.0) -
-      size(array_except(col("part_aes"), col("cust_aes"))).cast("double") /
-        size(col("part_aes"))
-    val s2 = lit(1.0) -
-      size(array_except(col("cust_aes"), col("part_aes"))).cast("double") /
-        size(col("cust_aes"))
-    pairs
+  private def ddOwnedParts(lines: DataFrame): DataFrame =
+    lines.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+
+  /** Final hypothesis assembly over the derived frames — shared verbatim
+    * by the recompute and staged paths, so the staged variant can never
+    * drift semantically. Candidates explode the <=20-part supplier slice
+    * (bounded fan-out per pair), anti-join away parts the customer owns
+    * (≡ array_except), and the 5 smallest survivors per pair (≡ slice of
+    * the ascending array) come from the same bounded min-K agg.
+    */
+  private def ddAssemble(suppParts: DataFrame, pairs: DataFrame,
+                         ownedParts: DataFrame, partMask: DataFrame,
+                         custMask: DataFrame): DataFrame = {
+    val candidates = pairs
       .join(suppParts, Seq("l_suppkey"))
-      .join(custParts, Seq("o_custkey"), "left_outer")
-      .withColumn("new_parts",
-        slice(array_except(col("parts_tgt"),
-          coalesce(col("parts_dis"), array().cast("array<bigint>"))), 1, 5))
-      .where(size(col("new_parts")) > 0)
-      .withColumn("part_hypothesis", explode(col("new_parts")))
-      .join(partAes, col("part_hypothesis") === partAes("l_partkey"))
-      .join(custAes, Seq("o_custkey"))
+      .select(col("o_custkey"), col("l_suppkey"),
+        explode(col("parts_tgt")).as("l_partkey"))
+      .join(ownedParts, Seq("o_custkey", "l_partkey"), "left_anti")
+    val hypotheses = candidates
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(MinKDistinctAgg.minK(col("l_partkey"), 5).as("new_parts"))
+      .select(col("o_custkey"), col("l_suppkey"),
+        explode(col("new_parts")).as("part_hypothesis"))
+    val s1 = lit(1.0) -
+      bit_count(col("part_mask").bitwiseAND(bitwise_not(col("cust_mask"))))
+        .cast("double") / bit_count(col("part_mask"))
+    val s2 = lit(1.0) -
+      bit_count(col("cust_mask").bitwiseAND(bitwise_not(col("part_mask"))))
+        .cast("double") / bit_count(col("cust_mask"))
+    hypotheses
+      .join(partMask, col("part_hypothesis") === partMask("l_partkey"))
+      .join(custMask, Seq("o_custkey"))
       .select(col("o_custkey"), col("l_suppkey"), col("part_hypothesis"),
         round(lit(0.4) * s1 + lit(0.6) * s2, 6).as("ae_score"))
       .where(col("ae_score") > 0.5)
   }
 
-  /** 5 consumers read the lineitem-orders fact join on 3 different agg
+  /** 5 consumers read the lineitem-orders fact join on 4 different agg
     * keys. Recompute-vs-stage is a COUNT-DERIVED decision (the
     * decon_sized sizing-pass pattern applied to materialization):
     *
@@ -533,15 +577,19 @@ object Reference {
         s.read.parquet(s"$root/$name")
       }
       val lines = stage(linesBase, "lines")
+      val prio = ddPrioBits(s, lines)
       ddAssemble(
-        stage(ddCustParts(lines), "cust_parts"),
         stage(ddSuppParts(lines), "supp_parts"),
         stage(ddPairs(lines), "pairs"),
-        stage(ddPartAes(lines), "part_aes"),
-        stage(ddCustAes(lines), "cust_aes"))
+        stage(ddOwnedParts(lines), "owned_parts"),
+        stage(ddMask(lines, prio, "l_partkey", "part_mask"), "part_mask"),
+        stage(ddMask(lines, prio, "o_custkey", "cust_mask"), "cust_mask"))
     } else {
-      ddAssemble(ddCustParts(linesBase), ddSuppParts(linesBase),
-        ddPairs(linesBase), ddPartAes(linesBase), ddCustAes(linesBase))
+      val prio = ddPrioBits(s, linesBase)
+      ddAssemble(ddSuppParts(linesBase), ddPairs(linesBase),
+        ddOwnedParts(linesBase),
+        ddMask(linesBase, prio, "l_partkey", "part_mask"),
+        ddMask(linesBase, prio, "o_custkey", "cust_mask"))
     }
   }
 }

@@ -32,7 +32,7 @@ class PipelineStagedSpec extends SparkSpec {
     val root = new java.io.File(
       Relational.scratchPath(spark, dir, "pipeline_dd"))
     val expected =
-      Set("lines", "cust_parts", "supp_parts", "pairs", "part_aes", "cust_aes")
+      Set("lines", "supp_parts", "pairs", "owned_parts", "part_mask", "cust_mask")
     val present = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSet
     assert(expected.subsetOf(present), s"missing staged dirs: ${expected -- present}")
