@@ -451,9 +451,13 @@ object Reference {
   //    map-side partial is ONE LONG per key instead of a partial set;
   //  - the supplier's 20 smallest parts use the bounded MinKDistinctAgg
   //    (K longs per buffer, hash mode via BoundedAggFallback);
-  //  - the per-customer owned-part set is never materialized as an array
-  //    at all — candidates anti-join the (custkey, partkey) pair relation,
-  //    the spill-safe relational form of array_except.
+  //  - the per-customer owned-part array builds from the DISTINCT pair
+  //    relation (codegen'd hash distinct over the fact rows, spillable),
+  //    so the one remaining unbounded collect sorts ~200M pre-deduped
+  //    pairs instead of 600M fact rows. (The fully relational
+  //    explode + anti-join alternative was measured unviable at 1000×:
+  //    196.7M pairs × 20 ≈ 3.9G candidate rows / ~110 GB of shuffle —
+  //    two disk-kills; see ddCustParts.)
   // Set algebra on masks: |A \ B| = bit_count(A & ~B), |A| = bit_count(A)
   // — identical integers to the array form, hence identical doubles and
   // an unchanged oracle hash.
@@ -500,33 +504,46 @@ object Reference {
     lines.where(col("o_orderstatus") === "O")
       .select(col("o_custkey"), col("l_partkey")).distinct()
 
-  /** Final hypothesis assembly over the derived frames — shared verbatim
-    * by the recompute and staged paths, so the staged variant can never
-    * drift semantically. Candidates explode the <=20-part supplier slice
-    * (bounded fan-out per pair), anti-join away parts the customer owns
-    * (≡ array_except), and the 5 smallest survivors per pair (≡ slice of
-    * the ascending array) come from the same bounded min-K agg.
+  /** Owned parts as a per-customer ARRAY, built from the distinct pair
+    * relation: the distinct is a codegen'd (spillable) HashAggregate over
+    * 600M fact rows, so the unbounded collect that follows sorts only the
+    * ~200M distinct pairs — not the fact table — and only once. The array
+    * form exists because the relational alternative (explode candidates ×
+    * anti-join) was MEASURED unviable at 1000×: pairs ≈ 196.7M means
+    * ~3.9G exploded candidate rows (~110 GB of anti-join shuffle, two
+    * disk-kills on this box), where this in-row subtrahend ships ~13
+    * longs per pair through one join. parts_dis is a SET (pre-distinct)
+    * but deliberately unsorted — array_except only needs the LEFT side's
+    * order.
+    */
+  private def ddCustParts(ownedParts: DataFrame): DataFrame =
+    ownedParts.groupBy(col("o_custkey"))
+      .agg(collect_list(col("l_partkey")).as("parts_dis"))
+
+  /** Final hypothesis assembly over the key-sized derived frames — shared
+    * verbatim by the recompute and staged paths, so the staged variant
+    * can never drift semantically. In-row array_except against the
+    * <=20-part ascending supplier slice, first 5 survivors (= 5 smallest,
+    * left order preserved), explode, then mask-algebra containment
+    * scores.
     */
   private def ddAssemble(suppParts: DataFrame, pairs: DataFrame,
-                         ownedParts: DataFrame, partMask: DataFrame,
+                         custParts: DataFrame, partMask: DataFrame,
                          custMask: DataFrame): DataFrame = {
-    val candidates = pairs
-      .join(suppParts, Seq("l_suppkey"))
-      .select(col("o_custkey"), col("l_suppkey"),
-        explode(col("parts_tgt")).as("l_partkey"))
-      .join(ownedParts, Seq("o_custkey", "l_partkey"), "left_anti")
-    val hypotheses = candidates
-      .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(MinKDistinctAgg.minK(col("l_partkey"), 5).as("new_parts"))
-      .select(col("o_custkey"), col("l_suppkey"),
-        explode(col("new_parts")).as("part_hypothesis"))
     val s1 = lit(1.0) -
       bit_count(col("part_mask").bitwiseAND(bitwise_not(col("cust_mask"))))
         .cast("double") / bit_count(col("part_mask"))
     val s2 = lit(1.0) -
       bit_count(col("cust_mask").bitwiseAND(bitwise_not(col("part_mask"))))
         .cast("double") / bit_count(col("cust_mask"))
-    hypotheses
+    pairs
+      .join(suppParts, Seq("l_suppkey"))
+      .join(custParts, Seq("o_custkey"), "left_outer")
+      .withColumn("new_parts",
+        slice(array_except(col("parts_tgt"),
+          coalesce(col("parts_dis"), array().cast("array<bigint>"))), 1, 5))
+      .where(size(col("new_parts")) > 0)
+      .withColumn("part_hypothesis", explode(col("new_parts")))
       .join(partMask, col("part_hypothesis") === partMask("l_partkey"))
       .join(custMask, Seq("o_custkey"))
       .select(col("o_custkey"), col("l_suppkey"), col("part_hypothesis"),
@@ -581,13 +598,14 @@ object Reference {
       ddAssemble(
         stage(ddSuppParts(lines), "supp_parts"),
         stage(ddPairs(lines), "pairs"),
-        stage(ddOwnedParts(lines), "owned_parts"),
+        stage(ddCustParts(stage(ddOwnedParts(lines), "owned_parts")),
+          "cust_parts"),
         stage(ddMask(lines, prio, "l_partkey", "part_mask"), "part_mask"),
         stage(ddMask(lines, prio, "o_custkey", "cust_mask"), "cust_mask"))
     } else {
       val prio = ddPrioBits(s, linesBase)
       ddAssemble(ddSuppParts(linesBase), ddPairs(linesBase),
-        ddOwnedParts(linesBase),
+        ddCustParts(ddOwnedParts(linesBase)),
         ddMask(linesBase, prio, "l_partkey", "part_mask"),
         ddMask(linesBase, prio, "o_custkey", "cust_mask"))
     }

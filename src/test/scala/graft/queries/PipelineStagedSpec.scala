@@ -31,8 +31,8 @@ class PipelineStagedSpec extends SparkSpec {
     // the equivalence test above already wrote the scratch; assert layout
     val root = new java.io.File(
       Relational.scratchPath(spark, dir, "pipeline_dd"))
-    val expected =
-      Set("lines", "supp_parts", "pairs", "owned_parts", "part_mask", "cust_mask")
+    val expected = Set("lines", "supp_parts", "pairs", "owned_parts",
+      "cust_parts", "part_mask", "cust_mask")
     val present = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSet
     assert(expected.subsetOf(present), s"missing staged dirs: ${expected -- present}")
