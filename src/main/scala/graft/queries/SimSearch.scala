@@ -756,10 +756,11 @@ object SimSearch {
     // tail scans BOTH probed cells per vector (knnWithinBucketsProbe2) —
     // the recall lever the r10 verdict asked to A/B. The assignment (and
     // so the index side) is byte-identical to q_sim_knn_graph_trained;
-    // only the probe side widens. Measured A/B vs the probe-1 tail lives
-    // in SCALE.md (recall & wall at sf0.01/sf10); both variants ship
-    // because the trade is workload-owned: probe-2 ≈ 2× pair work for
-    // the recall jump.
+    // only the probe side widens. Measured (SCALE.md r11): recall +36%
+    // at sf0.01 / +45% at sf10; wall PARITY at sf10 and only +10% at 2M
+    // vectors (95.5 vs 86.6 s — the tail is scan-bandwidth-bound, so the
+    // predicted 2× pair-work penalty never materializes). RECOMMENDED
+    // DEFAULT for embedding users; probe-1 stays as the A/B baseline.
     "q_sim_knn_graph_trained2" -> ((s, d) => {
       val K = 3
       val assigned2 = trainedAssign(embeds(s, d))
@@ -792,6 +793,25 @@ object SimSearch {
           when(col("n_true") > 0,
             round(col("n_hit").cast("double") / col("n_true"), 4))
             .as("recall"))
+    }),
+
+    // Batch twin of Streams.ivfRouteStream — the streaming-ANN ingest
+    // router under the oracle gate: a 1-in-8 hash-sampled "arriving"
+    // set routes against centroids trained on the full corpus (training
+    // is corpus-owned; arrivals never retrain). Identical math to the
+    // stream (same assignTwoLevelAgainst call), so the green row pins
+    // the routing the stateless stream performs. Unroutable vectors
+    // (null bucket — both probed cells empty) are the novel path and
+    // excluded here exactly as the oracle's inner-join assign excludes
+    // them.
+    "q_stream_ivf_route" -> ((s, d) => {
+      val e = embeds(s, d)
+      val trained = trainedCentroidFrame(e, e.count()).cache()
+      val arriving = e.where(pmod(Core.md5Hash64(
+        concat(lit("rt|"), col("vec_id").cast("string"))), lit(8)) === 0)
+      graft.streaming.Streams.ivfRouteStream(arriving, trained)
+        .where(col("bucket").isNotNull)
+        .select(col("vec_id"), col("bucket"), col("bucket2"))
     }),
 
     // Recall gate for the trained kNN graph (the quality loop every ANN
@@ -1555,6 +1575,13 @@ object SimSearch {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stream_ivf_route" ->
+      s"""WITH $trainedKnn2Ctes
+         |SELECT b.vec_id, b.bucket, b2.bucket2
+         |FROM bucket b LEFT JOIN b2 ON b2.vec_id = b.vec_id
+         |WHERE ${LlmOps.sqlHash64("'rt|' || CAST(b.vec_id AS VARCHAR)")}
+         |  % 8 = 0""".stripMargin,
+
     "q_sim_knn_graph_trained2" ->
       s"""WITH $trainedKnn2Ctes
          |SELECT vec_id, rank, nbr, cos FROM (

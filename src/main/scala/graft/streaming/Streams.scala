@@ -450,4 +450,28 @@ object Streams {
           Iterator(RunningSnapshot(userId, n, total))
       }
   }
+
+  /** Streaming IVF routing — the dense-vector member of the
+    * continuous-ingest screen family (exact-membership bloom /
+    * MinHash-LSH band screen / THIS): each arriving embedding
+    * (vec_id, v) assigns to the primary and secondary probed cells of a
+    * batch-trained IVF index via SimSearch's two-level two-probe assign
+    * (same ArgmaxCos kernels, same tie-breaks — the batch twin
+    * q_stream_ivf_route puts the identical math under the oracle gate).
+    *
+    * Scale contract: the centroid frame (cid, cv, is_coarse) is C rows
+    * total and enters only as BROADCAST sides of stream-static joins, so
+    * the stream stays stateless and shuffle-free at any corpus scale —
+    * the IVF property that the index a query must touch is nprobe/C of
+    * the corpus, applied at INGEST: downstream exact verify scans only
+    * the routed cells (the batch half of the production streaming-ANN
+    * pattern). Vectors whose probed cells are both empty surface with a
+    * null bucket — the caller's novel path, exactly like the LSH
+    * screen's flagged=false.
+    *
+    * Output: (vec_id, bucket, bucket2) — bucket2 null when either probed
+    * cell is empty.
+    */
+  def ivfRouteStream(stream: DataFrame, cents: DataFrame): DataFrame =
+    graft.queries.SimSearch.assignTwoLevelAgainst(stream, cents)
 }

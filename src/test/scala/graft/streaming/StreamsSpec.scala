@@ -585,4 +585,43 @@ class StreamsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("seeds"), e.getMessage)
   }
+
+  test("ivfRouteStream routes arriving vectors to the same probed cells " +
+    "as the batch assign, stateless across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    // 2 coarse cells along +x / +y; one extra fine centroid per cell
+    val cents = Seq(
+      (10L, Array(1.0, 0.0), true),
+      (20L, Array(0.0, 1.0), true),
+      (11L, Array(0.9, 0.3), false),
+      (21L, Array(0.3, 0.9), false)
+    ).toDF("cid", "cv", "is_coarse")
+    val vecs = Seq(
+      (1L, Array(0.95, 0.1)),  // deep in the x cell
+      (2L, Array(0.1, 0.95)),  // deep in the y cell
+      (3L, Array(0.7, 0.7))    // boundary — probe-2 matters
+    )
+    val input = MemoryStream[(Long, Array[Double])]
+    val routed = Streams.ivfRouteStream(
+      input.toDF().toDF("vec_id", "v"), cents)
+    val q = routed.writeStream.format("memory").queryName("ivf_route")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(vecs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(vecs.drop(2): _*) // second micro-batch: no state carried
+      q.processAllAvailable()
+      val got = spark.table("ivf_route")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      val want = graft.queries.SimSearch
+        .assignTwoLevelAgainst(vecs.toDF("vec_id", "v"), cents)
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.size == 3 && got.forall(_._2.nonEmpty))
+      // the boundary vector carries a secondary cell for probe-2 verify
+      assert(got.find(_._1 == 3L).get._3.nonEmpty)
+    } finally q.stop()
+  }
 }
