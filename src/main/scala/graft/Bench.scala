@@ -80,7 +80,11 @@ object Bench {
     // Per-query detail goes to a file + an EARLIER stdout line; the FINAL
     // stdout line is deliberately short (<200 bytes) because the driver's
     // tail capture clips long lines (r1's 2.5 KB one-liner parsed as null).
-    val detail = s"""{"metric":"detail","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Body without braces so the history record below can prepend its ts
+    // field by construction instead of string-splicing detail.drop(1)
+    // (which silently corrupts the JSONL if detail ever changes shape).
+    val detailBody = s""""metric":"detail","queries":$qs,"errors":$errJson,"sf":"$sfDir""""
+    val detail = "{" + detailBody + "}"
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
@@ -89,7 +93,7 @@ object Bench {
     // truncated stdout tail — the history file keeps every run's full
     // per-query detail (timestamped) for cross-round scans.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-      (s"""{"ts":${System.currentTimeMillis()},""" + detail.drop(1) + "\n")
+      (s"""{"ts":${System.currentTimeMillis()},""" + detailBody + "}\n")
         .getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)

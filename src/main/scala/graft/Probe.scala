@@ -199,6 +199,32 @@ object Probe {
               s"RECALL=${hit.toDouble / nTrue}")
           }
         }
+      case "passagesplit" =>
+        // Stage attribution for q_text_passage_dfcap's superlinear 1000×
+        // row (r11's open weak). Each stage is timed COLD (timed()
+        // clearCache's between runs) and includes its upstream, so
+        // consecutive diffs are per-stage increments; the row counts tell
+        // volume growth apart from per-row constants. Same builder the
+        // registered query ships — no drift.
+        val p = graft.queries.LlmOps.passageDfcapPlan(s, d)
+        val nDocs = graft.ops.Core.table(s, d, "documents").count()
+        println(s"STATS=passage NDOCS=$nDocs")
+        timed("pd_passages") { noop(p.passages) }
+        timed("pd_tf") { noop(p.tf) }
+        timed("pd_df") { noop(p.df) }
+        timed("pd_qdf") { noop(p.qdf) }
+        timed("pd_scored") { noop(p.scored) }
+        timed("pd_full") { noop(p.topk) }
+        // volume profile (one pass, reuses the tf cache like production)
+        val nPass = p.passages.count()
+        val nTf = p.tf.count()
+        val nDf = p.df.count()
+        val nQdf = p.qdf.count()
+        val nCand = p.tf.join(broadcast(p.qdf), Seq("w")).count()
+        val nScored = p.scored.count()
+        println(s"STATS=passagevol NPASSAGES=$nPass NTF=$nTf NDF=$nDf " +
+          s"NQDF=$nQdf NCAND=$nCand NSCORED=$nScored")
+        s.catalog.clearCache()
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -37,4 +37,12 @@ object SparkEntry {
       graft.queries.SimSearch.oracle ++
       graft.queries.Media.oracle ++
       graft.queries.Reference.oracle
+
+  /** Queries ALLOWED to return zero rows at the correctness sf (0.01).
+    * Empty-vs-empty hash matches prove nothing (r11 verdict found two such
+    * vacuous greens) — so the verify gate (tools/check_oracle.py) fails any
+    * oracled query that returns 0 rows unless it is listed here with a
+    * reason. Currently none: every registered query yields rows at sf0.01.
+    */
+  def emptyAllowed: Set[String] = Set.empty
 }

@@ -91,6 +91,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_QUERIES.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Vacuity allowlist for the checker: an oracled query returning 0 rows
+    // is an empty-vs-empty hash match that proves nothing unless declared.
+    Files.writeString(Paths.get(s"$outDir/_EMPTY_ALLOWED.json"),
+      SparkEntry.emptyAllowed.toSeq.sorted.map(q).mkString("[", ",", "]"))
     only.foreach { names =>
       Files.writeString(Paths.get(s"$outDir/_SUBSET.json"),
         names.toSeq.sorted.map(q).mkString("[", ",", "]"))

@@ -29,6 +29,12 @@ class BloomAgg(mBits: Int, k: Int)
   require(k > 0, s"k must be positive: $k")
   private val nWords = mBits / 64
 
+  // one m-bit word array — "bounded" can still be 128 MB at mBits = 2^30,
+  // so the fallback rule's byte budget (not the marker alone) decides: a
+  // grouped wide-bloom agg computes a threshold BELOW Spark's default and
+  // keeps the stock spill-safe exec (current call sites are all global)
+  override def maxBufferBytes: Long = 64L + 8L * nWords
+
   override def zero: Array[Long] = new Array[Long](nWords)
 
   override def reduce(buf: Array[Long], h: (Long, Long)): Array[Long] = {

@@ -23,5 +23,24 @@ package graft.functions
   * rule raises the threshold only for ObjectHashAggregateExec nodes whose
   * every aggregate function is marked with this trait; everything else
   * keeps Spark's spill-safe default.
+  *
+  * "Bounded" alone is not enough (r12 hardening): a sized Bloom buffer is
+  * bounded by construction at up to 2^30 bits = 128 MB — 4M of those in
+  * hash mode is the exact OOM class the rule exists to prevent. So the
+  * marker also declares HOW bounded: `maxBufferBytes` is a conservative
+  * upper bound on one LIVE buffer, and the rule derives the node's
+  * threshold from a per-task heap budget divided by the per-key byte
+  * bound. Small buffers (top-K of a few hundred entries) land on the 4M
+  * cap; fat buffers (wide blooms, worst-case histograms) compute a
+  * threshold at or below Spark's default and keep the stock spill-safe
+  * exec.
   */
-trait BoundedBufferAgg
+trait BoundedBufferAgg {
+
+  /** Conservative upper bound, in bytes, of ONE live aggregation buffer
+    * for this aggregator (JVM object overheads included — overestimate).
+    * Must be a bound by CONSTRUCTION (truncation cap, fixed sketch width,
+    * clamped domain), never an "expected" size.
+    */
+  def maxBufferBytes: Long
+}

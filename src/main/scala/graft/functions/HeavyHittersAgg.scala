@@ -26,6 +26,10 @@ class HeavyHittersAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[
     with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
 
+  // at most k map entries; 256 B/entry budgets the item string + boxing
+  // (heavy-hitter items are tokens/ids, not documents)
+  override def maxBufferBytes: Long = 64L + 256L * k
+
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =

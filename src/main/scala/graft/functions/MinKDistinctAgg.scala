@@ -22,6 +22,9 @@ class MinKDistinctAgg(k: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
 
+  // k longs + array header
+  override def maxBufferBytes: Long = 64L + 8L * k
+
   override def zero: Array[Long] = Array.emptyLongArray
 
   override def reduce(buf: Array[Long], v: Long): Array[Long] =

@@ -26,10 +26,24 @@ class HistQuantileAgg(width: Double, qs: Seq[Double])
   require(width > 0, "width must be > 0")
   require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
 
+  // The bin map grows with the occupied VALUE RANGE / width — data-domain
+  // bounded, not construction-bounded, until the bin index is clamped.
+  // Saturating at fixed edges ±MaxAbsBin keeps merge deterministic (the
+  // clamp is per-value, independent of scan/merge order) and makes the
+  // buffer bounded by construction: quantiles are exact-to-width inside
+  // ±width·2^20 and saturate to the edge outside it. The worst-case bound
+  // is still ~200 MB, so the fallback rule's byte budget keeps grouped
+  // hist aggs on the stock spill-safe exec — the clamp bounds the DAMAGE,
+  // the budget keeps the threshold honest.
+  override def maxBufferBytes: Long =
+    64L + 100L * (2L * HistQuantileAgg.MaxAbsBin + 1L)
+
   override def zero: Map[Long, Long] = Map.empty
 
   override def reduce(buf: Map[Long, Long], x: Double): Map[Long, Long] = {
-    val b = math.floor(x / width).toLong
+    val raw = math.floor(x / width).toLong
+    val b = math.max(-HistQuantileAgg.MaxAbsBin,
+      math.min(HistQuantileAgg.MaxAbsBin, raw))
     buf.updated(b, buf.getOrElse(b, 0L) + 1)
   }
 
@@ -62,6 +76,12 @@ class HistQuantileAgg(width: Double, qs: Seq[Double])
 }
 
 object HistQuantileAgg {
+  /** Saturation edge for bin indices: values beyond ±width·2^20 land in
+    * the edge bins. Far above every fixture's range (l_extendedprice/100
+    * occupies ~1k bins) so current oracles are untouched.
+    */
+  val MaxAbsBin: Long = 1L << 20
+
   /** Aggregate expression: interpolated quantile estimates (one array slot
     * per q, in order) of a double column at histogram resolution `width`.
     */
@@ -84,6 +104,9 @@ class BottomKAgg(k: Int)
     extends Aggregator[(Long, String), Array[(Long, String)], Array[String]]
     with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
+
+  // k (hash, id) pairs; 192 B/entry budgets the id string + tuple boxing
+  override def maxBufferBytes: Long = 64L + 192L * k
 
   private val ord = Ordering.Tuple2[Long, String]
 
@@ -140,6 +163,9 @@ object BottomKAgg {
 class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]]
     with BoundedBufferAgg {
   require(k >= 1, "k must be >= 1")
+
+  // k longs + array header
+  override def maxBufferBytes: Long = 64L + 8L * k
 
   override def zero: Array[Long] = Array.empty
 

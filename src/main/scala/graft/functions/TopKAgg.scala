@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions.udaf
 class TopKAgg(k: Int) extends Aggregator[Double, Array[Double], Array[Double]]
     with BoundedBufferAgg {
 
+  // k boxed-free doubles + array header
+  override def maxBufferBytes: Long = 64L + 8L * k
+
   override def zero: Array[Double] = Array.emptyDoubleArray
 
   override def reduce(buf: Array[Double], v: Double): Array[Double] =

@@ -21,6 +21,9 @@ class TopKPairAgg(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)],
       Array[(Double, Long)]] with BoundedBufferAgg {
 
+  // k boxed (Double, Long) tuples: ~48 B each with object headers
+  override def maxBufferBytes: Long = 64L + 48L * k
+
   // NaN-safe score compare replicating Spark's DoubleType ordering
   // (nanSafeCompareDoubles): NaN ranks GREATEST and -0.0 == 0.0.
   // Primitive >/== are false both ways for NaN, so a NaN-scored pair

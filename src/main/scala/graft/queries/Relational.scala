@@ -626,9 +626,16 @@ object Relational {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
+    // Anti against HIGH-VALUE orders, not all orders: every fixture
+    // customer has some order, so the plain form returned 0 rows at
+    // sf0.01 and its oracle row was vacuous (r11 verdict). The filtered
+    // right side keeps the anti-join semantics under test AND yields
+    // rows at every sf (3 / 30 / 308 at sf0.001/0.01/0.1) — and it is
+    // the more scale-honest shape anyway: the filter is pushed below
+    // the join, shrinking the build side before the shuffle.
     "q_join_anti" -> ((s, d) => {
       val c = table(s, d, "customer")
-      val o = table(s, d, "orders")
+      val o = table(s, d, "orders").where(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -2168,7 +2175,8 @@ object Relational {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
 
     "q_join_fuzzy_names" ->
       """WITH names AS (SELECT DISTINCT c_name AS w FROM customer),

@@ -638,10 +638,15 @@ object SimSearch {
       // fan back: cross-family pairs expand rep pairs through the member
       // map; intra-family pairs come straight off the map — no join with
       // the band table, no distinct (each unordered pair appears once)
+      // pairs are ordered by REP (r1<r2), so the expanded members can come
+      // out v1>v2 — canonicalize to v1<v2 so the frame matches the scaled
+      // path's orientation row-for-row (not just as unordered pairs) and
+      // stays safe to diff/reuse for row-level output
       val cross = rpairs
-        .join(member.select(col("rep").as("r1"), col("vec_id").as("v1")), Seq("r1"))
-        .join(member.select(col("rep").as("r2"), col("vec_id").as("v2")), Seq("r2"))
-        .select(col("v1"), col("v2"))
+        .join(member.select(col("rep").as("r1"), col("vec_id").as("mv1")), Seq("r1"))
+        .join(member.select(col("rep").as("r2"), col("vec_id").as("mv2")), Seq("r2"))
+        .select(least(col("mv1"), col("mv2")).as("v1"),
+          greatest(col("mv1"), col("mv2")).as("v2"))
       val intra = member.as("a")
         .join(member.as("b"),
           col("a.rep") === col("b.rep") && col("a.vec_id") < col("b.vec_id"))

@@ -115,28 +115,64 @@ case class BoundedObjectHashAggregateExec(
   */
 object BoundedAggFallback extends Rule[SparkPlan] {
 
-  /** Keys per partition before hash mode yields to the sort path. Every
-    * marked buffer is O(K)/fixed-width, so even millions of live buffers
-    * are small; the cap only bounds the key-pointer map itself.
+  /** Hard cap on keys per partition before hash mode yields to the sort
+    * path — reached only when the per-key byte bound is small (top-K /
+    * KMV-class buffers). The cap bounds the key-pointer map itself.
     */
-  val BoundedThreshold: Int = 4 * 1024 * 1024
+  val MaxBoundedThreshold: Int = 4 * 1024 * 1024
 
-  private def bounded(ae: AggregateExpression): Boolean =
+  /** Live-buffer heap budget per task that the derived threshold may not
+    * exceed: threshold = budget / Σ maxBufferBytes over the node's aggs.
+    * 1 GiB keeps the r10-measured 4M threshold for small buffers (a
+    * 176-byte MinK buffer → 6M → capped at 4M) while a 128 MB sized-bloom
+    * buffer computes to 8 — below Spark's default, so the node keeps the
+    * stock spill-safe exec. "Marked bounded" alone is NOT sufficient
+    * (r12 hardening, ADVICE r11): boundedness says the buffer can't grow
+    * with the group, the byte budget says 4M of them actually fit.
+    */
+  val HeapBudgetBytes: Long = 1L << 30
+
+  /** Per-buffer byte bound when every agg in the node is marked bounded;
+    * None as soon as one isn't.
+    */
+  private def boundedBytes(ae: AggregateExpression): Option[Long] =
     ae.aggregateFunction match {
       case sa: ScalaAggregator[_, _, _] =>
-        sa.agg.isInstanceOf[graft.functions.BoundedBufferAgg]
-      case _ => false
+        sa.agg match {
+          case b: graft.functions.BoundedBufferAgg => Some(b.maxBufferBytes)
+          case _ => None
+        }
+      case _ => None
     }
 
+  /** Derived threshold for a node, or None if any agg is unbounded or the
+    * budget-derived threshold would not beat the session default (then
+    * the stock exec is strictly better — same behavior, no plan churn).
+    */
+  def thresholdFor(aggs: Seq[AggregateExpression],
+                   sessionDefault: Int): Option[Int] = {
+    val bytes = aggs.map(boundedBytes)
+    if (aggs.isEmpty || bytes.exists(_.isEmpty)) None
+    else {
+      val perKey = math.max(1L, bytes.flatten.sum)
+      val thr = math.min(MaxBoundedThreshold.toLong, HeapBudgetBytes / perKey)
+      if (thr > sessionDefault) Some(thr.toInt) else None
+    }
+  }
+
   override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
-    case o: ObjectHashAggregateExec
-        if !o.isStreaming && o.aggregateExpressions.nonEmpty &&
-          o.aggregateExpressions.forall(bounded) =>
-      BoundedObjectHashAggregateExec(
-        o.requiredChildDistributionExpressions, o.isStreaming,
-        o.numShufflePartitions, o.groupingExpressions,
-        o.aggregateExpressions, o.aggregateAttributes,
-        o.initialInputBufferOffset, o.resultExpressions, o.child,
-        BoundedThreshold)
+    case o: ObjectHashAggregateExec if !o.isStreaming =>
+      val sessionDefault =
+        o.conf.getConf(org.apache.spark.sql.internal.SQLConf
+          .OBJECT_AGG_SORT_BASED_FALLBACK_THRESHOLD)
+      thresholdFor(o.aggregateExpressions, sessionDefault) match {
+        case Some(thr) =>
+          BoundedObjectHashAggregateExec(
+            o.requiredChildDistributionExpressions, o.isStreaming,
+            o.numShufflePartitions, o.groupingExpressions,
+            o.aggregateExpressions, o.aggregateAttributes,
+            o.initialInputBufferOffset, o.resultExpressions, o.child, thr)
+        case None => o
+      }
   }
 }

@@ -25,6 +25,29 @@ class ContractSpec extends SparkSpec {
       s"undocumented rows-only queries: $rowsOnly")
   }
 
+  test("emptyAllowed names only registered oracled queries and is " +
+    "currently the empty set") {
+    // The verify gate (tools/check_oracle.py) fails any oracled query
+    // returning 0 rows at sf0.01 unless listed in SparkEntry.emptyAllowed
+    // — r11 found two vacuous empty-vs-empty greens (q_join_anti,
+    // q_text_inverted_index), since retuned to yield rows. Additions to
+    // the allowlist must be deliberate: extend THIS pin with the reason.
+    val unknown = SparkEntry.emptyAllowed -- SparkEntry.oracleSql.keySet
+    assert(unknown.isEmpty, s"emptyAllowed entries without oracles: $unknown")
+    assert(SparkEntry.emptyAllowed.isEmpty,
+      s"new emptyAllowed entries need a documented reason here: " +
+        SparkEntry.emptyAllowed)
+  }
+
+  test("the two r11 vacuous queries now yield rows at fixture scale") {
+    // sf0.001 fixture: both were 0-row at EVERY sf before the r12 retune
+    // (anti vs high-value orders: 3 rows; bigram inverted index: the
+    // fixture's unigram dfs all exceeded the mid-frequency band)
+    val d = "/root/testdata/sf0.001"
+    assert(SparkEntry.queries("q_join_anti")(spark, d).count() > 0)
+    assert(SparkEntry.queries("q_text_inverted_index")(spark, d).count() > 0)
+  }
+
   test("query names follow the q_ snake_case convention") {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming names: $bad")

@@ -60,6 +60,70 @@ class BoundedAggFallbackSpec extends SparkSpec {
     assert(row._2 == 10)
   }
 
+  test("a GROUPED wide-bloom agg stays on the stock spill-safe exec: " +
+    "bounded-by-construction but 128 MB per buffer fails the byte budget") {
+    // 2^30-bit bloom: maxBufferBytes ~128 MB -> derived threshold 8 < 128
+    val df = wide
+      .withColumn("h1", xxhash64($"s"))
+      .withColumn("h2", xxhash64($"s", lit(1)))
+      .groupBy($"g")
+      .agg(BloomAgg.bloom($"h1", $"h2", 1 << 30, 3).as("bits"))
+    val plan = planOf(df)
+    assert(!plan.contains("BoundedObjectHashAggregate"), plan)
+    assert(stockObjectHashLines(plan).nonEmpty, plan)
+  }
+
+  test("thresholdFor derives from the byte budget: small buffers cap at " +
+    "4M, fat buffers fall back to None") {
+    import org.apache.spark.sql.graft.BoundedAggFallback
+    def aggsOf(df: org.apache.spark.sql.DataFrame) = {
+      // AdaptiveSparkPlanExec holds its plan as a field, not a child —
+      // collect on the wrapper sees nothing; unwrap to the input plan
+      // (pre-prep-rule, so the stock exec case matches)
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      p.collect {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+          o.aggregateExpressions
+        case b: org.apache.spark.sql.graft.BoundedObjectHashAggregateExec =>
+          b.aggregateExpressions
+      }.flatten
+    }
+    val small = aggsOf(wide.groupBy($"g").agg(TopKAgg.topK($"s", 3).as("t")))
+    assert(BoundedAggFallback.thresholdFor(small, 128)
+      .contains(BoundedAggFallback.MaxBoundedThreshold))
+    val fat = aggsOf(wide.withColumn("h1", xxhash64($"s"))
+      .withColumn("h2", xxhash64($"s", lit(1)))
+      .groupBy($"g").agg(BloomAgg.bloom($"h1", $"h2", 1 << 30, 3).as("b")))
+    assert(BoundedAggFallback.thresholdFor(fat, 128).isEmpty)
+    // histogram sketch: clamped domain bounds the buffer, but the worst
+    // case (~200 MB) still fails the budget -> stock exec
+    val hist = aggsOf(wide.groupBy($"g")
+      .agg(HistQuantileAgg.histQuantiles($"s", 10.0, Seq(0.5)).as("q")))
+    assert(BoundedAggFallback.thresholdFor(hist, 128).isEmpty)
+  }
+
+  test("HistQuantileAgg saturates bin indices at the fixed +/-2^20 edges " +
+    "deterministically") {
+    // values far outside the clamp range land in the edge bins; the
+    // median of an all-saturated input is the edge estimate, identical
+    // under any partitioning
+    val big = Seq.fill(100)(1e12).toDF("x").repartition(7)
+    val est = big.agg(
+      HistQuantileAgg.histQuantiles(col("x"), 1.0, Seq(0.5)).as("q"))
+      .select(element_at(col("q"), 1)).as[Double].head()
+    val edge = (1L << 20).toDouble
+    assert(est >= edge && est <= edge + 1.0, s"est=$est")
+    // in-range values are untouched by the clamp
+    val inRange = Seq(1.0, 2.0, 3.0).toDF("x")
+      .agg(HistQuantileAgg.histQuantiles(col("x"), 10.0, Seq(0.5)).as("q"))
+      .select(element_at(col("q"), 1)).as[Double].head()
+    assert(math.abs(inRange - 20.0 / 3.0) < 1e-9, s"inRange=$inRange")
+  }
+
   test("global (no grouping) bounded agg over an empty input emits the " +
     "zero-buffer row through the swapped exec") {
     val empty = wide.where($"g" < 0)

@@ -18,17 +18,21 @@ class PipelineStagedSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
 
+  // One staged run shared by both tests — each test is self-contained under
+  // a test-name filter (the layout test previously depended on the
+  // equivalence test having populated the scratch first).
+  private lazy val stagedRows: Set[(Long, Long, Long, Double)] =
+    rows(Reference.drugDiseasePipeline(spark, dir, stageRows = 0L))
+
   test("staged path is row-identical to the recompute path") {
     val direct = Reference.drugDiseasePipeline(spark, dir)
-    val staged = Reference.drugDiseasePipeline(spark, dir, stageRows = 0L)
     val dRows = rows(direct)
-    val sRows = rows(staged)
     assert(dRows.nonEmpty, "fixture produced no hypotheses — spec is vacuous")
-    assert(sRows == dRows)
+    assert(stagedRows == dRows)
   }
 
   test("staged scratch holds the five key-sized frames plus the fact join") {
-    // the equivalence test above already wrote the scratch; assert layout
+    assert(stagedRows.nonEmpty) // forces the staged run (writes the scratch)
     val root = new java.io.File(
       Relational.scratchPath(spark, dir, "pipeline_dd"))
     val expected = Set("lines", "supp_parts", "pairs", "owned_parts",

@@ -41,7 +41,9 @@ def main(sf_dir, out_dir):
     # _ERRORS.json carries the exception messages.
     qpath = os.path.join(out_dir, "_QUERIES.json")
     epath = os.path.join(out_dir, "_ERRORS.json")
+    apath = os.path.join(out_dir, "_EMPTY_ALLOWED.json")
     registered = set(json.load(open(qpath))) if os.path.exists(qpath) else set()
+    empty_ok = set(json.load(open(apath))) if os.path.exists(apath) else set()
     errs = json.load(open(epath)) if os.path.exists(epath) else {}
     dumped = {n for n in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, n))}
@@ -82,8 +84,15 @@ def main(sf_dir, out_dir):
             print(f"{'COLS':>10} {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
             n_fail += 1
         elif a == b:
-            print(f"{'PASS':>10} {name} ({len(a)} rows)")
-            n_pass += 1
+            # Empty-vs-empty matches prove nothing: fail them unless the
+            # query is explicitly allowlisted (SparkEntry.emptyAllowed).
+            if len(a) == 0 and name not in empty_ok:
+                print(f"{'VACUOUS':>10} {name}: 0 rows on both sides — "
+                      "retune the query or allowlist it with a reason")
+                n_fail += 1
+            else:
+                print(f"{'PASS':>10} {name} ({len(a)} rows)")
+                n_pass += 1
         else:
             print(f"{'MISMATCH':>10} {name}: spark {len(a)} rows vs duck {len(b)} rows")
             only_a = [r for r in a if r not in set(b)][:3]
