@@ -199,6 +199,35 @@ object Probe {
               s"RECALL=${hit.toDouble / nTrue}")
           }
         }
+      case "pipelinesplit" =>
+        // Output-cost vs join-cost split for the drug-disease pipeline's
+        // 1000× wall (r11 attributed ~1050 s to ~1G hypothesis rows, but
+        // both measured forms materialized the full output): count()
+        // keeps every join's cardinality work and drops the output
+        // materialization; the selective variant (ae_score > 0.9) tells
+        // a 100 TB user what a high-threshold run costs. Each timing
+        // re-stages the scratch identically, so diffs isolate the tail.
+        val q = SparkEntry.queries("q_pipeline_drug_disease")
+        timed("pipeline_count") {
+          println(s"STATS=pipelinesplit NROWS=${q(s, d).count()}")
+        }
+        timed("pipeline_selective") {
+          noop(q(s, d).where(col("ae_score") > 0.9))
+        }
+        timed("pipeline_full") { noop(q(s, d)) }
+      case "assignstatic" =>
+        // A/B half of assigntrainedonly: the driver-decoded broadcast
+        // index assign (TwoLevelAssign) against the same trained frame.
+        // Build/collect/broadcast setup is INSIDE the timing on purpose —
+        // a real caller pays it — but printed separately too.
+        val tr = SimSearch.trainedCentroidFrame(e, n).cache()
+        noop(tr)
+        val t0 = System.nanoTime()
+        val asg = SimSearch.assignTwoLevelAgainstStatic(e, tr)
+        println(s"PROBE=assignstatic_setup SEC=${(System.nanoTime() - t0) / 1e9}")
+        timed("assignstatic") {
+          noop(asg.select(col("vec_id"), col("bucket")))
+        }
       case "passagesplit" =>
         // Stage attribution for q_text_passage_dfcap's superlinear 1000×
         // row (r11's open weak). Each stage is timed COLD (timed()

@@ -303,6 +303,46 @@ object SimSearch {
           least(col("m1"), col("m2")).getField("cid")).as("bucket2"))
   }
 
+  /** STATIC variant of assignTwoLevelAgainst — the operator-level decoded
+    * centroid relation (the r11 scale analysis's named assign lever): the
+    * centroid frame is COLLECTED at plan time (C rows — this path exists
+    * only in the broadcast regime, where the dynamic plan ships the same
+    * bytes as broadcast relations anyway), decoded to primitive arrays on
+    * the driver, and shipped once per executor via sc.broadcast. Each row
+    * then pays pure primitive-array loops instead of the dynamic plan's
+    * per-row getStruct/getArray virtual calls over broadcast bytes — the
+    * layer Probe measured as the 2M assign's dominant cost (SCALE.md
+    * r11: decode A/B showed the dot loop itself was already cheap).
+    * Output is row-identical to assignTwoLevelAgainst by construction
+    * (same FP order, rounding, tie-breaks, null semantics — see
+    * TwoLevelIndex's scaladoc); StaticAssignSpec pins it on prefix,
+    * trained, and duplicated-corpus frames.
+    */
+  private[graft] def assignTwoLevelAgainstStatic(e: DataFrame,
+      centsDf: DataFrame): DataFrame = {
+    val assign = staticAssignColumn(centsDf)
+    e.select(col("vec_id"), assign(col("v")).as("a"))
+      .select(col("vec_id"),
+        col("a").getField("bucket").as("bucket"),
+        col("a").getField("bucket2").as("bucket2"))
+  }
+
+  /** The static assign as a reusable COLUMN factory: collect + decode +
+    * broadcast happen once at the call, and the returned function can be
+    * applied to any vector column any number of times (e.g. once per
+    * micro-batch in a streaming foreachBatch) without re-collecting the
+    * centroid frame. Result column is struct<bucket, bucket2>.
+    */
+  private[graft] def staticAssignColumn(centsDf: DataFrame): Column => Column = {
+    val rows = centsDf.select(col("cid"), col("cv"), col("is_coarse")).collect()
+    val cents = rows.map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getBoolean(2))
+    }
+    val idx = org.apache.spark.sql.graft.TwoLevelIndex.build(cents)
+    val bc = centsDf.sparkSession.sparkContext.broadcast(idx)
+    v => org.apache.spark.sql.graft.GraftSql.twoLevelAssign(v, bc)
+  }
+
   /** Sampled IVF training — one approximate-Lloyd round, fully
     * declarative (no driver-held state, unlike llm.KMeans' k=8 literal
     * centroids): assign the SAMPLE to prefix stand-in centroids with the
@@ -316,7 +356,9 @@ object SimSearch {
     */
   private[graft] def trainCentroids(sample: DataFrame,
       cents0: DataFrame): DataFrame = {
-    val asg = assignTwoLevelAgainst(sample, cents0)
+    // static assign here too (r12): cents0 is stand-in-sized, and the
+    // sample-side assign gets the same primitive-loop kernel
+    val asg = assignTwoLevelAgainstStatic(sample, cents0)
       .where(col("bucket").isNotNull)
     sample.join(asg, Seq("vec_id"))
       .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
@@ -382,13 +424,15 @@ object SimSearch {
     * E[|coarse|] = n1 ≈ √C. Training cost is sample-sized; the corpus is
     * touched once by the final broadcast-centroid assign.
     */
-  private[graft] def trainedAssign(e: DataFrame): DataFrame = {
-    // trained is consumed twice inside the final assign (coarse list +
-    // per-cell fine lists) and is C rows of 64 doubles — cache beats
-    // re-running the sampled-Lloyd lineage per consumer
-    val trained = trainedCentroidFrame(e, e.count()).cache()
-    assignTwoLevelAgainst(e, trained)
-  }
+  private[graft] def trainedAssign(e: DataFrame): DataFrame =
+    // STATIC assign (r12): the trained frame is collected once into the
+    // decoded broadcast index, so the old two-consumer cache is gone —
+    // one action runs the sampled-Lloyd lineage. Measured same-session
+    // A/B at 2M vectors: 38.8-46.9 s dynamic vs 30.2-33.4 s (+ ~4 s
+    // collect/build/broadcast setup) static, both orders; 6.7 → 1.6 s at
+    // sf10. q_sim_knn_graph_2l keeps the DYNAMIC plan under its own
+    // oracle so the beyond-broadcast path stays exercised.
+    assignTwoLevelAgainstStatic(e, trainedCentroidFrame(e, e.count()))
 
   /** The training half of trainedAssign — sample, stand-ins, one Lloyd
     * round, coarse flags — exposed so Probe can time train vs the corpus

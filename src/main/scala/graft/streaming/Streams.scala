@@ -460,18 +460,104 @@ object Streams {
     * q_stream_ivf_route puts the identical math under the oracle gate).
     *
     * Scale contract: the centroid frame (cid, cv, is_coarse) is C rows
-    * total and enters only as BROADCAST sides of stream-static joins, so
-    * the stream stays stateless and shuffle-free at any corpus scale —
-    * the IVF property that the index a query must touch is nprobe/C of
-    * the corpus, applied at INGEST: downstream exact verify scans only
-    * the routed cells (the batch half of the production streaming-ANN
-    * pattern). Vectors whose probed cells are both empty surface with a
-    * null bucket — the caller's novel path, exactly like the LSH
-    * screen's flagged=false.
+    * total and rides a driver-decoded broadcast index (r12 — see
+    * assignTwoLevelAgainstStatic), so the routing is a stateless per-row
+    * projection with no stream-static join at all — the IVF property
+    * that the index a query must touch is nprobe/C of the corpus,
+    * applied at INGEST: downstream exact verify scans only the routed
+    * cells (the batch half of the production streaming-ANN pattern;
+    * ingestScreenPipeline is that composition end to end). Vectors whose
+    * probed cells are both empty surface with a null bucket — the
+    * caller's novel path, exactly like the LSH screen's flagged=false.
     *
     * Output: (vec_id, bucket, bucket2) — bucket2 null when either probed
     * cell is empty.
     */
+  /** The continuous-ingest screen family composed END TO END as one
+    * streaming pipeline — the shape a production crawl-ingest runs:
+    *
+    *   dedup → exact-membership screen → IVF route → exact verify → upsert
+    *
+    * 1. `dedupStream` on doc_id: at-least-once transport replays die at
+    *    the watermarked state store (never reaching the verify joins).
+    * 2. `bloomTagStream` on text: a batch-built bitset flags arrivals
+    *    whose exact text MIGHT already be in the corpus (no false
+    *    negatives — unflagged rows skip the exact-text confirm join).
+    * 3. IVF routing via the static two-level assign (built ONCE at stream
+    *    setup — staticAssignColumn; applied per micro-batch as a
+    *    stateless projection, so the route keeps every arrival column and
+    *    needs no join-back).
+    * 4. Exact verify, both families: flagged rows confirm against the
+    *    corpus by text equality (bloom false positives survive); dense
+    *    near-dups compare exact cosine ONLY against corpus members of the
+    *    arrival's two probed cells (the IVF contract: nprobe/C of the
+    *    index per arrival, never a full scan — a near-dup sitting across
+    *    the Voronoi boundary is caught via bucket2).
+    * 5. Novel rows (neither exact nor dense dup) merge into the keyed
+    *    parquet snapshot via upsertBatch — last-writer-wins, idempotent
+    *    under micro-batch re-delivery.
+    *
+    * Arrivals: (doc_id, ts, text, v). Corpus: (doc_id, text, v) — its
+    * bloom, cell assignment, and normalized vectors are computed once at
+    * setup and reused every micro-batch (localCheckpoint pins the
+    * corpus-side frames so no batch re-runs their lineage).
+    */
+  def ingestScreenPipeline(arrivals: DataFrame, corpus: DataFrame,
+      cents: DataFrame, mBits: Int, k: Int, cosThreshold: Double,
+      snapshotDir: String, checkpointDir: String, buckets: Int,
+      delay: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.queries.SimSearch
+    import graft.llm.Vectors
+    // batch-side index, built once: exact-text bloom, static assign
+    // column, corpus members keyed by their primary cell
+    val bits = graft.ops.Bloom.build(corpus, col("text"), mBits, k)
+      .localCheckpoint(true)
+    val assign = SimSearch.staticAssignColumn(cents)
+    val corpusCells = corpus
+      .select(col("doc_id").as("c_id"), col("text").as("c_text"),
+        Vectors.normalize(col("v")).as("cvn"),
+        assign(col("v")).getField("bucket").as("cell"))
+      .where(col("cell").isNotNull)
+      .localCheckpoint(true)
+    val deduped = dedupStream(arrivals, Seq("doc_id"), delay)
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tagged = bloomTagStream(b, bits, "text", mBits, k)
+            .withColumn("a", assign(col("v")))
+            .withColumn("vn", Vectors.normalize(col("v")))
+          // exact-text confirm: only bloom-flagged rows pay the join
+          val exactDup = tagged.where(col("flagged"))
+            .join(corpusCells.select(col("c_text").as("text")),
+              Seq("text"), "left_semi")
+            .select(col("doc_id"))
+          // dense verify: arrivals explode to their ≤2 probed cells and
+          // meet only those cells' corpus members
+          val denseDup = tagged
+            .select(col("doc_id"), col("vn"),
+              explode(array(col("a.bucket"), col("a.bucket2"))).as("cell"))
+            .where(col("cell").isNotNull)
+            .join(corpusCells.select(col("cell"), col("cvn")), Seq("cell"))
+            .where(round(graft.llm.Vectors.dotFast(col("vn"), col("cvn")), 6)
+              >= cosThreshold)
+            .select(col("doc_id"))
+          val novel = b.join(exactDup.union(denseDup).distinct(),
+            Seq("doc_id"), "left_anti")
+          upsertBatch(novel.select(col("doc_id"), col("ts"), col("text")),
+            "doc_id", "ts", snapshotDir, buckets)
+        }
+      }
+      .start()
+  }
+
   def ivfRouteStream(stream: DataFrame, cents: DataFrame): DataFrame =
-    graft.queries.SimSearch.assignTwoLevelAgainst(stream, cents)
+    // static assign (r12): the batch-trained index is collected/decoded
+    // once at STREAM SETUP and rides a broadcast object — the routing
+    // projection is now a stateless per-row expression with no
+    // stream-static join at all (strictly fewer moving parts per
+    // micro-batch; identical math, StreamsSpec's stream ≡ batch pin holds)
+    graft.queries.SimSearch.assignTwoLevelAgainstStatic(stream, cents)
 }

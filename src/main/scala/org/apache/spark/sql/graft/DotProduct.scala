@@ -84,4 +84,11 @@ object GraftSql {
   def argmaxCos(cents: Column, v: Column, nrm: Column, exclude: Column): Column =
     column(ArgmaxCos(expression(cents), expression(v), expression(nrm),
       expression(exclude)))
+
+  /** Per-row (bucket, bucket2) against a driver-decoded broadcast
+    * two-level centroid index (see TwoLevelAssign).
+    */
+  def twoLevelAssign(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[TwoLevelIndex]): Column =
+    column(TwoLevelAssign(expression(v), bc))
 }

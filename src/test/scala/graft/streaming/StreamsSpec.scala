@@ -586,6 +586,61 @@ class StreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("seeds"), e.getMessage)
   }
 
+  test("ingest screens compose end to end: dedup → bloom screen → IVF " +
+    "route → exact verify (incl. a boundary vector's SECONDARY cell) → " +
+    "upsert of novel docs only") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft-ingest-snap").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    // same IVF geometry as the route test: +x / +y coarse cells, one
+    // extra fine centroid each; fine cells: {10,11} under 10, {20,21}
+    // under 20
+    val cents = Seq(
+      (10L, Array(1.0, 0.0), true),
+      (20L, Array(0.0, 1.0), true),
+      (11L, Array(0.9, 0.3), false),
+      (21L, Array(0.3, 0.9), false)
+    ).toDF("cid", "cv", "is_coarse")
+    // corpus member 3 lands in cell 11 (cos .9487 vs fine 11); docs 1/2
+    // sit deep in cells 10 / 20
+    val corpus = Seq(
+      (1L, "alpha beta gamma", Array(1.0, 0.05)),
+      (2L, "hello world foo", Array(0.05, 1.0)),
+      (3L, "boundary family seed", Array(0.8, 0.6))
+    ).toDF("doc_id", "text", "v")
+    val input = MemoryStream[(Long, Timestamp, String, Array[Double])]
+    val q = Streams.ingestScreenPipeline(
+      input.toDF().toDF("doc_id", "ts", "text", "v"),
+      corpus, cents, mBits = 1024, k = 3, cosThreshold = 0.9,
+      snapDir, ckpt, buckets = 2)
+    try {
+      // batch 1: a genuinely novel doc + an exact-text dup of corpus doc 1
+      input.addData(
+        (100L, ts(1), "totally new thing", Array(-1.0, 0.05)),
+        (101L, ts(1), "alpha beta gamma", Array(0.5, -0.5)))
+      q.processAllAvailable()
+      // batch 2: transport REPLAYS doc 100 with a mutated payload (must
+      // die at the dedup — the snapshot keeps the original text); a
+      // boundary arrival whose near-dup (corpus doc 3, cosine 0.96) sits
+      // in its SECONDARY cell (primary 21 holds no corpus member); and a
+      // second novel doc
+      input.addData(
+        (100L, ts(5), "mutated replay", Array(-1.0, 0.05)),
+        (102L, ts(5), "unrelated text entirely", Array(0.6, 0.8)),
+        (103L, ts(5), "another new doc", Array(0.0, -1.0)))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(snapDir)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(snap == Map(
+        100L -> "totally new thing",
+        103L -> "another new doc"),
+        s"snapshot was $snap")
+    } finally q.stop()
+  }
+
   test("ivfRouteStream routes arriving vectors to the same probed cells " +
     "as the batch assign, stateless across micro-batches") {
     val s = spark
