@@ -286,7 +286,11 @@ object Multimodal {
 
   /** Deterministic frame color — the exact arithmetic the oracle repeats. */
   def frameColor(mediaId: Long, frame: Int): Int =
-    ((mediaId * 2654435761L + frame.toLong * 40503L) % 16777216L).toInt
+    // mediaId pre-reduced mod 2^24: same value by modular identity, but
+    // the unreduced multiply silently WRAPS in JVM arithmetic at ScaleUp's
+    // 10^14 ids (the Spark/ANSI twin throws instead — r12 sf100 run)
+    (((mediaId % 16777216L) * 2654435761L + frame.toLong * 40503L)
+      % 16777216L).toInt
 
   case class PhashSpec(media_id: Long, pat: Long, flip_pos: Int)
   case class PhashImage(media_id: Long, phash: Long)

@@ -31,9 +31,11 @@ object LlmOps {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Named stage frames of q_text_passage_dfcap, exposed so graft.Probe
-    * can attribute its wall clock stage by stage (the r11 verdict's open
-    * weak: 778.9 s at 1000×, 21-31× on 10× data, explanation untested).
-    * The registered query is exactly `passageDfcapPlan(s, d).topk` — one
+    * can attribute its wall clock stage by stage. The r12 split CLEARED
+    * the r11 "superlinear at 1000×" weak: same-session, every stage grows
+    * 10-11× on 10× data whose own passage count grows 11.5× — the 21-31×
+    * figure was a cross-session protocol confound (SCALE.md r12). The
+    * registered query is exactly `passageDfcapPlan(s, d).topk` — one
     * builder, no drift between what's probed and what ships.
     */
   private[graft] case class PassageDfcapPlan(

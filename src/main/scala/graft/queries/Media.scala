@@ -65,7 +65,13 @@ object Media {
         col("doc_id").as("media_id"),
         (lit(16) + col("doc_id") % 16).cast("int").as("width"),
         (lit(16) + col("n_chars") % 16).cast("int").as("height"),
-        ((col("doc_id") * lit(2654435761L)) % lit(16777216L)).cast("int").as("rgb")
+        // doc_id reduced mod 2^24 BEFORE the Knuth multiply: (a·b) mod m
+        // ≡ ((a mod m)·b) mod m, so the value is identical everywhere the
+        // unreduced form didn't overflow — and the unreduced form DID
+        // overflow under ANSI at 1000× (ScaleUp doc_ids reach 10^14;
+        // 10^14 · 2654435761 ≫ 2^63 — caught by the r12 sf100 run)
+        (((col("doc_id") % lit(16777216L)) * lit(2654435761L)) % lit(16777216L))
+          .cast("int").as("rgb")
       ).as[Multimodal.ImageSpec]
       Multimodal.pngRoundTrip(specs).toDF()
         .select(col("media_id"), col("width"), col("height"), col("rgb0"))
@@ -213,7 +219,7 @@ object Media {
       """SELECT doc_id AS media_id,
         |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
         |  CAST(16 + n_chars % 16 AS INTEGER) AS height,
-        |  CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS rgb0
+        |  CAST(((doc_id % 16777216) * 2654435761) % 16777216 AS BIGINT) AS rgb0
         |FROM documents""".stripMargin,
 
     "q_media_wav_roundtrip" ->
@@ -249,7 +255,8 @@ object Media {
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
         |  CAST(2 + doc_id % 6 AS INTEGER) AS width,
         |  CAST(2 + n_chars % 4 AS INTEGER) AS height,
-        |  CAST((doc_id * 2654435761 + f * 40503) % 16777216 AS BIGINT) AS rgb0
+        |  CAST(((doc_id % 16777216) * 2654435761 + f * 40503) % 16777216
+        |    AS BIGINT) AS rgb0
         |FROM (
         |  SELECT doc_id, n_chars,
         |    unnest(generate_series(0, CAST(2 + doc_id % 3 AS INTEGER) - 1)) AS f
