@@ -844,6 +844,80 @@ object SimSearch {
             .as("recall"))
     }),
 
+    // One NN-Descent refinement round (Dong et al., WWW'11) over the
+    // probe-2 trained graph — the recall lever PAST nprobe: a vector's
+    // true neighbours that straddle a cell boundary are often reachable
+    // through a MUTUAL neighbour even when no probed cell contains them
+    // directly. Candidates = the base edges plus every two-hop path in
+    // the UNDIRECTED base graph (B(v) ∪ R(v) neighbourhoods — the
+    // paper's local join), exact cosine re-rank, same top-3 contract.
+    // Scale shape: degree in the undirected graph is ≤ 2K, so candidates
+    // are ≤ (2K)²+K per vector — O(n·K²), LINEAR, no bucket term at all;
+    // the candidate frame is deduped as an id-pair relation BEFORE the
+    // vector fetch (the spill-safe distinct-first form — codegen hash
+    // agg — so the fetch joins see each pair once). Hits are MONOTONE
+    // over the base graph: cand ⊇ base, so a base edge in the global
+    // top-3 can only be displaced by other global-top-3 members
+    // (NndSpec pins recall ≥ probe-2's). Rounds compose — production
+    // iterates until new-edge count decays; one round is registered.
+    "q_sim_knn_graph_nnd" -> ((s, d) => {
+      val K = 3
+      // the base graph feeds both hop sides and the union — its lineage
+      // is the full train+assign+probe-2 tail, so cache the 4-column
+      // edge frame (n·K rows; harness clearCache releases)
+      val base = queries("q_sim_knn_graph_trained2")(s, d)
+        .select(col("vec_id"), col("nbr")).cache()
+      val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
+        .union(base.select(col("nbr").as("v"), col("vec_id").as("u")))
+        .distinct()
+      val cand = und.as("a")
+        .join(und.as("b"),
+          col("a.u") === col("b.v") && col("a.v") =!= col("b.u"))
+        .select(col("a.v").as("vec_id"), col("b.u").as("nbr"))
+        .union(base)
+        .distinct()
+      val en = normEmbeds(s, d)
+      cand
+        .join(en.select(col("vec_id"), col("vn").as("va")), Seq("vec_id"))
+        .join(en.select(col("vec_id").as("nbr"), col("vn").as("vb")),
+          Seq("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          round(Vectors.dotFast(col("va"), col("vb")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKPairAgg
+          .topK(col("cos"), col("nbr"), K).as("t"))
+        .select(col("vec_id"), posexplode(col("t")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("nbr"), col("col._1").as("cos"))
+    }),
+
+    // Recall gate for the NND round — same shape as the trained/trained2
+    // gates so the three rows A/B directly.
+    "q_sim_knn_recall_nnd" -> ((s, d) => {
+      val en = normEmbeds(s, d)
+      val truth = en.select(col("vec_id"), col("vn").as("a"))
+        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
+          col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKPairAgg
+          .topK(col("cos"), col("nbr"), 3).as("t"))
+        .select(col("vec_id"), explode(col("t")).as("p"))
+        .select(col("vec_id"), col("p._2").as("nbr"))
+      val found = queries("q_sim_knn_graph_nnd")(s, d)
+        .select(col("vec_id"), col("nbr"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nF = found.agg(count(lit(1)).as("n_found"))
+      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nF).crossJoin(nH)
+        .select(col("n_true"), col("n_found"), col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true"), 4))
+            .as("recall"))
+    }),
+
     // Batch twin of Streams.ivfRouteStream — the streaming-ANN ingest
     // router under the oracle gate: a 1-in-8 hash-sampled "arriving"
     // set routes against centroids trained on the full corpus (training
@@ -1623,6 +1697,32 @@ object SimSearch {
        |  GROUP BY 1, 2)"""
       .stripMargin
 
+  /** NN-Descent round over the probe-2 base graph (SQL twin of
+    * q_sim_knn_graph_nnd): base = sc2's top-3 edges, und = the
+    * undirected edge set, cand = base ∪ two-hop pairs, scn = exact
+    * cosine on the deduped candidate relation. Appended after
+    * `trainedKnn2Ctes` (needs sc2 and e).
+    */
+  private lazy val nndCtes: String =
+    s"""base AS (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM sc2) WHERE rank <= 3),
+       |und AS (
+       |  SELECT vec_id AS v, nbr AS u FROM base
+       |  UNION SELECT nbr AS v, vec_id AS u FROM base),
+       |cand AS (
+       |  SELECT a.v AS vec_id, b.u AS nbr
+       |  FROM und a JOIN und b ON a.u = b.v AND a.v != b.u
+       |  UNION SELECT vec_id, nbr FROM base),
+       |scn AS (
+       |  SELECT c.vec_id, c.nbr, ${cosSql("a", "b")} AS cos
+       |  FROM e a JOIN e b ON a.i = b.i
+       |  JOIN cand c ON c.vec_id = a.vec_id AND c.nbr = b.vec_id
+       |  GROUP BY 1, 2)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_stream_ivf_route" ->
       s"""WITH $trainedKnn2Ctes
@@ -1646,6 +1746,41 @@ object SimSearch {
          |    SELECT vec_id, nbr,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
          |    FROM sc2) WHERE rank <= 3),
+         |tsc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM tsc) WHERE rank <= 3),
+         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
+         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) > 0
+         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
+
+    "q_sim_knn_graph_nnd" ->
+      s"""WITH $trainedKnn2Ctes,
+         |$nndCtes
+         |SELECT vec_id, rank, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+         |      AS BIGINT) AS rank
+         |  FROM scn) WHERE rank <= 3""".stripMargin,
+
+    "q_sim_knn_recall_nnd" ->
+      s"""WITH $trainedKnn2Ctes,
+         |$nndCtes,
+         |found AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM scn) WHERE rank <= 3),
          |tsc AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
          |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
