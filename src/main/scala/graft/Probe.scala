@@ -113,6 +113,76 @@ object Probe {
           SimSearch.trainedAssign(e).where(col("bucket").isNotNull)
             .select(col("vec_id"), col("bucket")))
       }
+      case "pairsrefetch" => timed("pairsrefetch") {
+        // A/B half of pairstrained: the tail with the vn REMOVED from the
+        // self-join (ids-only pair join + two vector re-fetch joins) —
+        // re-tests the r6/r10 carry-norms rule in the TRAINED shape. The
+        // pair frame here is Σ occupancy·n rows of 2 longs; each re-fetch
+        // joins it against the n-row vn table (past broadcast at 2M).
+        val asg = SimSearch.trainedAssign(e).where(col("bucket").isNotNull)
+          .select(col("vec_id"), col("bucket")).cache()
+        val en = SimSearch.normEmbeds(s, d)
+        val pairs = asg.as("a").join(asg.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+            col("a.bucket").as("bucket"))
+        val dropped = pairs
+          .join(en.select(col("vec_id").as("v1"), col("vn").as("x")), Seq("v1"))
+          .join(en.select(col("vec_id").as("v2"), col("vn").as("y")), Seq("v2"))
+          .where(round(graft.llm.Vectors.dotFast(col("x"), col("y")), 6)
+            >= SimSearch.NearDupThreshold)
+          .select(col("v2").as("vec_id")).distinct()
+        noop(asg.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_members"),
+            count(when(col("dup").isNull, 1)).as("n_kept")))
+      }
+      case "nndsplit" =>
+        // Stage attribution + shape A/B for the NN-Descent round at scale:
+        // base graph (the full trained probe-2 pipeline), the NAIVE form
+        // (id-pair distinct then two vector re-fetch joins — r12 measured
+        // it superlinear at 2M: the distinct shuffles the pair-sized
+        // frame and the second re-fetch SMJ sorts it wide), and the
+        // SHIPPED carry-vn + TopKPairDistinctAgg form. Cumulative cold
+        // stages (timed() clears caches), passagesplit protocol.
+        val base = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
+          .select(col("vec_id"), col("nbr"))
+        timed("nnd_base") { noop(base) }
+        def cand = {
+          val b = base.cache()
+          val und = b.select(col("vec_id").as("v"), col("nbr").as("u"))
+            .union(b.select(col("nbr").as("v"), col("vec_id").as("u")))
+            .distinct()
+          und.as("a").join(und.as("b"),
+              col("a.u") === col("b.v") && col("a.v") =!= col("b.u"))
+            .select(col("a.v").as("vec_id"), col("b.u").as("nbr"))
+            .union(b)
+            .distinct()
+        }
+        timed("nnd_cand") { noop(cand) }
+        timed("nnd_full_distinct") {
+          // the naive distinct-then-refetch full form (pre-r12 shape)
+          val en = SimSearch.normEmbeds(s, d)
+          noop(cand
+            .join(en.select(col("vec_id"), col("vn").as("va")), Seq("vec_id"))
+            .join(en.select(col("vec_id").as("nbr"), col("vn").as("vb")),
+              Seq("nbr"))
+            .select(col("vec_id"), col("nbr"),
+              round(graft.llm.Vectors.dotFast(col("va"), col("vb")), 6)
+                .as("cos"))
+            .groupBy(col("vec_id"))
+            .agg(graft.functions.TopKPairAgg
+              .topK(col("cos"), col("nbr"), 3).as("t"))
+            .select(col("vec_id"), posexplode(col("t"))))
+        }
+        timed("nnd_full") {
+          noop(SparkEntry.queries("q_sim_knn_graph_nnd")(s, d))
+        }
+        val nb = base.count()
+        val ncd = cand.count()
+        println(s"STATS=nndvol NBASE=$nb NCAND=$ncd BOUND=${n * 39}")
+        s.catalog.clearCache()
       case "train" => timed("train") {
         noop(SimSearch.trainedCentroidFrame(e, n))
       }
@@ -186,7 +256,8 @@ object Probe {
           .select(col("qid"), col("p._2").as("nbr"))
           .localCheckpoint()
         val nTrue = truth.count()
-        for (q <- Seq("q_sim_knn_graph_trained", "q_sim_knn_graph_trained2")) {
+        for (q <- Seq("q_sim_knn_graph_trained", "q_sim_knn_graph_trained2",
+            "q_sim_knn_graph_nnd")) {
           s.catalog.clearCache()
           timed(s"recall_$q") {
             val found = SparkEntry.queries(q)(s, d)
@@ -215,6 +286,19 @@ object Probe {
           noop(q(s, d).where(col("ae_score") > 0.9))
         }
         timed("pipeline_full") { noop(q(s, d)) }
+      case "pipelinecount" => timed("pipelinecount") {
+        // single-stage repeatable form of pipelinesplit's count case:
+        // comma-batch it (pipelinecount,pipelinecount,pipelinefull) to
+        // separate JIT-cold from warm-in-JVM — the fixed-order composite
+        // probe always pays the ~1.5× JIT/page-cache premium on whichever
+        // case runs first (measured r12: count-first 877.7 s vs the two
+        // later cases at 578 s)
+        println("STATS=pipelinecount NROWS=" +
+          SparkEntry.queries("q_pipeline_drug_disease")(s, d).count())
+      }
+      case "pipelinefull" => timed("pipelinefull") {
+        noop(SparkEntry.queries("q_pipeline_drug_disease")(s, d))
+      }
       case "assignstatic" =>
         // A/B half of assigntrainedonly: the driver-decoded broadcast
         // index assign (TwoLevelAssign) against the same trained frame.

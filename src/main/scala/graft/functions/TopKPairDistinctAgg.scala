@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** TopKPairAgg with DEDUP-ON-INSERT by id: top-K over the DISTINCT pair
+  * set of a stream that may present the same (score, id) many times.
+  *
+  * CONTRACT: every occurrence of an id within a group must carry the SAME
+  * score (true whenever the score is a deterministic function of the
+  * (group, id) pair — e.g. a cosine between the two fixed vectors). Under
+  * that contract, distinct-top-K ≡ top-K of the distinct set, and the
+  * dedup can ride the K-sized buffer instead of a full-width DISTINCT:
+  *
+  *  - id in buffer → skip (only one copy is ever held);
+  *  - id previously EVICTED → every held pair beats it (eviction replaces
+  *    the worst only when beaten, and buffers only improve), so the
+  *    re-insert fails the same comparison — no tombstones needed;
+  *  - merge may see the same id from two partitions; both carry the same
+  *    score, so keep-first dedup is exact.
+  *
+  * Why it exists (r12, the NND scored stage): candidate pairs that need a
+  * relational DISTINCT before scoring force the pair-sized frame through
+  * a shuffle AND park it in two vector re-fetch SMJ sorts (the r10 trap —
+  * measured superlinear at 2M vectors). With dedup in the aggregator the
+  * pairs can carry both vectors from edge-sized joins straight into the
+  * map-side combine and never materialize, sort, or dedup as a relation.
+  * Same (score DESC, id ASC) ≡ row_number total order as TopKPairAgg.
+  */
+class TopKPairDistinctAgg(k: Int) extends TopKPairAgg(k) {
+
+  override def reduce(buf: Array[(Double, Long)],
+                      v: (Double, Long)): Array[(Double, Long)] = {
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i)._2 == v._2) return buf
+      i += 1
+    }
+    super.reduce(buf, v)
+  }
+
+  override def merge(a: Array[(Double, Long)],
+                     b: Array[(Double, Long)]): Array[(Double, Long)] = {
+    // keep-first by id (equal ids carry equal scores by contract), then
+    // the usual bounded top-K
+    val seen = new java.util.HashSet[Long](a.length + b.length)
+    val all = (a ++ b).filter(p => seen.add(p._2))
+    super.merge(all, Array.empty)
+  }
+}
+
+object TopKPairDistinctAgg {
+  /** Aggregate expression: top-K (score DESC, id ASC) over the DISTINCT
+    * (score, id) pairs — ids must score deterministically within a group.
+    * Output array element struct fields are `_1` (score) and `_2` (id).
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    udaf(new TopKPairDistinctAgg(k), ExpressionEncoder[(Double, Long)]())
+      .apply(score, id)
+}

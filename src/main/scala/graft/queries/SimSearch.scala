@@ -852,39 +852,45 @@ object SimSearch {
     // the UNDIRECTED base graph (B(v) ∪ R(v) neighbourhoods — the
     // paper's local join), exact cosine re-rank, same top-3 contract.
     // Scale shape: degree in the undirected graph is ≤ 2K, so candidates
-    // are ≤ (2K)²+K per vector — O(n·K²), LINEAR, no bucket term at all;
-    // the candidate frame is deduped as an id-pair relation BEFORE the
-    // vector fetch (the spill-safe distinct-first form — codegen hash
-    // agg — so the fetch joins see each pair once). Hits are MONOTONE
-    // over the base graph: cand ⊇ base, so a base edge in the global
-    // top-3 can only be displaced by other global-top-3 members
-    // (NndSpec pins recall ≥ probe-2's). Rounds compose — production
-    // iterates until new-edge count decays; one round is registered.
+    // are ≤ (2K)²+K per vector — O(n·K²), LINEAR, no bucket term at all.
+    // The naive form (id-pair DISTINCT then two vector re-fetch joins)
+    // measured SUPERLINEAR at 2M vectors: the distinct shuffles the
+    // pair-sized frame and the second re-fetch SMJ sorts it again, wide —
+    // the r10 trap. Shipped shape: both vectors ride the EDGE-sized
+    // joins (und is ≤ 2K·n rows) into the hop join, scored pairs flow
+    // straight into TopKPairDistinctAgg's map-side combine — dedup of
+    // multi-path (v,w) pairs happens inside the K-sized buffer (equal id
+    // ⇒ equal cosine, the aggregator's contract), so no pair-sized frame
+    // is ever shuffled, sorted, or distinct'd. Base edges arrive already
+    // scored from the probe-2 tail. Hits are MONOTONE over the base
+    // graph: cand ⊇ base, so a base edge in the global top-3 can only be
+    // displaced by other global-top-3 members (NndSpec pins recall ≥
+    // probe-2's). Rounds compose — production iterates until new-edge
+    // count decays; one round is registered.
     "q_sim_knn_graph_nnd" -> ((s, d) => {
       val K = 3
-      // the base graph feeds both hop sides and the union — its lineage
-      // is the full train+assign+probe-2 tail, so cache the 4-column
-      // edge frame (n·K rows; harness clearCache releases)
+      // the base graph feeds both und branches and the scored union — its
+      // lineage is the full train+assign+probe-2 tail, so cache the
+      // 4-column edge frame (n·K rows; harness clearCache releases)
       val base = queries("q_sim_knn_graph_trained2")(s, d)
-        .select(col("vec_id"), col("nbr")).cache()
+        .select(col("vec_id"), col("nbr"), col("cos")).cache()
       val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
         .union(base.select(col("nbr").as("v"), col("vec_id").as("u")))
         .distinct()
-      val cand = und.as("a")
-        .join(und.as("b"),
-          col("a.u") === col("b.v") && col("a.v") =!= col("b.u"))
-        .select(col("a.v").as("vec_id"), col("b.u").as("nbr"))
-        .union(base)
-        .distinct()
       val en = normEmbeds(s, d)
-      cand
-        .join(en.select(col("vec_id"), col("vn").as("va")), Seq("vec_id"))
-        .join(en.select(col("vec_id").as("nbr"), col("vn").as("vb")),
-          Seq("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          round(Vectors.dotFast(col("va"), col("vb")), 6).as("cos"))
+      val undV = und
+        .join(en.select(col("vec_id").as("v"), col("vn").as("vnv")),
+          Seq("v"))
+      val undW = und.select(col("v").as("u"), col("u").as("w"))
+        .join(en.select(col("vec_id").as("w"), col("vn").as("vnw")),
+          Seq("w"))
+      val hopScored = undV.join(undW, Seq("u"))
+        .where(col("v") =!= col("w"))
+        .select(col("v").as("vec_id"), col("w").as("nbr"),
+          round(Vectors.dotFast(col("vnv"), col("vnw")), 6).as("cos"))
+      hopScored.union(base)
         .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg
+        .agg(graft.functions.TopKPairDistinctAgg
           .topK(col("cos"), col("nbr"), K).as("t"))
         .select(col("vec_id"), posexplode(col("t")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
