@@ -270,6 +270,62 @@ object Probe {
               s"RECALL=${hit.toDouble / nTrue}")
           }
         }
+      case "occupancy" =>
+        // The THIRD recall lever, measured on the same axis as probe-2
+        // and the NND round: target cell occupancy (C = n/occ). Fewer
+        // vectors per cell ⇒ more cells ⇒ fewer candidates per probe ⇒
+        // cheaper pair stage but lower recall; the registered default is
+        // 64. Each occ runs the full probe-2 pipeline (train + assign +
+        // tail) and scores against one shared brute-force truth sample.
+        val en0 = SimSearch.normEmbeds(s, d).cache()
+        val every = math.max(1L, n / 2000)
+        val qs = en0.where(pmod(xxhash64(concat(lit("rq|"),
+            col("vec_id").cast("string"))), lit(every)) === 0)
+          .select(col("vec_id").as("qid"), col("vn").as("qv"))
+        val truth = qs
+          .join(en0.select(col("vec_id").as("nbr"), col("vn")),
+            col("qid") =!= col("nbr"))
+          .select(col("qid"), col("nbr"),
+            graft.llm.Vectors.dotFast(col("qv"), col("vn")).as("cos"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), 3)
+            .as("t"))
+          .select(col("qid"), explode(col("t")).as("p"))
+          .select(col("qid"), col("p._2").as("nbr"))
+          .localCheckpoint()
+        val nTrue = truth.count()
+        for (occ <- Seq(32L, 64L, 128L)) {
+          s.catalog.clearCache()
+          timed(s"occ_$occ") {
+            val assigned2 = SimSearch.trainedAssign(e, occ)
+              .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
+            val found = SimSearch
+              .knnWithinBucketsProbe2(s, d, assigned2, 3)
+              .select(col("vec_id").as("qid"), col("nbr"))
+              .join(truth.select(col("qid")).distinct(), Seq("qid"),
+                "left_semi")
+              .localCheckpoint()
+            val hit = truth.join(found, Seq("qid", "nbr"), "left_semi").count()
+            println(s"STATS=occupancy OCC=$occ N_TRUE=$nTrue N_HIT=$hit " +
+              s"RECALL=${hit.toDouble / nTrue}")
+          }
+        }
+        // do the levers STACK? best measured occupancy + probe-2 + one
+        // NND round, against the same truth sample
+        s.catalog.clearCache()
+        timed("occ_128_nnd") {
+          val assigned2 = SimSearch.trainedAssign(e, 128L)
+            .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
+          val found = SimSearch.nndRound(s, d,
+              SimSearch.knnWithinBucketsProbe2(s, d, assigned2, 3), 3)
+            .select(col("vec_id").as("qid"), col("nbr"))
+            .join(truth.select(col("qid")).distinct(), Seq("qid"),
+              "left_semi")
+            .localCheckpoint()
+          val hit = truth.join(found, Seq("qid", "nbr"), "left_semi").count()
+          println(s"STATS=occupancy OCC=128+nnd N_TRUE=$nTrue N_HIT=$hit " +
+            s"RECALL=${hit.toDouble / nTrue}")
+        }
       case "pipelinesplit" =>
         // Output-cost vs join-cost split for the drug-disease pipeline's
         // 1000× wall (r11 attributed ~1050 s to ~1G hypothesis rows, but

@@ -424,7 +424,7 @@ object SimSearch {
     * E[|coarse|] = n1 ≈ √C. Training cost is sample-sized; the corpus is
     * touched once by the final broadcast-centroid assign.
     */
-  private[graft] def trainedAssign(e: DataFrame): DataFrame =
+  private[graft] def trainedAssign(e: DataFrame, occupancy: Long = 64): DataFrame =
     // STATIC assign (r12): the trained frame is collected once into the
     // decoded broadcast index, so the old two-consumer cache is gone —
     // one action runs the sampled-Lloyd lineage. Measured same-session
@@ -432,16 +432,19 @@ object SimSearch {
     // collect/build/broadcast setup) static, both orders; 6.7 → 1.6 s at
     // sf10. q_sim_knn_graph_2l keeps the DYNAMIC plan under its own
     // oracle so the beyond-broadcast path stays exercised.
-    assignTwoLevelAgainstStatic(e, trainedCentroidFrame(e, e.count()))
+    assignTwoLevelAgainstStatic(e, trainedCentroidFrame(e, e.count(), occupancy))
 
   /** The training half of trainedAssign — sample, stand-ins, one Lloyd
     * round, coarse flags — exposed so Probe can time train vs the corpus
-    * assign separately. Returns (cid, cv, is_coarse), E[C] = max(32, n/64)
-    * rows.
+    * assign separately. Returns (cid, cv, is_coarse), E[C] = max(32,
+    * n/occupancy) rows. `occupancy` (default 64 — the registered/oracled
+    * configuration) is the index-side recall/cost lever: fewer vectors
+    * per cell ⇒ more cells ⇒ fewer candidates per probe.
     */
-  private[graft] def trainedCentroidFrame(e: DataFrame, n: Long): DataFrame = {
+  private[graft] def trainedCentroidFrame(e: DataFrame, n: Long,
+      occupancy: Long = 64): DataFrame = {
     val Mod = 16
-    val c = math.max(32L, n / 64)
+    val c = math.max(32L, n / occupancy)
     val n1 = math.max(4L, math.ceil(math.sqrt(c.toDouble)).toLong)
     val kf = math.max(1L, n / (Mod * c))
     val kc = math.max(1L, c / n1)
@@ -514,7 +517,7 @@ object SimSearch {
     * are distinct by construction). Same cache contract as
     * knnWithinBuckets.
     */
-  private def knnWithinBucketsProbe2(s: SparkSession, d: String,
+  private[graft] def knnWithinBucketsProbe2(s: SparkSession, d: String,
       assigned2: DataFrame, k: Int): DataFrame = {
     val mvn = assigned2.join(normEmbeds(s, d), Seq("vec_id")).cache()
     val members = mvn.where(col("bucket").isNotNull)
@@ -528,6 +531,44 @@ object SimSearch {
         round(Vectors.dotFast(col("x.vn"), col("y.vn")), 6).as("cos"))
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), k).as("t"))
+      .select(col("vec_id"), posexplode(col("t")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("nbr"), col("col._1").as("cos"))
+  }
+
+  /** One NN-Descent refinement round over an arbitrary scored kNN edge
+    * frame (vec_id, …, nbr, cos): undirected B(v) ∪ R(v) edge set,
+    * two-hop candidate expansion with both vectors riding the EDGE-sized
+    * joins, exact cosine re-rank through TopKPairDistinctAgg. Base edges
+    * arrive already scored and union in directly. Works over any base
+    * (probe-1, probe-2, any occupancy) — the round composes with the
+    * other recall levers and with itself; the registered
+    * q_sim_knn_graph_nnd runs it once over the probe-2 trained graph.
+    * The base frame is cached here (n·K rows; harness clearCache
+    * releases — the knnWithinBuckets cache contract applies).
+    */
+  private[graft] def nndRound(s: SparkSession, d: String,
+      baseEdges: DataFrame, k: Int): DataFrame = {
+    val base = baseEdges
+      .select(col("vec_id"), col("nbr"), col("cos")).cache()
+    val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
+      .union(base.select(col("nbr").as("v"), col("vec_id").as("u")))
+      .distinct()
+    val en = normEmbeds(s, d)
+    val undV = und
+      .join(en.select(col("vec_id").as("v"), col("vn").as("vnv")),
+        Seq("v"))
+    val undW = und.select(col("v").as("u"), col("u").as("w"))
+      .join(en.select(col("vec_id").as("w"), col("vn").as("vnw")),
+        Seq("w"))
+    val hopScored = undV.join(undW, Seq("u"))
+      .where(col("v") =!= col("w"))
+      .select(col("v").as("vec_id"), col("w").as("nbr"),
+        round(Vectors.dotFast(col("vnv"), col("vnw")), 6).as("cos"))
+    hopScored.union(base)
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKPairDistinctAgg
+        .topK(col("cos"), col("nbr"), k).as("t"))
       .select(col("vec_id"), posexplode(col("t")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("nbr"), col("col._1").as("cos"))
@@ -867,35 +908,8 @@ object SimSearch {
     // displaced by other global-top-3 members (NndSpec pins recall ≥
     // probe-2's). Rounds compose — production iterates until new-edge
     // count decays; one round is registered.
-    "q_sim_knn_graph_nnd" -> ((s, d) => {
-      val K = 3
-      // the base graph feeds both und branches and the scored union — its
-      // lineage is the full train+assign+probe-2 tail, so cache the
-      // 4-column edge frame (n·K rows; harness clearCache releases)
-      val base = queries("q_sim_knn_graph_trained2")(s, d)
-        .select(col("vec_id"), col("nbr"), col("cos")).cache()
-      val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
-        .union(base.select(col("nbr").as("v"), col("vec_id").as("u")))
-        .distinct()
-      val en = normEmbeds(s, d)
-      val undV = und
-        .join(en.select(col("vec_id").as("v"), col("vn").as("vnv")),
-          Seq("v"))
-      val undW = und.select(col("v").as("u"), col("u").as("w"))
-        .join(en.select(col("vec_id").as("w"), col("vn").as("vnw")),
-          Seq("w"))
-      val hopScored = undV.join(undW, Seq("u"))
-        .where(col("v") =!= col("w"))
-        .select(col("v").as("vec_id"), col("w").as("nbr"),
-          round(Vectors.dotFast(col("vnv"), col("vnw")), 6).as("cos"))
-      hopScored.union(base)
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairDistinctAgg
-          .topK(col("cos"), col("nbr"), K).as("t"))
-        .select(col("vec_id"), posexplode(col("t")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("col._2").as("nbr"), col("col._1").as("cos"))
-    }),
+    "q_sim_knn_graph_nnd" -> ((s, d) =>
+      nndRound(s, d, queries("q_sim_knn_graph_trained2")(s, d), 3)),
 
     // Recall gate for the NND round — same shape as the trained/trained2
     // gates so the three rows A/B directly.
