@@ -146,11 +146,17 @@ object Probe {
         // frame and the second re-fetch SMJ sorts it wide), and the
         // SHIPPED carry-vn + TopKPairDistinctAgg form. Cumulative cold
         // stages (timed() clears caches), passagesplit protocol.
-        val base = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
+        // FAIRNESS (caught by the r12 self-review): every stage must
+        // build its base by RE-INVOKING the registered lambda inside its
+        // own timed block — a stale `val base` loses the lambda's
+        // internal cache registrations after the first stage's
+        // clearCache and never re-registers them, so later stages would
+        // recompute the assign subtree twice (a shape no real caller
+        // runs) and the naive-vs-shipped A/B would be skewed.
+        def freshBase = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
           .select(col("vec_id"), col("nbr"))
-        timed("nnd_base") { noop(base) }
-        def cand = {
-          val b = base.cache()
+        def cand(b0: org.apache.spark.sql.DataFrame) = {
+          val b = b0.cache()
           val und = b.select(col("vec_id").as("v"), col("nbr").as("u"))
             .union(b.select(col("nbr").as("v"), col("vec_id").as("u")))
             .distinct()
@@ -160,11 +166,12 @@ object Probe {
             .union(b)
             .distinct()
         }
-        timed("nnd_cand") { noop(cand) }
+        timed("nnd_base") { noop(freshBase) }
+        timed("nnd_cand") { noop(cand(freshBase)) }
         timed("nnd_full_distinct") {
           // the naive distinct-then-refetch full form (pre-r12 shape)
           val en = SimSearch.normEmbeds(s, d)
-          noop(cand
+          noop(cand(freshBase)
             .join(en.select(col("vec_id"), col("vn").as("va")), Seq("vec_id"))
             .join(en.select(col("vec_id").as("nbr"), col("vn").as("vb")),
               Seq("nbr"))
@@ -179,8 +186,8 @@ object Probe {
         timed("nnd_full") {
           noop(SparkEntry.queries("q_sim_knn_graph_nnd")(s, d))
         }
-        val nb = base.count()
-        val ncd = cand.count()
+        val nb = freshBase.count()
+        val ncd = cand(freshBase).count()
         println(s"STATS=nndvol NBASE=$nb NCAND=$ncd BOUND=${n * 39}")
         s.catalog.clearCache()
       case "train" => timed("train") {
