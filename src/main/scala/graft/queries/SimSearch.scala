@@ -911,6 +911,45 @@ object SimSearch {
     "q_sim_knn_graph_nnd" -> ((s, d) =>
       nndRound(s, d, queries("q_sim_knn_graph_trained2")(s, d), 3)),
 
+    // TWO NND rounds — the composition claim under the oracle gate: the
+    // round is a graph→graph operator, so iterating it is just function
+    // application (production iterates until the new-edge count decays;
+    // NN-Descent converges in a handful of rounds at K·log n cost). The
+    // oracle replays round 2's expansion over round 1's top-3 CTE —
+    // cross-engine proof that composition semantics, not just one
+    // application, match. Per-round cost is identical by construction
+    // (the round never sees WHERE its base edges came from).
+    "q_sim_knn_graph_nnd2" -> ((s, d) =>
+      nndRound(s, d,
+        nndRound(s, d, queries("q_sim_knn_graph_trained2")(s, d), 3), 3)),
+
+    // Recall gate for the two-round variant — fourth point on the exact
+    // recall ladder (probe-1, probe-2, +1 round, +2 rounds).
+    "q_sim_knn_recall_nnd2" -> ((s, d) => {
+      val en = normEmbeds(s, d)
+      val truth = en.select(col("vec_id"), col("vn").as("a"))
+        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
+          col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKPairAgg
+          .topK(col("cos"), col("nbr"), 3).as("t"))
+        .select(col("vec_id"), explode(col("t")).as("p"))
+        .select(col("vec_id"), col("p._2").as("nbr"))
+      val found = queries("q_sim_knn_graph_nnd2")(s, d)
+        .select(col("vec_id"), col("nbr"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nF = found.agg(count(lit(1)).as("n_found"))
+      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nF).crossJoin(nH)
+        .select(col("n_true"), col("n_found"), col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true"), 4))
+            .as("recall"))
+    }),
+
     // Recall gate for the NND round — same shape as the trained/trained2
     // gates so the three rows A/B directly.
     "q_sim_knn_recall_nnd" -> ((s, d) => {
@@ -1427,7 +1466,7 @@ object SimSearch {
 
   /** Unnested (vec_id, i, x) view of embeddings — DuckDB side. */
   private val eSql =
-    """e AS (
+    """e AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |         CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings)""".stripMargin
@@ -1604,16 +1643,16 @@ object SimSearch {
          |    // GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)))
          |    AS kc
          |  FROM embeddings),
-         |samp AS (SELECT vec_id, i, x FROM e WHERE $sampH % 16 = 0),
-         |c0 AS (SELECT vec_id AS cid, i, x FROM samp
+         |samp AS MATERIALIZED (SELECT vec_id, i, x FROM e WHERE $sampH % 16 = 0),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cid, i, x FROM samp
          |       WHERE $centH % (SELECT kf FROM prm) = 0),
-         |co0 AS (SELECT cid, i, x FROM c0
+         |co0 AS MATERIALIZED (SELECT cid, i, x FROM c0
          |        WHERE ${LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")}
          |          % (SELECT kc FROM prm) = 0),
          |scc1 AS (
          |  SELECT s.vec_id, c.cid, ${cosSql("s", "c")} AS cos
          |  FROM samp s JOIN co0 c ON s.i = c.i GROUP BY 1, 2),
-         |svc2 AS (
+         |svc2 AS MATERIALIZED (
          |  SELECT vec_id, cid AS coarse FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
@@ -1626,28 +1665,28 @@ object SimSearch {
          |    SELECT fid, cid,
          |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
          |    FROM fcc1) WHERE rn = 1),
-         |scc2 AS (
+         |scc2 AS MATERIALIZED (
          |  SELECT s.vec_id, f.fid, ${cosSql("s", "c")} AS cos
          |  FROM samp s
          |  JOIN svc2 ON svc2.vec_id = s.vec_id
          |  JOIN ffc f ON f.coarse = svc2.coarse
          |  JOIN c0 c ON c.cid = f.fid AND c.i = s.i
          |  GROUP BY 1, 2),
-         |sbucket AS (
+         |sbucket AS MATERIALIZED (
          |  SELECT vec_id, fid AS bucket FROM (
          |    SELECT vec_id, fid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
          |    FROM scc2) WHERE rn = 1),
-         |trained AS (
+         |trained AS MATERIALIZED (
          |  SELECT b.bucket AS cid, s.i, round(avg(s.x), 6) AS x
          |  FROM sbucket b JOIN samp s ON s.vec_id = b.vec_id
          |  GROUP BY 1, 2),
-         |tco AS (SELECT cid, i, x FROM trained
+         |tco AS MATERIALIZED (SELECT cid, i, x FROM trained
          |        WHERE $coarseCidH % (SELECT kc FROM prm) = 0),
          |cc1 AS (
          |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS cos
          |  FROM e JOIN tco c ON e.i = c.i GROUP BY 1, 2),
-         |vc2 AS (
+         |vc2 AS MATERIALIZED (
          |  SELECT vec_id, cid AS coarse FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
@@ -1655,19 +1694,19 @@ object SimSearch {
          |tfcc AS (
          |  SELECT f.cid AS fid, c.cid, ${cosSql("f", "c")} AS cos
          |  FROM trained f JOIN tco c ON f.i = c.i GROUP BY 1, 2),
-         |tffc AS (
+         |tffc AS MATERIALIZED (
          |  SELECT fid, cid AS coarse FROM (
          |    SELECT fid, cid,
          |      row_number() OVER (PARTITION BY fid ORDER BY cos DESC, cid DESC) AS rn
          |    FROM tfcc) WHERE rn = 1),
-         |cc2 AS (
+         |cc2 AS MATERIALIZED (
          |  SELECT e.vec_id, f.fid, ${cosSql("e", "c")} AS cos
          |  FROM e
          |  JOIN vc2 ON vc2.vec_id = e.vec_id
          |  JOIN tffc f ON f.coarse = vc2.coarse
          |  JOIN trained c ON c.cid = f.fid AND c.i = e.i
          |  GROUP BY 1, 2),
-         |bucket AS (
+         |bucket AS MATERIALIZED (
          |  SELECT vec_id, fid AS bucket FROM (
          |    SELECT vec_id, fid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, fid DESC) AS rn
@@ -1710,7 +1749,7 @@ object SimSearch {
        |prs2 AS (
        |  SELECT x.vec_id AS v1, y.vec_id AS v2
        |  FROM prb x JOIN bucket y ON x.pb = y.bucket AND x.vec_id != y.vec_id),
-       |sc2 AS (
+       |sc2 AS MATERIALIZED (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
        |  FROM e a JOIN e b ON a.i = b.i
        |  JOIN prs2 p ON p.v1 = a.vec_id AND p.v2 = b.vec_id
@@ -1724,22 +1763,45 @@ object SimSearch {
     * `trainedKnn2Ctes` (needs sc2 and e).
     */
   private lazy val nndCtes: String =
-    s"""base AS (
+    s"""base AS MATERIALIZED (
        |  SELECT vec_id, nbr FROM (
        |    SELECT vec_id, nbr,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
        |    FROM sc2) WHERE rank <= 3),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT vec_id AS v, nbr AS u FROM base
        |  UNION SELECT nbr AS v, vec_id AS u FROM base),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.v AS vec_id, b.u AS nbr
        |  FROM und a JOIN und b ON a.u = b.v AND a.v != b.u
        |  UNION SELECT vec_id, nbr FROM base),
-       |scn AS (
+       |scn AS MATERIALIZED (
        |  SELECT c.vec_id, c.nbr, ${cosSql("a", "b")} AS cos
        |  FROM e a JOIN e b ON a.i = b.i
        |  JOIN cand c ON c.vec_id = a.vec_id AND c.nbr = b.vec_id
+       |  GROUP BY 1, 2)"""
+      .stripMargin
+
+  /** Second NND round — the same expansion applied to round 1's top-3
+    * (`scn` capped at rank 3 = base2). Appended after `nndCtes`.
+    */
+  private lazy val nnd2Ctes: String =
+    s"""base2 AS MATERIALIZED (
+       |  SELECT vec_id, nbr, cos FROM (
+       |    SELECT vec_id, nbr, cos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM scn) WHERE rank <= 3),
+       |und2 AS MATERIALIZED (
+       |  SELECT vec_id AS v, nbr AS u FROM base2
+       |  UNION SELECT nbr AS v, vec_id AS u FROM base2),
+       |cand2 AS MATERIALIZED (
+       |  SELECT a.v AS vec_id, b.u AS nbr
+       |  FROM und2 a JOIN und2 b ON a.u = b.v AND a.v != b.u
+       |  UNION SELECT vec_id, nbr FROM base2),
+       |scn2 AS MATERIALIZED (
+       |  SELECT c.vec_id, c.nbr, ${cosSql("a", "b")} AS cos
+       |  FROM e a JOIN e b ON a.i = b.i
+       |  JOIN cand2 c ON c.vec_id = a.vec_id AND c.nbr = b.vec_id
        |  GROUP BY 1, 2)"""
       .stripMargin
 
@@ -1801,6 +1863,43 @@ object SimSearch {
          |    SELECT vec_id, nbr,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
          |    FROM scn) WHERE rank <= 3),
+         |tsc AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM tsc) WHERE rank <= 3),
+         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
+         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) > 0
+         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
+
+    "q_sim_knn_graph_nnd2" ->
+      s"""WITH $trainedKnn2Ctes,
+         |$nndCtes,
+         |$nnd2Ctes
+         |SELECT vec_id, rank, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+         |      AS BIGINT) AS rank
+         |  FROM scn2) WHERE rank <= 3""".stripMargin,
+
+    "q_sim_knn_recall_nnd2" ->
+      s"""WITH $trainedKnn2Ctes,
+         |$nndCtes,
+         |$nnd2Ctes,
+         |found AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM scn2) WHERE rank <= 3),
          |tsc AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
          |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id

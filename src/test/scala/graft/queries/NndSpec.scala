@@ -79,6 +79,16 @@ class NndSpec extends SparkSpec {
         "added nothing on a fixture where it measurably should")
   }
 
+  test("rounds compose: two-round recall is monotone over one round, " +
+    "which is monotone over probe-2") {
+    def recallOf(q: String): Double =
+      SimSearch.queries(q)(spark, dir).collect().head.getAs[Double]("recall")
+    val r1 = recallOf("q_sim_knn_recall_nnd")
+    val r2 = recallOf("q_sim_knn_recall_nnd2")
+    assert(r2 >= r1, s"round-2 recall $r2 below round-1's $r1 — the " +
+      "composed round lost edges it is a superset of")
+  }
+
   test("new edges beyond the base are genuine two-hop discoveries with " +
     "higher scores than what they displaced") {
     val baseEdges = base.map(r => (r._1, r._3)).toSet
