@@ -183,6 +183,32 @@ object Probe {
               .topK(col("cos"), col("nbr"), 3).as("t"))
             .select(col("vec_id"), posexplode(col("t"))))
         }
+        timed("nnd_full_carryvn") {
+          // the r12 shipped shape, inlined for the A/B record: both
+          // vectors ride the EDGE-sized joins into the hop join (four
+          // vector-laden edge-sized SMJ sort sides — the spill cliff the
+          // r13 broadcast-fetch form deletes)
+          val base = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
+            .select(col("vec_id"), col("nbr"), col("cos")).cache()
+          val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
+            .union(base.select(col("nbr").as("v"), col("vec_id").as("u")))
+            .distinct()
+          val en = SimSearch.normEmbeds(s, d)
+          val undV = und
+            .join(en.select(col("vec_id").as("v"), col("vn").as("vnv")), Seq("v"))
+          val undW = und.select(col("v").as("u"), col("u").as("w"))
+            .join(en.select(col("vec_id").as("w"), col("vn").as("vnw")), Seq("w"))
+          val hopScored = undV.join(undW, Seq("u"))
+            .where(col("v") =!= col("w"))
+            .select(col("v").as("vec_id"), col("w").as("nbr"),
+              round(graft.llm.Vectors.dotFast(col("vnv"), col("vnw")), 6)
+                .as("cos"))
+          noop(hopScored.union(base)
+            .groupBy(col("vec_id"))
+            .agg(graft.functions.TopKPairDistinctAgg
+              .topK(col("cos"), col("nbr"), 3).as("t"))
+            .select(col("vec_id"), posexplode(col("t"))))
+        }
         timed("nnd_full") {
           noop(SparkEntry.queries("q_sim_knn_graph_nnd")(s, d))
         }
@@ -361,6 +387,16 @@ object Probe {
       }
       case "pipelinefull" => timed("pipelinefull") {
         noop(SparkEntry.queries("q_pipeline_drug_disease")(s, d))
+      }
+      case "pipelinegate" => timed("pipelinegate") {
+        // the r12-named 1000× lever, priced: the front-side pair-evidence
+        // gate (pairs with >= 3 F-status fact rows) ahead of the candidate
+        // expansion and mask joins. Comma-batch with pipelinecount
+        // (pipelinecount,pipelinegate,pipelinecount) so the first case
+        // absorbs the JIT/page-cache premium and the gate is judged
+        // against a warm count run.
+        println("STATS=pipelinegate NROWS=" +
+          graft.queries.Reference.drugDiseasePipelineGated(s, d, 3L).count())
       }
       case "assignstatic" =>
         // A/B half of assigntrainedonly: the driver-decoded broadcast

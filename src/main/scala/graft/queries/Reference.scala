@@ -493,9 +493,31 @@ object Reference {
       .groupBy(col("l_suppkey"))
       .agg(MinKDistinctAgg.minK(col("l_partkey"), 20).as("parts_tgt"))
 
-  private def ddPairs(lines: DataFrame): DataFrame =
-    lines.where(col("o_orderstatus") === "F")
-      .select(col("o_custkey"), col("l_suppkey")).distinct()
+  /** The hypothesis-space key domain. `minEvidence` is the FRONT-SIDE
+    * gate the r12 1000× split named as the only lever that can move the
+    * pipeline wall (output cost measured ZERO; the cost is the staged
+    * joins and the 983M-row assembly DOWNSTREAM of this domain): pairs
+    * backed by fewer than `minEvidence` F-status fact rows drop here,
+    * BEFORE the per-pair candidate expansion and mask joins, so every
+    * downstream row they would have produced is never paid for. None =
+    * the registered query's semantics (all distinct pairs); the gated
+    * form is the Probe pipelinegate lever measurement, priced in
+    * SCALE.md r13. Same shuffle either way — the gate swaps the distinct
+    * for a count-HAVING on the identical keys, both codegen hash aggs.
+    */
+  private def ddPairs(lines: DataFrame,
+                      minEvidence: Option[Long] = None): DataFrame =
+    minEvidence match {
+      case None =>
+        lines.where(col("o_orderstatus") === "F")
+          .select(col("o_custkey"), col("l_suppkey")).distinct()
+      case Some(m) =>
+        lines.where(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("pair_ev"))
+          .where(col("pair_ev") >= m)
+          .select(col("o_custkey"), col("l_suppkey"))
+    }
 
   /** Distinct (customer, part) pairs the customer already ordered — the
     * relational form of the old per-customer collect_set array.
@@ -578,7 +600,8 @@ object Reference {
     */
   private[queries] def drugDiseasePipeline(
       s: SparkSession, d: String,
-      stageRows: Long = 10000000L): DataFrame = {
+      stageRows: Long = 10000000L,
+      minPairEvidence: Option[Long] = None): DataFrame = {
     val li = table(s, d, "lineitem")
     val o = table(s, d, "orders")
     val linesBase = li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -597,17 +620,27 @@ object Reference {
       val prio = ddPrioBits(s, lines)
       ddAssemble(
         stage(ddSuppParts(lines), "supp_parts"),
-        stage(ddPairs(lines), "pairs"),
+        stage(ddPairs(lines, minPairEvidence), "pairs"),
         stage(ddCustParts(stage(ddOwnedParts(lines), "owned_parts")),
           "cust_parts"),
         stage(ddMask(lines, prio, "l_partkey", "part_mask"), "part_mask"),
         stage(ddMask(lines, prio, "o_custkey", "cust_mask"), "cust_mask"))
     } else {
       val prio = ddPrioBits(s, linesBase)
-      ddAssemble(ddSuppParts(linesBase), ddPairs(linesBase),
+      ddAssemble(ddSuppParts(linesBase), ddPairs(linesBase, minPairEvidence),
         ddCustParts(ddOwnedParts(linesBase)),
         ddMask(linesBase, prio, "l_partkey", "part_mask"),
         ddMask(linesBase, prio, "o_custkey", "cust_mask"))
     }
   }
+
+  /** Probe-only entry for the r12 1000× lever measurement: the identical
+    * pipeline with the front-side pair-evidence gate applied (see
+    * ddPairs). Not registered — the gate changes output semantics; its
+    * value is the SCALE.md price tag for "shrink the hypothesis space
+    * before the pair joins".
+    */
+  private[graft] def drugDiseasePipelineGated(
+      s: SparkSession, d: String, minPairEvidence: Long): DataFrame =
+    drugDiseasePipeline(s, d, minPairEvidence = Some(minPairEvidence))
 }

@@ -538,14 +538,36 @@ object SimSearch {
 
   /** One NN-Descent refinement round over an arbitrary scored kNN edge
     * frame (vec_id, …, nbr, cos): undirected B(v) ∪ R(v) edge set,
-    * two-hop candidate expansion with both vectors riding the EDGE-sized
-    * joins, exact cosine re-rank through TopKPairDistinctAgg. Base edges
-    * arrive already scored and union in directly. Works over any base
-    * (probe-1, probe-2, any occupancy) — the round composes with the
-    * other recall levers and with itself; the registered
-    * q_sim_knn_graph_nnd runs it once over the probe-2 trained graph.
+    * two-hop candidate expansion, exact cosine re-rank through
+    * TopKPairDistinctAgg. Base edges arrive already scored and union in
+    * directly. Works over any base (probe-1, probe-2, any occupancy) —
+    * the round composes with the other recall levers and with itself;
+    * the registered q_sim_knn_graph_nnd runs it once over the probe-2
+    * trained graph.
+    *
+    * SHAPE (r13 — the scale-safe third cut): the hop self-join runs on
+    * the NARROW undirected edge set (two 16 B/row sort sides, ≈2K·n
+    * rows), and BOTH vectors are fetched onto the candidate pairs via
+    * broadcast hash joins — so no vector-laden frame ever reaches a
+    * sort. The r12 carry-vn shape (vectors riding the edge-sized hop
+    * joins) kept the pair frame out of sorts but sorted FOUR edge-sized
+    * vector-laden SMJ sides, and its per-round wall constant jumped
+    * 12.9× on 10× data at 2M vectors (~13 GB of sort spill — the memory
+    * cliff); this form's only sorts are the two narrow und sides.
+    * Candidate multiplicity (one copy per shared neighbour) dies in
+    * TopKPairDistinctAgg's dedup-on-insert (equal id ⇒ equal cosine),
+    * so the pair relation is never distinct'd either. Broadcast ceiling:
+    * the normalized table is ~0.5 KB/vector (the q_sim_ann_lsh_scaled
+    * verify's documented ~10⁷-vector regime); past it, swap the two
+    * broadcast fetches for shardedCosVerify over a localCheckpoint'd
+    * candidate frame — same trade, same spec-pinned equivalence.
+    *
     * The base frame is cached here (n·K rows; harness clearCache
-    * releases — the knnWithinBuckets cache contract applies).
+    * releases — the knnWithinBuckets cache contract applies). Composing
+    * MORE than the registered two rounds: localCheckpoint each round's
+    * output first — each round references its base ~5× and lazy plans
+    * grow geometrically under iteration (the two-star rule; see
+    * nndConverge).
     */
   private[graft] def nndRound(s: SparkSession, d: String,
       baseEdges: DataFrame, k: Int): DataFrame = {
@@ -554,17 +576,21 @@ object SimSearch {
     val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
       .union(base.select(col("nbr").as("v"), col("vec_id").as("u")))
       .distinct()
+    // pairs sharing a neighbour u; symmetry of und makes this the same
+    // candidate set as the two-hop path form (v—u—w), and the self-join
+    // reads ONE reused exchange of the narrow edge frame
+    val cand = und.as("a")
+      .join(und.as("b"),
+        col("a.u") === col("b.u") && col("a.v") =!= col("b.v"))
+      .select(col("a.v").as("v1"), col("b.v").as("v2"))
     val en = normEmbeds(s, d)
-    val undV = und
-      .join(en.select(col("vec_id").as("v"), col("vn").as("vnv")),
-        Seq("v"))
-    val undW = und.select(col("v").as("u"), col("u").as("w"))
-      .join(en.select(col("vec_id").as("w"), col("vn").as("vnw")),
-        Seq("w"))
-    val hopScored = undV.join(undW, Seq("u"))
-      .where(col("v") =!= col("w"))
-      .select(col("v").as("vec_id"), col("w").as("nbr"),
-        round(Vectors.dotFast(col("vnv"), col("vnw")), 6).as("cos"))
+    val hopScored = cand
+      .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
+        Seq("v1"))
+      .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
+        Seq("v2"))
+      .select(col("v1").as("vec_id"), col("v2").as("nbr"),
+        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
     hopScored.union(base)
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairDistinctAgg
@@ -572,6 +598,92 @@ object SimSearch {
       .select(col("vec_id"), posexplode(col("t")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("nbr"), col("col._1").as("cos"))
+  }
+
+  /** NN-Descent iterate-until-decay: apply `nndRound` until the round
+    * adds NO new edges (the exact-fixpoint certificate) or `maxRounds`
+    * is hit, and return the per-round convergence record — (round,
+    * n_new, n_edges) for every round actually RUN. Production
+    * NN-Descent's stopping rule is exactly this counter decaying;
+    * componentsFixpoint (Dedup.scala) is the in-repo template.
+    *
+    * Plan discipline (the two-star rule + r12 ADVICE): each round
+    * references its base ~5× (two und arms, hop join, union), so lazy
+    * composition grows the ANALYZED plan geometrically — every round's
+    * output is localCheckpoint'd before the next composes over it, and
+    * the per-round counts are driver actions off the checkpointed frame
+    * (edge frames are n·K rows — K-bounded, never pair-sized).
+    * Returns the certificate frame; callers wanting the converged graph
+    * use `nndGraphAfter` (same checkpoint discipline, same rounds).
+    */
+  private[graft] def nndConverge(s: SparkSession, d: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    import s.implicits._
+    var g = queries("q_sim_knn_graph_trained2")(s, d)
+      .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
+    val cert = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var r = 1
+    var newEdges = -1L
+    while (r <= maxRounds && newEdges != 0L) {
+      val next = nndRound(s, d, g, k)
+        .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
+      newEdges = next
+        .join(g.select(col("vec_id"), col("nbr")),
+          Seq("vec_id", "nbr"), "left_anti")
+        .count()
+      cert += ((r.toLong, newEdges, next.count()))
+      g = next
+      r += 1
+    }
+    cert.toSeq.toDF("round", "n_new", "n_edges")
+  }
+
+  /** The graph after `rounds` NND rounds over the probe-2 trained base,
+    * localCheckpoint'd per round (never compose rounds lazily past two —
+    * the two-star rule). Shared by the round-3 ladder gate.
+    */
+  private[graft] def nndGraphAfter(s: SparkSession, d: String, k: Int,
+      rounds: Int): DataFrame = {
+    var g = queries("q_sim_knn_graph_trained2")(s, d)
+      .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      g = nndRound(s, d, g, k)
+        .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
+    }
+    g
+  }
+
+  /** Shared exact-recall gate behind the four kNN ladder points
+    * (probe-1, probe-2, +1 NND round, +2 rounds) — one implementation,
+    * per the r12 ADVICE factoring. Truth is the brute-force global top-3
+    * via the BOUNDED pair aggregator, not a window: the window form
+    * shuffles and sorts all n² scored pairs per vector; TopKPairAgg
+    * map-side-combines to 3 pairs per (vector, partition) — the same
+    * output by the aggregator's (score DESC, id ASC) contract.
+    */
+  private def recallGate(s: SparkSession, d: String,
+      found0: DataFrame): DataFrame = {
+    val en = normEmbeds(s, d)
+    val truth = en.select(col("vec_id"), col("vn").as("a"))
+      .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
+        col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKPairAgg
+        .topK(col("cos"), col("nbr"), 3).as("t"))
+      .select(col("vec_id"), explode(col("t")).as("p"))
+      .select(col("vec_id"), col("p._2").as("nbr"))
+    val found = found0.select(col("vec_id"), col("nbr"))
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nF = found.agg(count(lit(1)).as("n_found"))
+    val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nF).crossJoin(nH)
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 4))
+          .as("recall"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -860,30 +972,8 @@ object SimSearch {
 
     // Recall gate for the probe-2 variant — same shape as
     // q_sim_knn_recall_trained so the two rows A/B directly.
-    "q_sim_knn_recall_trained2" -> ((s, d) => {
-      val en = normEmbeds(s, d)
-      val truth = en.select(col("vec_id"), col("vn").as("a"))
-        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
-          col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg
-          .topK(col("cos"), col("nbr"), 3).as("t"))
-        .select(col("vec_id"), explode(col("t")).as("p"))
-        .select(col("vec_id"), col("p._2").as("nbr"))
-      val found = queries("q_sim_knn_graph_trained2")(s, d)
-        .select(col("vec_id"), col("nbr"))
-      val nT = truth.agg(count(lit(1)).as("n_true"))
-      val nF = found.agg(count(lit(1)).as("n_found"))
-      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      nT.crossJoin(nF).crossJoin(nH)
-        .select(col("n_true"), col("n_found"), col("n_hit"),
-          when(col("n_true") > 0,
-            round(col("n_hit").cast("double") / col("n_true"), 4))
-            .as("recall"))
-    }),
+    "q_sim_knn_recall_trained2" -> ((s, d) =>
+      recallGate(s, d, queries("q_sim_knn_graph_trained2")(s, d))),
 
     // One NN-Descent refinement round (Dong et al., WWW'11) over the
     // probe-2 trained graph — the recall lever PAST nprobe: a vector's
@@ -925,57 +1015,48 @@ object SimSearch {
 
     // Recall gate for the two-round variant — fourth point on the exact
     // recall ladder (probe-1, probe-2, +1 round, +2 rounds).
-    "q_sim_knn_recall_nnd2" -> ((s, d) => {
-      val en = normEmbeds(s, d)
-      val truth = en.select(col("vec_id"), col("vn").as("a"))
-        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
-          col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg
-          .topK(col("cos"), col("nbr"), 3).as("t"))
-        .select(col("vec_id"), explode(col("t")).as("p"))
-        .select(col("vec_id"), col("p._2").as("nbr"))
-      val found = queries("q_sim_knn_graph_nnd2")(s, d)
-        .select(col("vec_id"), col("nbr"))
-      val nT = truth.agg(count(lit(1)).as("n_true"))
-      val nF = found.agg(count(lit(1)).as("n_found"))
-      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      nT.crossJoin(nF).crossJoin(nH)
-        .select(col("n_true"), col("n_found"), col("n_hit"),
-          when(col("n_true") > 0,
-            round(col("n_hit").cast("double") / col("n_true"), 4))
-            .as("recall"))
-    }),
+    "q_sim_knn_recall_nnd2" -> ((s, d) =>
+      recallGate(s, d, queries("q_sim_knn_graph_nnd2")(s, d))),
 
     // Recall gate for the NND round — same shape as the trained/trained2
-    // gates so the three rows A/B directly.
-    "q_sim_knn_recall_nnd" -> ((s, d) => {
-      val en = normEmbeds(s, d)
-      val truth = en.select(col("vec_id"), col("vn").as("a"))
-        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
-          col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg
-          .topK(col("cos"), col("nbr"), 3).as("t"))
-        .select(col("vec_id"), explode(col("t")).as("p"))
-        .select(col("vec_id"), col("p._2").as("nbr"))
-      val found = queries("q_sim_knn_graph_nnd")(s, d)
-        .select(col("vec_id"), col("nbr"))
-      val nT = truth.agg(count(lit(1)).as("n_true"))
-      val nF = found.agg(count(lit(1)).as("n_found"))
-      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      nT.crossJoin(nF).crossJoin(nH)
-        .select(col("n_true"), col("n_found"), col("n_hit"),
-          when(col("n_true") > 0,
-            round(col("n_hit").cast("double") / col("n_true"), 4))
-            .as("recall"))
+    // gates so the ladder rows A/B directly.
+    "q_sim_knn_recall_nnd" -> ((s, d) =>
+      recallGate(s, d, queries("q_sim_knn_graph_nnd")(s, d))),
+
+    // NN-Descent iterate-until-decay (r12 verdict task 3): the fixpoint
+    // driver over nndRound with the per-round new-edge count as the
+    // convergence certificate — the output IS the certificate (round,
+    // n_new, n_edges), so the oracle cross-checks the stopping rule
+    // itself: DuckDB replays every round's expansion and emits a row
+    // only while every earlier round added edges. Bounded at 3 rounds
+    // (the oracle-able fixture configuration; production raises
+    // maxRounds — each round is one checkpointed graph→graph step).
+    "q_sim_knn_nnd_converge" -> ((s, d) => nndConverge(s, d, 3, 3)),
+
+    // Fifth point on the exact recall ladder (probe-1, probe-2, +1, +2,
+    // +3 rounds) — the round-3 graph under the same shared gate.
+    "q_sim_knn_recall_nnd3" -> ((s, d) =>
+      recallGate(s, d, nndGraphAfter(s, d, 3, 3))),
+
+    // The best MEASURED kNN configuration, registered under the oracle
+    // gate (r12 verdict task 4): occupancy 128 + probe-2 + one NND
+    // round — the r12 occupancy matrix showed occ=128 dominating the
+    // occ=64 default on BOTH axes for the kNN family at both measured
+    // scales, and the levers stack (+42% recall at +16% wall at 2M).
+    // The shared default stays occ=64 because semdedup's pair stage
+    // (Σ occ·n) doubles under occ=128; this query IS the kNN-family
+    // default a user should reach for, with its own recall gate below.
+    "q_sim_knn_graph_tuned" -> ((s, d) => {
+      val K = 3
+      val assigned2 = trainedAssign(embeds(s, d), occupancy = 128)
+        .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
+      nndRound(s, d, knnWithinBucketsProbe2(s, d, assigned2, K), K)
     }),
+
+    // Recall gate for the tuned configuration — the ladder's measured
+    // optimum under the same exact-truth gate as every other point.
+    "q_sim_knn_recall_tuned" -> ((s, d) =>
+      recallGate(s, d, queries("q_sim_knn_graph_tuned")(s, d))),
 
     // Batch twin of Streams.ivfRouteStream — the streaming-ANN ingest
     // router under the oracle gate: a 1-in-8 hash-sampled "arriving"
@@ -1002,34 +1083,8 @@ object SimSearch {
     // q_sim_ann_recall convention); found = the trained pipeline's
     // edges; one row (n_true, n_found, n_hit, recall), rank arithmetic
     // only so the row is hash-exact.
-    "q_sim_knn_recall_trained" -> ((s, d) => {
-      val en = normEmbeds(s, d)
-      // top-3 via the BOUNDED pair aggregator, not a window: the window
-      // form shuffles and sorts all n² scored pairs per vector; TopKPairAgg
-      // map-side-combines to 3 pairs per (vector, partition) — the same
-      // output by the aggregator's (score DESC, id ASC) contract
-      val truth = en.select(col("vec_id"), col("vn").as("a"))
-        .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
-          col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg
-          .topK(col("cos"), col("nbr"), 3).as("t"))
-        .select(col("vec_id"), explode(col("t")).as("p"))
-        .select(col("vec_id"), col("p._2").as("nbr"))
-      val found = queries("q_sim_knn_graph_trained")(s, d)
-        .select(col("vec_id"), col("nbr"))
-      val nT = truth.agg(count(lit(1)).as("n_true"))
-      val nF = found.agg(count(lit(1)).as("n_found"))
-      val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      nT.crossJoin(nF).crossJoin(nH)
-        .select(col("n_true"), col("n_found"), col("n_hit"),
-          when(col("n_true") > 0,
-            round(col("n_hit").cast("double") / col("n_true"), 4))
-            .as("recall"))
-    }),
+    "q_sim_knn_recall_trained" -> ((s, d) =>
+      recallGate(s, d, queries("q_sim_knn_graph_trained")(s, d))),
 
     // Real IVF training: 2 deterministic Lloyd iterations (driver-held
     // centroids as broadcast literals, per-dimension mean via posexplode),
@@ -1631,16 +1686,19 @@ object SimSearch {
   /** The trained-pipeline CTE chain (sample → stand-ins → sample assign
     * → rounded means → corpus assign → scored in-bucket pairs `sc`) —
     * shared by the q_sim_knn_graph_trained result and its recall gate.
+    * `occ` is the SQL twin of trainedAssign's occupancy parameter
+    * (C = max(32, n/occ)); the default 64 is the registered base
+    * configuration, 128 the tuned kNN-family one (r12 occupancy matrix).
     */
-  private lazy val trainedKnnCtes: String = {
+  private def trainedKnnCtes(occ: Int = 64): String = {
     val sampH = LlmOps.sqlHash64("'samp|' || CAST(vec_id AS VARCHAR)")
     val centH = LlmOps.sqlHash64("'cent|' || CAST(vec_id AS VARCHAR)")
     val coarseCidH = LlmOps.sqlHash64("'coarse|' || CAST(cid AS VARCHAR)")
     s"""$eSql,
          |prm AS (SELECT
-         |  GREATEST(1, count(*) // (16 * GREATEST(32, count(*) // 64))) AS kf,
-         |  GREATEST(1, GREATEST(32, count(*) // 64)
-         |    // GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // 64))) AS BIGINT)))
+         |  GREATEST(1, count(*) // (16 * GREATEST(32, count(*) // $occ))) AS kf,
+         |  GREATEST(1, GREATEST(32, count(*) // $occ)
+         |    // GREATEST(4, CAST(ceil(sqrt(GREATEST(32, count(*) // $occ))) AS BIGINT)))
          |    AS kc
          |  FROM embeddings),
          |samp AS MATERIALIZED (SELECT vec_id, i, x FROM e WHERE $sampH % 16 = 0),
@@ -1729,8 +1787,8 @@ object SimSearch {
     * list, and the probe-2 scored pairs `sc2` (index side stays the
     * primary bucket, matching knnWithinBucketsProbe2).
     */
-  private lazy val trainedKnn2Ctes: String =
-    s"""$trainedKnnCtes,
+  private def trainedKnn2Ctes(occ: Int = 64): String =
+    s"""${trainedKnnCtes(occ)},
        |wb AS (
        |  SELECT c.vec_id, c.fid, c.cos, f.coarse,
        |    row_number() OVER (PARTITION BY c.vec_id
@@ -1805,49 +1863,79 @@ object SimSearch {
        |  GROUP BY 1, 2)"""
       .stripMargin
 
+  /** Third NND round — the same expansion applied to round 2's top-3
+    * (`scn2` capped at rank 3 = base3). Appended after `nnd2Ctes`; feeds
+    * the convergence-certificate and round-3 ladder oracles.
+    */
+  private lazy val nnd3Ctes: String =
+    s"""base3 AS MATERIALIZED (
+       |  SELECT vec_id, nbr, cos FROM (
+       |    SELECT vec_id, nbr, cos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM scn2) WHERE rank <= 3),
+       |und3 AS MATERIALIZED (
+       |  SELECT vec_id AS v, nbr AS u FROM base3
+       |  UNION SELECT nbr AS v, vec_id AS u FROM base3),
+       |cand3 AS MATERIALIZED (
+       |  SELECT a.v AS vec_id, b.u AS nbr
+       |  FROM und3 a JOIN und3 b ON a.u = b.v AND a.v != b.u
+       |  UNION SELECT vec_id, nbr FROM base3),
+       |scn3 AS MATERIALIZED (
+       |  SELECT c.vec_id, c.nbr, ${cosSql("a", "b")} AS cos
+       |  FROM e a JOIN e b ON a.i = b.i
+       |  JOIN cand3 c ON c.vec_id = a.vec_id AND c.nbr = b.vec_id
+       |  GROUP BY 1, 2)"""
+      .stripMargin
+
+  /** SQL twin of `recallGate`, parameterized on the CTE chain and the
+    * scored CTE the found top-3 reads — the four ladder oracles share
+    * this one block (r12 ADVICE factoring).
+    */
+  private def recallGateSql(ctes: String, foundFrom: String): String =
+    s"""WITH $ctes,
+       |found AS (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM $foundFrom) WHERE rank <= 3),
+       |tsc AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM tsc) WHERE rank <= 3),
+       |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
+       |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       |  CASE WHEN (SELECT count(*) FROM truth) > 0
+       |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_stream_ivf_route" ->
-      s"""WITH $trainedKnn2Ctes
+      s"""WITH ${trainedKnn2Ctes()}
          |SELECT b.vec_id, b.bucket, b2.bucket2
          |FROM bucket b LEFT JOIN b2 ON b2.vec_id = b.vec_id
          |WHERE ${LlmOps.sqlHash64("'rt|' || CAST(b.vec_id AS VARCHAR)")}
          |  % 8 = 0""".stripMargin,
 
     "q_sim_knn_graph_trained2" ->
-      s"""WITH $trainedKnn2Ctes
+      s"""WITH ${trainedKnn2Ctes()}
          |SELECT vec_id, rank, nbr, cos FROM (
          |  SELECT vec_id, nbr, cos,
          |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
          |      AS BIGINT) AS rank
          |  FROM sc2) WHERE rank <= 3""".stripMargin,
 
-    "q_sim_knn_recall_trained2" ->
-      s"""WITH $trainedKnn2Ctes,
-         |found AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM sc2) WHERE rank <= 3),
-         |tsc AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM tsc) WHERE rank <= 3),
-         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
-         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
-         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-         |  CASE WHEN (SELECT count(*) FROM truth) > 0
-         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
-         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
+    "q_sim_knn_recall_trained2" -> recallGateSql(trainedKnn2Ctes(), "sc2"),
 
     "q_sim_knn_graph_nnd" ->
-      s"""WITH $trainedKnn2Ctes,
+      s"""WITH ${trainedKnn2Ctes()},
          |$nndCtes
          |SELECT vec_id, rank, nbr, cos FROM (
          |  SELECT vec_id, nbr, cos,
@@ -1856,33 +1944,10 @@ object SimSearch {
          |  FROM scn) WHERE rank <= 3""".stripMargin,
 
     "q_sim_knn_recall_nnd" ->
-      s"""WITH $trainedKnn2Ctes,
-         |$nndCtes,
-         |found AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM scn) WHERE rank <= 3),
-         |tsc AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM tsc) WHERE rank <= 3),
-         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
-         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
-         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-         |  CASE WHEN (SELECT count(*) FROM truth) > 0
-         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
-         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
+      recallGateSql(s"${trainedKnn2Ctes()},\n$nndCtes", "scn"),
 
     "q_sim_knn_graph_nnd2" ->
-      s"""WITH $trainedKnn2Ctes,
+      s"""WITH ${trainedKnn2Ctes()},
          |$nndCtes,
          |$nnd2Ctes
          |SELECT vec_id, rank, nbr, cos FROM (
@@ -1892,31 +1957,62 @@ object SimSearch {
          |  FROM scn2) WHERE rank <= 3""".stripMargin,
 
     "q_sim_knn_recall_nnd2" ->
-      s"""WITH $trainedKnn2Ctes,
+      recallGateSql(s"${trainedKnn2Ctes()},\n$nndCtes,\n$nnd2Ctes", "scn2"),
+
+    "q_sim_knn_recall_nnd3" ->
+      recallGateSql(s"${trainedKnn2Ctes()},\n$nndCtes,\n$nnd2Ctes,\n$nnd3Ctes",
+        "scn3"),
+
+    // The convergence certificate: per-round new-edge counts with the
+    // stop-on-zero rule replicated in the WHERE conditions — a round's
+    // row exists only if every earlier round added edges, exactly the
+    // driver loop's semantics.
+    "q_sim_knn_nnd_converge" ->
+      s"""WITH ${trainedKnn2Ctes()},
          |$nndCtes,
          |$nnd2Ctes,
-         |found AS (
+         |$nnd3Ctes,
+         |g0 AS (SELECT vec_id, nbr FROM base),
+         |g1 AS MATERIALIZED (SELECT vec_id, nbr FROM base2),
+         |g2 AS MATERIALIZED (SELECT vec_id, nbr FROM base3),
+         |g3 AS MATERIALIZED (
          |  SELECT vec_id, nbr FROM (
          |    SELECT vec_id, nbr,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM scn2) WHERE rank <= 3),
-         |tsc AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM tsc) WHERE rank <= 3),
-         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
-         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
-         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-         |  CASE WHEN (SELECT count(*) FROM truth) > 0
-         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
-         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
+         |    FROM scn3) WHERE rank <= 3),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g1 x
+         |       WHERE NOT EXISTS (SELECT 1 FROM g0 y
+         |         WHERE y.vec_id = x.vec_id AND y.nbr = x.nbr)),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g2 x
+         |       WHERE NOT EXISTS (SELECT 1 FROM g1 y
+         |         WHERE y.vec_id = x.vec_id AND y.nbr = x.nbr)),
+         |n3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g3 x
+         |       WHERE NOT EXISTS (SELECT 1 FROM g2 y
+         |         WHERE y.vec_id = x.vec_id AND y.nbr = x.nbr))
+         |SELECT CAST(1 AS BIGINT) AS round, (SELECT c FROM n1) AS n_new,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g1) AS n_edges
+         |FROM (VALUES (1)) v(one)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), (SELECT c FROM n2),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g2)
+         |FROM (VALUES (1)) v(one) WHERE (SELECT c FROM n1) > 0
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), (SELECT c FROM n3),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g3)
+         |FROM (VALUES (1)) v(one)
+         |WHERE (SELECT c FROM n1) > 0 AND (SELECT c FROM n2) > 0""".stripMargin,
+
+    "q_sim_knn_graph_tuned" ->
+      s"""WITH ${trainedKnn2Ctes(128)},
+         |$nndCtes
+         |SELECT vec_id, rank, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+         |      AS BIGINT) AS rank
+         |  FROM scn) WHERE rank <= 3""".stripMargin,
+
+    "q_sim_knn_recall_tuned" ->
+      recallGateSql(s"${trainedKnn2Ctes(128)},\n$nndCtes", "scn"),
 
     "q_sim_ann_lsh_scaled" ->
       s"""WITH $eSql,
@@ -2067,7 +2163,7 @@ object SimSearch {
     // rounded per-bucket/dim means, then the two-level assign of the
     // corpus against those means, then the knn tail.
     "q_sim_knn_graph_trained" ->
-      s"""WITH $trainedKnnCtes
+      s"""WITH ${trainedKnnCtes()}
          |SELECT vec_id, rank, nbr, cos FROM (
          |  SELECT vec_id, nbr, cos,
          |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
@@ -2078,30 +2174,7 @@ object SimSearch {
     // top-3 per vector (O(n²) ground truth, fixture-priced); found = the
     // trained pipeline's edges; recall = overlap ratio. Rank arithmetic
     // only — hash-exact.
-    "q_sim_knn_recall_trained" ->
-      s"""WITH $trainedKnnCtes,
-         |found AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM sc) WHERE rank <= 3),
-         |tsc AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT vec_id, nbr FROM (
-         |    SELECT vec_id, nbr,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM tsc) WHERE rank <= 3),
-         |hit AS (SELECT t.vec_id, t.nbr FROM truth t JOIN found f
-         |        ON t.vec_id = f.vec_id AND t.nbr = f.nbr)
-         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-         |  CASE WHEN (SELECT count(*) FROM truth) > 0
-         |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
-         |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin,
+    "q_sim_knn_recall_trained" -> recallGateSql(trainedKnnCtes(), "sc"),
 
     "q_sim_ann_kmeans" -> {
       def dStep(cIn: String, dOut: String, aOut: String) =
@@ -2159,7 +2232,7 @@ object SimSearch {
     // entire train+assign+dedup pipeline cross-engine. `sc` holds both
     // pair directions; the keeper rule reads only the v1 < v2 half.
     "q_dedup_semdedup" ->
-      s"""WITH $trainedKnnCtes,
+      s"""WITH ${trainedKnnCtes()},
          |dropped AS (
          |  SELECT DISTINCT nbr AS vec_id FROM sc
          |  WHERE vec_id < nbr AND cos >= $NearDupThreshold)

@@ -72,6 +72,17 @@ class TopKPairDistinctAggSpec extends SparkSpec {
     assert(got.map(_._4) == Seq(5L, 1L, 2L))
   }
 
+  test("contract violations fail loudly: a duplicate id with a different " +
+    "score raises instead of keep-first-arbitrary (r12 ADVICE guard)") {
+    val rows = Seq((1L, 0.5, 7L), (1L, 0.6, 7L), (1L, 0.4, 8L))
+    val ex = intercept[Throwable](viaDedupAgg(rows))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("contract violation")),
+      s"expected the contract guard in the failure chain, got: ${chain(ex)}")
+  }
+
   test("buffer stays K-bounded and the rule grants hash mode (bounded marker)") {
     val agg = new TopKPairDistinctAgg(5)
     assert(agg.maxBufferBytes == 64L + 48L * 5)

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted kNN-graph store and its incremental-maintenance theorem
+  * (KnnStore's class doc): `build(base)` + `addArrivals(batch)` must leave
+  * all three tables row-identical to `build(base ∪ batch)` under the same
+  * centroid frame — exact, because the probe-2 candidate relation
+  * decomposes disjointly over the split and bounded top-K is mergeable.
+  * Plus the storage discipline: an arrival batch rewrites ONLY the
+  * partitions it touches (every other cell directory stays byte-stable).
+  */
+class KnnStoreSpec extends SparkSpec {
+  private val dir =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+  private val K = 3
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-knnstore-$tag").toString
+
+  private lazy val corpus = SimSearch.embeds(spark, dir).cache()
+  private lazy val cents = {
+    val n = corpus.count()
+    SimSearch.trainedCentroidFrame(corpus, n).localCheckpoint(true)
+  }
+  // tiny disjoint arrival batch (hash-picked ~1/256 — NEVER an id prefix)
+  private def isArrival = pmod(xxhash64(concat(lit("knnstore|"),
+    col("vec_id").cast("string"))), lit(256L)) === 0
+  private lazy val arrivals = corpus.where(isArrival).localCheckpoint(true)
+  private lazy val base = corpus.where(!isArrival).localCheckpoint(true)
+
+  private def graphSet(df: DataFrame) =
+    df.select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+  private def memberSet(df: DataFrame) =
+    df.select(col("vec_id"), col("bucket"),
+        coalesce(col("bucket2"), lit(-1L)), col("vn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Double](3))).toSet
+  private def postingSet(df: DataFrame) =
+    df.select(col("vec_id"), col("pcell"), col("home"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  // full-corpus build — shared by the identity and rebuild-equivalence
+  // tests
+  private lazy val fullRoot = {
+    val root = tmpRoot("full")
+    KnnStore.build(spark, corpus, cents, root, K)
+    root
+  }
+
+  test("build reproduces the registered probe-2 graph row-for-row under " +
+    "the same centroid frame") {
+    val stored = graphSet(KnnStore.readGraph(spark, fullRoot))
+    val reg = graphSet(
+      SimSearch.queries("q_sim_knn_graph_trained2")(spark, dir))
+    assert(stored == reg)
+    assert(stored.nonEmpty)
+  }
+
+  test("incremental maintenance is exact: build(base) + addArrivals ≡ " +
+    "build(base ∪ arrivals), all three tables") {
+    assert(arrivals.count() > 0, "hash split produced no arrivals")
+    val incRoot = tmpRoot("inc")
+    KnnStore.build(spark, base, cents, incRoot, K)
+    KnnStore.addArrivals(spark, arrivals, cents, incRoot, K)
+    assert(graphSet(KnnStore.readGraph(spark, incRoot)) ==
+      graphSet(KnnStore.readGraph(spark, fullRoot)))
+    assert(memberSet(KnnStore.readMembers(spark, incRoot)) ==
+      memberSet(KnnStore.readMembers(spark, fullRoot)))
+    assert(postingSet(KnnStore.readPostings(spark, incRoot)) ==
+      postingSet(KnnStore.readPostings(spark, fullRoot)))
+  }
+
+  test("an arrival batch rewrites ONLY the graph partitions it touches — " +
+    "every other cell directory stays byte-stable") {
+    val root = tmpRoot("touch")
+    KnnStore.build(spark, base, cents, root, K)
+    def snapshot(sub: String): Map[String, Set[(String, Long, Long)]] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .map(d => d.getName -> Option(d.listFiles()).toSeq.flatten
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet)
+        .toMap
+    val before = snapshot("graph")
+    val touched = KnnStore.addArrivals(spark, arrivals, cents, root, K)
+      .select(col("bucket")).collect().map(r => s"bucket=${r.getLong(0)}")
+      .toSet
+    val after = snapshot("graph")
+    val untouchedDirs = before.keySet -- touched
+    assert(untouchedDirs.nonEmpty,
+      s"vacuous test: the batch touched all ${before.size} partitions")
+    untouchedDirs.foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    }
+    // and the touched set actually changed something
+    assert(touched.exists(p => before.get(p) != after.get(p)))
+  }
+}
