@@ -388,6 +388,49 @@ object Probe {
       case "pipelinefull" => timed("pipelinefull") {
         noop(SparkEntry.queries("q_pipeline_drug_disease")(s, d))
       }
+      case "invidx" =>
+        // q_text_inverted_index's two-consumer shingle explode: cache vs
+        // recompute (r12 verdict task 5). Both forms run twice in ONE JVM
+        // after a discarded warmup — the q_pipeline counter-case says
+        // recompute can win, so measure, don't assume.
+        def terms = graft.ops.Core.table(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            graft.llm.TextOps.shingles(col("text"), 2))).as("term"))
+        def runInv(t: org.apache.spark.sql.DataFrame): Unit = {
+          val df = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .where(col("df").between(2, 20))
+          noop(t.join(df, Seq("term")).groupBy(col("term"), col("df"))
+            .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+              .as("postings")))
+        }
+        runInv(terms) // discarded JIT warmup
+        s.catalog.clearCache()
+        timed("invidx_uncached") { runInv(terms) }
+        timed("invidx_cached") { runInv(terms.cache()) }
+        timed("invidx_uncached2") { runInv(terms) }
+        timed("invidx_cached2") { runInv(terms.cache()) }
+      case "knnstore" =>
+        // incremental maintenance vs full rebuild at scale: build on the
+        // 1023/1024 hash base, fold the ~n/1024 arrival batch, then price
+        // the full rebuild the increment replaces. Work for the add step
+        // should be O(batch · occupancy · K) — corpus-size-independent.
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_knnstore_probe"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        val isArr = pmod(xxhash64(concat(lit("knnstore|"),
+          col("vec_id").cast("string"))), lit(1024L)) === 0
+        timed("knnstore_build") {
+          graft.queries.KnnStore.build(s, e.where(!isArr), cents, root, 3)
+        }
+        timed("knnstore_add") {
+          noop(graft.queries.KnnStore.addArrivals(s, e.where(isArr), cents,
+            root, 3))
+        }
+        timed("knnstore_rebuild") {
+          graft.queries.KnnStore.build(s, e, cents, s"${root}_full", 3)
+        }
+        Seq(root, s"${root}_full").foreach { p =>
+          scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+        }
       case "pipelinegate" => timed("pipelinegate") {
         // the r12-named 1000× lever, priced: the front-side pair-evidence
         // gate (pairs with >= 3 F-status fact rows) ahead of the candidate

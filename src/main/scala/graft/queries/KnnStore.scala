@@ -47,17 +47,23 @@ import graft.llm.Vectors
   */
 object KnnStore {
 
-  // partition columns read back TYPE-INFERRED (bucket= dirs of longs come
-  // back INT) — cast on every read before joining with long keys
-  private def readPart(s: SparkSession, path: String, part: String): DataFrame =
-    s.read.parquet(path).withColumn(part, col(part).cast("long"))
-
+  // Partition columns read back TYPE-INFERRED (bucket= dirs of longs come
+  // back INT below ~2^31, LONG above — cell ids are centroid vec_ids, so
+  // ScaleUp's 10^12-offset ids cross that line). An explicit read schema
+  // pins the type at LONG across scales AND keeps the partition attribute
+  // raw — a cast-after-read wraps the join key and DEFEATS partition
+  // pruning (measured r13: the cast form's addArrivals full-scanned all
+  // three tables and ran 0.8× of a full rebuild instead of O(batch)).
   private[graft] def readMembers(s: SparkSession, root: String): DataFrame =
-    readPart(s, s"$root/members", "bucket")
+    s.read.schema("vec_id LONG, vn ARRAY<DOUBLE>, bucket2 LONG, bucket LONG")
+      .parquet(s"$root/members")
   private[graft] def readPostings(s: SparkSession, root: String): DataFrame =
-    readPart(s, s"$root/postings", "pcell")
+    s.read.schema("vec_id LONG, vn ARRAY<DOUBLE>, home LONG, pcell LONG")
+      .parquet(s"$root/postings")
   private[graft] def readGraph(s: SparkSession, root: String): DataFrame =
-    readPart(s, s"$root/graph", "bucket")
+    s.read.schema(
+        "vec_id LONG, rank LONG, nbr LONG, cos DOUBLE, bucket LONG")
+      .parquet(s"$root/graph")
 
   /** Normalize + assign a (vec_id, v) frame against the static centroid
     * index: (vec_id, vn, bucket, bucket2), primary-assignable rows only
@@ -92,6 +98,20 @@ object KnnStore {
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
         round(Vectors.dotFast(col("x.vn"), col("y.vn")), 6).as("cos"))
 
+  /** One file per cell directory: partitionBy writes a file per (task ×
+    * partition-value), so an unrepartitioned 32-task write into C=n/occ
+    * cell dirs explodes into ~32·C small files (measured: the r13 probe's
+    * first build at 200k crawled on ~100k-file writes). Clustering rows
+    * by the partition value first makes every write one file per dir —
+    * the same discipline a 100 TB table needs for its object store.
+    */
+  private def writePartitioned(df: DataFrame, part: String,
+      path: String): Unit =
+    df.repartition(col(part))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(part).parquet(path)
+
   private def topK(edges: DataFrame, k: Int): DataFrame =
     edges.groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairDistinctAgg
@@ -107,20 +127,17 @@ object KnnStore {
     */
   def build(s: SparkSession, corpus: DataFrame, cents: DataFrame,
       root: String, k: Int): Unit = {
-    assignFrame(corpus, cents)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/members")
+    writePartitioned(assignFrame(corpus, cents), "bucket",
+      s"$root/members")
     val members = readMembers(s, root)
-    postingsOf(members)
-      .write.mode("overwrite").partitionBy("pcell")
-      .parquet(s"$root/postings")
+    writePartitioned(postingsOf(members), "pcell", s"$root/postings")
     val probes = readPostings(s, root)
       .select(col("vec_id"), col("vn"), col("pcell").as("bucket"))
     val graph = topK(scoreAgainst(probes,
       members.select(col("vec_id"), col("vn"), col("bucket")), "bucket"), k)
-    graph.join(members.select(col("vec_id"), col("bucket")), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/graph")
+    writePartitioned(
+      graph.join(members.select(col("vec_id"), col("bucket")), Seq("vec_id")),
+      "bucket", s"$root/graph")
   }
 
   /** Fold an arrival batch into the store — exact (see the class doc
@@ -153,32 +170,57 @@ object KnnStore {
 
     // members gaining the arrival: every stored vector PROBING an arrival
     // primary cell (postings reverse lookup, pruned to arrival cells) —
-    // merged into their stored top-K (mergeable bounded agg).
+    // candidates for a top-K merge (mergeable bounded agg).
     val gains = postings
       .join(broadcast(av.select(col("vec_id").as("a_id"),
         col("vn").as("avn"), col("bucket").as("pcell"))), Seq("pcell"))
       .select(col("vec_id"), col("home"), col("a_id").as("nbr"),
         round(Vectors.dotFast(col("vn"), col("avn")), 6).as("cos"))
       .localCheckpoint(true)
-    val affectedHomes = gains.select(col("home").as("bucket")).distinct()
-    val touched = affectedHomes
+
+    // DEFENSE CHECK (the r13 locality fix): a gain only changes a member's
+    // stored top-K when it BEATS the member's worst held edge under the
+    // (score DESC, id ASC) total order — or the member holds fewer than K.
+    // Without this, every member probing a touched cell rewrote its home
+    // partition, and secondary probers spray homes across ~all cells: the
+    // 200k probe measured addArrivals ≈ a full rebuild (39 vs 41 s). The
+    // check is one read-only pass over the graph (filter + agg, no
+    // shuffle-out of edge rows); the REWRITE set then shrinks to members
+    // whose lists actually change — exactness preserved because a
+    // non-beating gain provably leaves the merged top-K identical.
+    val graph = readGraph(s, root)
+    val gainIds = gains.select(col("vec_id")).distinct().localCheckpoint(true)
+    val defense = graph.join(broadcast(gainIds), Seq("vec_id"), "left_semi")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nk"),
+        min(struct(col("cos"), (-col("nbr")).as("negnbr"))).as("worst"))
+      .select(col("vec_id"), col("nk"),
+        col("worst.cos").as("kcos"), (-col("worst.negnbr")).as("knbr"))
+    val changed = gains
+      .join(defense, Seq("vec_id"), "left_outer")
+      .where(col("nk").isNull || col("nk") < k ||
+        col("cos") > col("kcos") ||
+        (col("cos") === col("kcos") && col("nbr") < col("knbr")))
+      .select(col("vec_id"), col("home")).distinct()
+      .localCheckpoint(true)
+    val touched = changed.select(col("home").as("bucket"))
       .union(av.select(col("bucket"))).distinct().localCheckpoint(true)
 
-    // rewrite graph partitions: touched homes get (merged affected rows +
+    // rewrite graph partitions: touched homes get (merged changed rows +
     // unchanged co-resident rows), arrival primaries additionally get the
     // arrival edges. Read only the touched partitions (broadcast-join
     // prune), materialize, then dynamic-overwrite exactly those dirs.
-    val graph = readGraph(s, root)
     val storedTouched = graph.join(broadcast(touched), Seq("bucket"))
-    val affectedIds = gains.select(col("vec_id")).distinct()
+    val changedIds = changed.select(col("vec_id"))
     val unchanged = storedTouched
-      .join(affectedIds, Seq("vec_id"), "left_anti")
+      .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
     val merged = topK(
-      storedTouched.join(affectedIds, Seq("vec_id"), "left_semi")
+      storedTouched.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("nbr"), col("cos"))
-        .union(gains.select(col("vec_id"), col("nbr"), col("cos"))), k)
-      .join(broadcast(gains.select(col("vec_id"), col("home").as("bucket"))
-        .distinct()), Seq("vec_id"))
+        .union(gains.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("nbr"), col("cos"))), k)
+      .join(broadcast(changed.select(col("vec_id"), col("home").as("bucket"))),
+        Seq("vec_id"))
     val newGraphRows = unchanged
       .select(col("vec_id"), col("rank"), col("nbr"), col("cos"), col("bucket"))
       .union(merged
@@ -187,10 +229,7 @@ object KnnStore {
         .join(av.select(col("vec_id"), col("bucket")), Seq("vec_id"))
         .select(col("vec_id"), col("rank"), col("nbr"), col("cos"), col("bucket")))
       .localCheckpoint(true)
-    newGraphRows
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$root/graph")
+    writePartitioned(newGraphRows, "bucket", s"$root/graph")
 
     // members: arrival primary partitions gain the batch rows
     val newMemberRows = members
@@ -198,9 +237,7 @@ object KnnStore {
       .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
       .union(av.select(col("vec_id"), col("vn"), col("bucket2"), col("bucket")))
       .localCheckpoint(true)
-    newMemberRows.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$root/members")
+    writePartitioned(newMemberRows, "bucket", s"$root/members")
 
     // postings: every probed cell gains the arrival's posting row
     val newPostingRows = postings
@@ -208,9 +245,7 @@ object KnnStore {
       .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
       .union(aPost.select(col("vec_id"), col("vn"), col("home"), col("pcell")))
       .localCheckpoint(true)
-    newPostingRows.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pcell").parquet(s"$root/postings")
+    writePartitioned(newPostingRows, "pcell", s"$root/postings")
 
     newGraphRows.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))

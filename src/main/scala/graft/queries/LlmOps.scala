@@ -1683,9 +1683,16 @@ object LlmOps {
     // actually posts. Postings serialize sorted via array_join (driver
     // compare can't sort raw array cells).
     "q_text_inverted_index" -> ((s, d) => {
+      // terms feeds TWO consumers (df pass + join-back); cached per the
+      // r13 Probe invidx A/B — uncached the bigram explode re-runs per
+      // consumer (3.26 s vs 2.3 s at sf0.1, repeatable in one JVM).
+      // MEMORY_AND_DISK like q_text_bigram_lm's precedent: at corpus
+      // scale the exploded table spills like a shuffle write instead of
+      // silently vanishing.
       val terms = table(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(col("text"), 2))).as("term"))
+        .cache()
       val docFreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .where(col("df").between(2, 20))
       terms.join(docFreq, Seq("term"))
