@@ -139,13 +139,14 @@ object Probe {
             count(when(col("dup").isNull, 1)).as("n_kept")))
       }
       case "nndsplit" =>
-        // Stage attribution + shape A/B for the NN-Descent round at scale:
-        // base graph (the full trained probe-2 pipeline), the NAIVE form
-        // (id-pair distinct then two vector re-fetch joins — r12 measured
-        // it superlinear at 2M: the distinct shuffles the pair-sized
-        // frame and the second re-fetch SMJ sorts it wide), and the
-        // SHIPPED carry-vn + TopKPairDistinctAgg form. Cumulative cold
-        // stages (timed() clears caches), passagesplit protocol.
+        // Stage attribution + three-shape A/B for the NN-Descent round at
+        // scale: base graph (the full trained probe-2 pipeline), the
+        // NAIVE form (id-pair distinct then two vector re-fetch joins —
+        // superlinear: the second re-fetch SMJ sorts the pair frame
+        // wide), the r12 carry-vn form (vectors ride four edge-sized SMJ
+        // sort sides — the ~13 GB spill cliff), and the SHIPPED r13
+        // narrow-hop + broadcast-fetch form via the registered lambda.
+        // Cumulative cold stages (timed() clears caches).
         // FAIRNESS (caught by the r12 self-review): every stage must
         // build its base by RE-INVOKING the registered lambda inside its
         // own timed block — a stale `val base` loses the lambda's

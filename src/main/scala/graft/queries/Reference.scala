@@ -67,6 +67,13 @@ object Reference {
     // unbounded form moved ~75M candidate rows at sf0.1 and took 35s).
     "q_pipeline_drug_disease" -> ((s, d) => drugDiseasePipeline(s, d)),
 
+    // Front-gated pipeline: the r12 1000× split's named lever ("shrink
+    // the hypothesis space BEFORE the pair joins") as a first-class
+    // variant — pairs backed by < 3 F-status fact rows drop ahead of the
+    // candidate expansion and mask joins, so every downstream row they
+    // would produce is never paid for (priced in SCALE.md r13).
+    "q_pipeline_dd_gated" -> ((s, d) => drugDiseasePipelineGated(s, d, 3L)),
+
     // Whitelist pipeline mode (sc:439-459): evidences restricted to
     // whitelisted diseases and RE-KEYED by whitelist id — associations
     // aggregate per (target, whitelist group) instead of per disease. The
@@ -272,47 +279,15 @@ object Reference {
         |FROM e ASOF LEFT JOIN r
         |  ON e.user_id = r.r_user AND e.ts >= r.r_ts""".stripMargin,
 
-    "q_pipeline_drug_disease" ->
-      """WITH lines AS (
-        |  SELECT o_custkey, l_suppkey, l_partkey, o_orderstatus, o_orderpriority
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |cust_parts AS (
-        |  SELECT DISTINCT o_custkey, l_partkey FROM lines WHERE o_orderstatus = 'O'),
-        |supp_parts AS (
-        |  SELECT l_suppkey, l_partkey FROM (
-        |    SELECT l_suppkey, l_partkey,
-        |      row_number() OVER (PARTITION BY l_suppkey ORDER BY l_partkey) AS prn
-        |    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lines
-        |          WHERE o_orderstatus = 'F'))
-        |  WHERE prn <= 20),
-        |pairs AS (
-        |  SELECT DISTINCT o_custkey, l_suppkey FROM lines WHERE o_orderstatus = 'F'),
-        |new_parts AS (
-        |  SELECT p.o_custkey, p.l_suppkey, sp.l_partkey,
-        |    row_number() OVER (PARTITION BY p.o_custkey, p.l_suppkey
-        |      ORDER BY sp.l_partkey) AS rn
-        |  FROM pairs p JOIN supp_parts sp ON sp.l_suppkey = p.l_suppkey
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM cust_parts cp
-        |    WHERE cp.o_custkey = p.o_custkey AND cp.l_partkey = sp.l_partkey)),
-        |part_aes AS (SELECT DISTINCT l_partkey, o_orderpriority FROM lines),
-        |cust_aes AS (SELECT DISTINCT o_custkey, o_orderpriority FROM lines),
-        |pa_sz AS (SELECT l_partkey, count(*) AS pa FROM part_aes GROUP BY 1),
-        |ca_sz AS (SELECT o_custkey, count(*) AS ca FROM cust_aes GROUP BY 1),
-        |common AS (
-        |  SELECT h.o_custkey, h.l_suppkey, h.l_partkey,
-        |    (SELECT count(*) FROM part_aes x JOIN cust_aes y
-        |       ON y.o_orderpriority = x.o_orderpriority
-        |     WHERE x.l_partkey = h.l_partkey AND y.o_custkey = h.o_custkey) AS c
-        |  FROM (SELECT * FROM new_parts WHERE rn <= 5) h)
-        |SELECT cm.o_custkey, cm.l_suppkey, cm.l_partkey AS part_hypothesis,
-        |  round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
-        |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) AS ae_score
-        |FROM common cm
-        |JOIN pa_sz ON pa_sz.l_partkey = cm.l_partkey
-        |JOIN ca_sz ON ca_sz.o_custkey = cm.o_custkey
-        |WHERE round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
-        |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) > 0.5""".stripMargin,
+    "q_pipeline_drug_disease" -> ddPipelineOracle(
+      "SELECT DISTINCT o_custkey, l_suppkey FROM lines WHERE o_orderstatus = 'F'"),
+
+    // the front-gated variant: identical chain, pairs restricted to
+    // >= 3 F-status fact rows — the r12-named 1000x lever as a
+    // first-class user option under the same oracle discipline
+    "q_pipeline_dd_gated" -> ddPipelineOracle(
+      """SELECT o_custkey, l_suppkey FROM lines WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
 
     "q_ref_assoc_whitelist" ->
       """WITH evs AS (
@@ -634,13 +609,57 @@ object Reference {
     }
   }
 
-  /** Probe-only entry for the r12 1000× lever measurement: the identical
-    * pipeline with the front-side pair-evidence gate applied (see
-    * ddPairs). Not registered — the gate changes output semantics; its
-    * value is the SCALE.md price tag for "shrink the hypothesis space
-    * before the pair joins".
+  /** The gated pipeline: identical chain with the front-side
+    * pair-evidence gate applied (see ddPairs). Registered as
+    * q_pipeline_dd_gated (its own oracle) AND used by the Probe
+    * pipelinegate lever measurement at 1000×.
     */
   private[graft] def drugDiseasePipelineGated(
       s: SparkSession, d: String, minPairEvidence: Long): DataFrame =
     drugDiseasePipeline(s, d, minPairEvidence = Some(minPairEvidence))
+
+  /** The drug-disease pipeline oracle, parameterized on the pairs CTE so
+    * the registered and front-gated variants share one SQL body.
+    */
+  private def ddPipelineOracle(pairsCte: String): String =
+    s"""WITH lines AS (
+       |  SELECT o_custkey, l_suppkey, l_partkey, o_orderstatus, o_orderpriority
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |cust_parts AS (
+       |  SELECT DISTINCT o_custkey, l_partkey FROM lines WHERE o_orderstatus = 'O'),
+       |supp_parts AS (
+       |  SELECT l_suppkey, l_partkey FROM (
+       |    SELECT l_suppkey, l_partkey,
+       |      row_number() OVER (PARTITION BY l_suppkey ORDER BY l_partkey) AS prn
+       |    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lines
+       |          WHERE o_orderstatus = 'F'))
+       |  WHERE prn <= 20),
+       |pairs AS (
+       |  $pairsCte),
+       |new_parts AS (
+       |  SELECT p.o_custkey, p.l_suppkey, sp.l_partkey,
+       |    row_number() OVER (PARTITION BY p.o_custkey, p.l_suppkey
+       |      ORDER BY sp.l_partkey) AS rn
+       |  FROM pairs p JOIN supp_parts sp ON sp.l_suppkey = p.l_suppkey
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cust_parts cp
+       |    WHERE cp.o_custkey = p.o_custkey AND cp.l_partkey = sp.l_partkey)),
+       |part_aes AS (SELECT DISTINCT l_partkey, o_orderpriority FROM lines),
+       |cust_aes AS (SELECT DISTINCT o_custkey, o_orderpriority FROM lines),
+       |pa_sz AS (SELECT l_partkey, count(*) AS pa FROM part_aes GROUP BY 1),
+       |ca_sz AS (SELECT o_custkey, count(*) AS ca FROM cust_aes GROUP BY 1),
+       |common AS (
+       |  SELECT h.o_custkey, h.l_suppkey, h.l_partkey,
+       |    (SELECT count(*) FROM part_aes x JOIN cust_aes y
+       |       ON y.o_orderpriority = x.o_orderpriority
+       |     WHERE x.l_partkey = h.l_partkey AND y.o_custkey = h.o_custkey) AS c
+       |  FROM (SELECT * FROM new_parts WHERE rn <= 5) h)
+       |SELECT cm.o_custkey, cm.l_suppkey, cm.l_partkey AS part_hypothesis,
+       |  round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
+       |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) AS ae_score
+       |FROM common cm
+       |JOIN pa_sz ON pa_sz.l_partkey = cm.l_partkey
+       |JOIN ca_sz ON ca_sz.o_custkey = cm.o_custkey
+       |WHERE round(0.4 * (1.0 - CAST(pa - c AS DOUBLE) / pa)
+       |      + 0.6 * (1.0 - CAST(ca - c AS DOUBLE) / ca), 6) > 0.5""".stripMargin
 }

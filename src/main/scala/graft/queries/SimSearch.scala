@@ -568,9 +568,16 @@ object SimSearch {
     * output first — each round references its base ~5× and lazy plans
     * grow geometrically under iteration (the two-star rule; see
     * nndConverge).
+    *
+    * `shardThreshold`: vectors-per-broadcast ceiling. Past it the two
+    * fetches switch to shardedCosVerify over a localCheckpoint'd
+    * candidate frame (peak broadcast |table|/R; the checkpoint bounds
+    * the R² candidate re-scans) — output-identical (NndSpec forces the
+    * path with threshold 1 and pins row equality).
     */
   private[graft] def nndRound(s: SparkSession, d: String,
-      baseEdges: DataFrame, k: Int): DataFrame = {
+      baseEdges: DataFrame, k: Int,
+      shardThreshold: Long = 4000000L): DataFrame = {
     val base = baseEdges
       .select(col("vec_id"), col("nbr"), col("cos")).cache()
     val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
@@ -584,13 +591,21 @@ object SimSearch {
         col("a.u") === col("b.u") && col("a.v") =!= col("b.v"))
       .select(col("a.v").as("v1"), col("b.v").as("v2"))
     val en = normEmbeds(s, d)
-    val hopScored = cand
-      .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
-        Seq("v1"))
-      .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
-        Seq("v2"))
-      .select(col("v1").as("vec_id"), col("v2").as("nbr"),
-        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+    val nVec = embeds(s, d).count() // parquet-footer count — plan-time
+    val hopScored =
+      if (nVec <= shardThreshold)
+        cand
+          .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
+            Seq("v1"))
+          .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
+            Seq("v2"))
+          .select(col("v1").as("vec_id"), col("v2").as("nbr"),
+            round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
+      else {
+        val shards = math.ceil(nVec.toDouble / shardThreshold).toInt
+        shardedCosVerify(en, cand.localCheckpoint(), shards)
+          .select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cos"))
+      }
     hopScored.union(base)
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairDistinctAgg
@@ -984,20 +999,24 @@ object SimSearch {
     // paper's local join), exact cosine re-rank, same top-3 contract.
     // Scale shape: degree in the undirected graph is ≤ 2K, so candidates
     // are ≤ (2K)²+K per vector — O(n·K²), LINEAR, no bucket term at all.
-    // The naive form (id-pair DISTINCT then two vector re-fetch joins)
-    // measured SUPERLINEAR at 2M vectors: the distinct shuffles the
-    // pair-sized frame and the second re-fetch SMJ sorts it again, wide —
-    // the r10 trap. Shipped shape: both vectors ride the EDGE-sized
-    // joins (und is ≤ 2K·n rows) into the hop join, scored pairs flow
-    // straight into TopKPairDistinctAgg's map-side combine — dedup of
-    // multi-path (v,w) pairs happens inside the K-sized buffer (equal id
-    // ⇒ equal cosine, the aggregator's contract), so no pair-sized frame
-    // is ever shuffled, sorted, or distinct'd. Base edges arrive already
-    // scored from the probe-2 tail. Hits are MONOTONE over the base
-    // graph: cand ⊇ base, so a base edge in the global top-3 can only be
-    // displaced by other global-top-3 members (NndSpec pins recall ≥
-    // probe-2's). Rounds compose — production iterates until new-edge
-    // count decays; one round is registered.
+    // Three physical shapes measured (SCALE.md r12/r13): the naive form
+    // (id-pair DISTINCT then two vector re-fetch joins) is SUPERLINEAR —
+    // the second re-fetch SMJ sorts the pair frame wide (the r10 trap);
+    // the r12 carry-vn form kept pairs out of sorts but sorted four
+    // edge-sized VECTOR-LADEN SMJ sides (~13 GB spill at 2M — the memory
+    // cliff). Shipped (r13): the hop join runs NARROW and both vectors
+    // broadcast-fetch onto candidates — no sort ever sees a vector
+    // column; scored pairs flow straight into TopKPairDistinctAgg's
+    // map-side combine (multi-path duplicates die in the K-sized buffer;
+    // equal id ⇒ equal cosine, the aggregator's guarded contract), so
+    // the pair relation is never shuffled, sorted, or distinct'd either.
+    // Same-session A/B at 2M: 126.7 vs 207.6 (carry-vn) vs 233.2 s
+    // (naive). Base edges arrive already scored from the probe-2 tail.
+    // Hits are MONOTONE over the base graph: cand ⊇ base, so a base edge
+    // in the global top-3 can only be displaced by other global-top-3
+    // members (NndSpec pins recall ≥ probe-2's). Rounds compose — the
+    // fixpoint driver with the convergence certificate is
+    // q_sim_knn_nnd_converge; one round is registered here.
     "q_sim_knn_graph_nnd" -> ((s, d) =>
       nndRound(s, d, queries("q_sim_knn_graph_trained2")(s, d), 3)),
 

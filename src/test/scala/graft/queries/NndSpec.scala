@@ -95,6 +95,21 @@ class NndSpec extends SparkSpec {
       "composed round lost edges it is a superset of")
   }
 
+  test("the beyond-broadcast sharded verify path is output-identical: " +
+    "shardThreshold=1 forces it and every row matches the broadcast path") {
+    val base = SimSearch.queries("q_sim_knn_graph_trained2")(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // threshold n/2 → a 2×2 shard grid (threshold 1 would build an n²
+    // union of branches — the R² fan-out is the documented trade)
+    val n = SimSearch.embeds(spark, dir).count()
+    val sharded = rows(SimSearch.nndRound(spark, dir, base, 3,
+      shardThreshold = math.max(1L, n / 2)))
+    assert(sharded == nnd.toSet)
+    assert(sharded.nonEmpty)
+  }
+
   test("convergence certificate is well-formed and the stopping rule is " +
     "honest: contiguous rounds, stop-on-zero, monotone edge counts") {
     val cert = SimSearch.queries("q_sim_knn_nnd_converge")(spark, dir)

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 /** Streaming semantics through MemoryStream micro-batches: watermarked
@@ -639,6 +640,61 @@ class StreamsSpec extends SparkSpec {
         103L -> "another new doc"),
         s"snapshot was $snap")
     } finally q.stop()
+  }
+
+  test("continuous ingest composes with the persisted kNN store: the " +
+    "pipeline's novel docs fold into the graph incrementally ≡ rebuild") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft-ingest2-snap").toString
+    val ckpt = Files.createTempDirectory("graft-ingest2-ckpt").toString
+    val cents = Seq(
+      (10L, Array(1.0, 0.0), true),
+      (20L, Array(0.0, 1.0), true),
+      (11L, Array(0.9, 0.3), false),
+      (21L, Array(0.3, 0.9), false)
+    ).toDF("cid", "cv", "is_coarse")
+    val corpus = Seq(
+      (1L, "alpha beta gamma", Array(1.0, 0.05)),
+      (2L, "hello world foo", Array(0.05, 1.0)),
+      (3L, "boundary family seed", Array(0.8, 0.6))
+    ).toDF("doc_id", "text", "v")
+    val arrivalRows = Seq(
+      (100L, ts(1), "totally new thing", Array(-1.0, 0.05)),
+      (101L, ts(1), "alpha beta gamma", Array(0.5, -0.5)), // exact dup, dies
+      (102L, ts(1), "unrelated text entirely", Array(0.6, 0.8)), // dense dup
+      (103L, ts(1), "another new doc", Array(0.0, -1.0)))
+    val input = MemoryStream[(Long, Timestamp, String, Array[Double])]
+    val q = Streams.ingestScreenPipeline(
+      input.toDF().toDF("doc_id", "ts", "text", "v"),
+      corpus, cents, mBits = 1024, k = 3, cosThreshold = 0.9,
+      snapDir, ckpt, buckets = 2)
+    try {
+      input.addData(arrivalRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the stream's verdict: novel ids land in the snapshot; their vectors
+    // come from the arrival batch (the snapshot stores the doc payload)
+    val novelIds = spark.read.parquet(snapDir).select(col("doc_id"))
+    val novelVecs = arrivalRows.toDF("vec_id", "ts", "text", "v")
+      .join(novelIds.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("v"))
+    assert(novelVecs.count() == 2) // 100 and 103 survive the screens
+    // fold them into a store built on the corpus; must equal the rebuild
+    val incRoot = Files.createTempDirectory("graft-ingest2-inc").toString
+    val fullRoot = Files.createTempDirectory("graft-ingest2-full").toString
+    val corpusVecs = corpus.select(col("doc_id").as("vec_id"), col("v"))
+    graft.queries.KnnStore.build(spark, corpusVecs, cents, incRoot, 2)
+    graft.queries.KnnStore.addArrivals(spark, novelVecs, cents, incRoot, 2)
+    graft.queries.KnnStore.build(spark,
+      corpusVecs.union(novelVecs), cents, fullRoot, 2)
+    def edges(root: String) =
+      graft.queries.KnnStore.readGraph(spark, root)
+        .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(edges(incRoot) == edges(fullRoot))
+    assert(edges(incRoot).nonEmpty)
   }
 
   test("ivfRouteStream routes arriving vectors to the same probed cells " +
