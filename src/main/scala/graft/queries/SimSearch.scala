@@ -1042,6 +1042,87 @@ object SimSearch {
     "q_sim_knn_recall_nnd" -> ((s, d) =>
       recallGate(s, d, queries("q_sim_knn_graph_nnd")(s, d))),
 
+    // Graph-based beam search — the HNSW-style SERVING path over the kNN
+    // graph the build/refine/store family produces (the third classic ANN
+    // serving shape next to IVF probing and LSH buckets): hash-selected
+    // seed nodes, then R greedy rounds of expand-frontier-by-graph-edges
+    // → exact-score vs the query → keep the best B. The graph is the
+    // probe-2 trained one (undirected — B(v) ∪ R(v), the NND convention);
+    // the query vector is collected ONCE to literals (the r6 crossJoin
+    // trap: derived columns after a 1-row broadcast cross join can hit
+    // INTERNAL_ERROR when sibling branches share lineage — and a KMeans-
+    // style driver literal is also the honest serving shape, the query
+    // arrives from outside the cluster). Each round's frontier is B rows
+    // — localCheckpoint keeps the R-round loop's plan linear. At 100 TB
+    // the per-round work is B·2K edge lookups + B·2K dot products —
+    // corpus-size-independent given the partitioned graph store
+    // (KnnStore's read path); rounds, beam, and seeds are the
+    // latency/recall knobs.
+    "q_sim_graph_beam" -> ((s, d) => {
+      val B = 8
+      val R = 3
+      val en = normEmbeds(s, d)
+      val nVec = embeds(s, d).count()
+      val qvArr = en.where(col("vec_id") === 0)
+        .select(col("vn")).head().getSeq[Double](0)
+      val qvCol = array(qvArr.map(lit): _*)
+      val baseG = queries("q_sim_knn_graph_trained2")(s, d)
+        .select(col("vec_id"), col("nbr")).localCheckpoint()
+      val und = baseG.select(col("vec_id").as("v"), col("nbr").as("u"))
+        .union(baseG.select(col("nbr").as("v"), col("vec_id").as("u")))
+        .distinct().localCheckpoint()
+      def score(ids: DataFrame): DataFrame = ids
+        .join(en, Seq("vec_id"))
+        .select(col("vec_id"),
+          round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
+      def topB(sc0: DataFrame, b: Int): DataFrame = sc0
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rn") <= b).drop("rn")
+      val every = math.max(1L, nVec / 8)
+      val seeds = en
+        .where(pmod(Core.md5Hash64(concat(lit("beam|"),
+          col("vec_id").cast("string"))), lit(every)) === 0 &&
+          col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      var frontier = topB(score(seeds), B).localCheckpoint()
+      (1 to R).foreach { _ =>
+        val expand = frontier.select(col("vec_id").as("v"))
+          .join(und, Seq("v")).select(col("u").as("vec_id"))
+          .union(frontier.select(col("vec_id")))
+          .where(col("vec_id") =!= 0).distinct()
+        frontier = topB(score(expand), B).localCheckpoint()
+      }
+      topB(frontier, 10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("cos"))
+    }),
+
+    // Recall gate for the beam search: brute-force top-10 for the same
+    // query vs the beam's 10 — the serving path's quality loop.
+    "q_sim_graph_beam_recall" -> ((s, d) => {
+      val en = normEmbeds(s, d)
+      val qvArr = en.where(col("vec_id") === 0)
+        .select(col("vn")).head().getSeq[Double](0)
+      val qvCol = array(qvArr.map(lit): _*)
+      val truth = en.where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rn") <= 10).select(col("vec_id"))
+      val found = queries("q_sim_graph_beam")(s, d).select(col("vec_id"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nH = truth.join(found, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nH)
+        .select(col("n_true"), col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true"), 4))
+            .as("recall"))
+    }),
+
     // NN-Descent iterate-until-decay (r12 verdict task 3): the fixpoint
     // driver over nndRound with the per-round new-edge count as the
     // convergence certificate — the output IS the certificate (round,
@@ -1935,6 +2016,47 @@ object SimSearch {
        |    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
        |      / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin
 
+  /** Beam-search CTE chain (appended after trainedKnn2Ctes): undirected
+    * probe-2 graph, every-vector query scores (same values the Spark
+    * side computes for the ids it touches), hash seeds, then the three
+    * expand→score→top-B rounds f0..f3.
+    */
+  private lazy val beamCtes: String = {
+    val beamH = LlmOps.sqlHash64("'beam|' || CAST(vec_id AS VARCHAR)")
+    def roundCte(prev: String, xn: String, fn: String) =
+      s"""$xn AS (
+         |  SELECT DISTINCT u AS vec_id FROM ub JOIN $prev ON ub.v = $prev.vec_id
+         |  WHERE u != 0
+         |  UNION SELECT vec_id FROM $prev),
+         |$fn AS (SELECT vec_id, cos FROM (
+         |  SELECT q.vec_id, q.cos,
+         |    row_number() OVER (ORDER BY q.cos DESC, q.vec_id) AS rn
+         |  FROM qsc q JOIN $xn ON $xn.vec_id = q.vec_id) WHERE rn <= 8)"""
+    s"""bb AS MATERIALIZED (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM sc2) WHERE rank <= 3),
+       |ub AS MATERIALIZED (
+       |  SELECT vec_id AS v, nbr AS u FROM bb
+       |  UNION SELECT nbr AS v, vec_id AS u FROM bb),
+       |qsc AS MATERIALIZED (
+       |  SELECT b.vec_id, ${cosSql("b", "q")} AS cos
+       |  FROM e b JOIN e q ON q.i = b.i AND q.vec_id = 0
+       |  WHERE b.vec_id != 0 GROUP BY 1),
+       |prmb AS (SELECT GREATEST(1, count(*) // 8) AS every FROM embeddings),
+       |seeds AS (SELECT vec_id FROM embeddings
+       |  WHERE $beamH % (SELECT every FROM prmb) = 0 AND vec_id != 0),
+       |f0 AS (SELECT vec_id, cos FROM (
+       |  SELECT q.vec_id, q.cos,
+       |    row_number() OVER (ORDER BY q.cos DESC, q.vec_id) AS rn
+       |  FROM qsc q JOIN seeds s ON s.vec_id = q.vec_id) WHERE rn <= 8),
+       |${roundCte("f0", "x1", "f1")},
+       |${roundCte("f1", "x2", "f2")},
+       |${roundCte("f2", "x3", "f3")}"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_stream_ivf_route" ->
       s"""WITH ${trainedKnn2Ctes()}
@@ -1981,6 +2103,33 @@ object SimSearch {
     "q_sim_knn_recall_nnd3" ->
       recallGateSql(s"${trainedKnn2Ctes()},\n$nndCtes,\n$nnd2Ctes,\n$nnd3Ctes",
         "scn3"),
+
+    "q_sim_graph_beam" ->
+      s"""WITH ${trainedKnn2Ctes()},
+         |$beamCtes
+         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+         |  AS rank, vec_id, cos
+         |FROM (SELECT vec_id, cos FROM (
+         |  SELECT vec_id, cos,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+         |  FROM f3) WHERE rn <= 10)""".stripMargin,
+
+    "q_sim_graph_beam_recall" ->
+      s"""WITH ${trainedKnn2Ctes()},
+         |$beamCtes,
+         |found AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+         |  FROM f3) WHERE rn <= 10),
+         |btruth AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+         |  FROM qsc) WHERE rn <= 10),
+         |bhit AS (SELECT t.vec_id FROM btruth t JOIN found f
+         |         ON f.vec_id = t.vec_id)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM btruth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bhit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM btruth) > 0
+         |    THEN round(CAST((SELECT count(*) FROM bhit) AS DOUBLE)
+         |      / (SELECT count(*) FROM btruth), 4) END AS recall""".stripMargin,
 
     // The convergence certificate: per-round new-edge counts with the
     // stop-on-zero rule replicated in the WHERE conditions — a round's
