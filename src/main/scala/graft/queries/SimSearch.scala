@@ -1099,6 +1099,60 @@ object SimSearch {
         .select(col("rank"), col("vec_id"), col("cos"))
     }),
 
+    // BATCH beam search — the Spark-first serving shape: the per-query
+    // walk pays ~15 driver-scheduled jobs of fixed overhead (Probe
+    // beamserve: ~2 s/query at 200k regardless of data size), so a batch
+    // engine serves beams by walking ALL queries simultaneously —
+    // frontier keyed by qid, per-round top-B via the BOUNDED TopKPairAgg
+    // (map-side combine, no global window anywhere), one job set per
+    // round for the whole query batch. Queries and seeds are
+    // count-derived hash picks (the serving-load rule: the query set
+    // scales with serving demand, never the corpus). Per-round work is
+    // Q·B·2K edge lookups + dots — linear in the BATCH.
+    "q_sim_graph_beam_batch" -> ((s, d) => {
+      val B = 8
+      val R = 3
+      val en = normEmbeds(s, d)
+      val nVec = embeds(s, d).count()
+      def h(salt: String) =
+        Core.md5Hash64(concat(lit(salt), col("vec_id").cast("string")))
+      val qs = en.where(pmod(h("bq|"), lit(math.max(1L, nVec / 5))) === 0)
+        .select(col("vec_id").as("qid"), col("vn").as("qv"))
+        .localCheckpoint()
+      val baseG = queries("q_sim_knn_graph_trained2")(s, d)
+        .select(col("vec_id"), col("nbr")).localCheckpoint()
+      val und = baseG.select(col("vec_id").as("v"), col("nbr").as("u"))
+        .union(baseG.select(col("nbr").as("v"), col("vec_id").as("u")))
+        .distinct().localCheckpoint()
+      def score(ids: DataFrame): DataFrame = ids
+        .join(en.select(col("vec_id"), col("vn")), Seq("vec_id"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Vectors.dotFast(col("vn"), col("qv")), 6).as("cos"))
+      def topB(sc0: DataFrame, b: Int): DataFrame = sc0
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKPairAgg
+          .topK(col("cos"), col("vec_id"), b).as("t"))
+        .select(col("qid"), posexplode(col("t")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("vec_id"), col("col._1").as("cos"))
+      val seeds = en.where(pmod(h("beam|"), lit(math.max(1L, nVec / 8))) === 0)
+        .select(col("vec_id"))
+      val seeded = qs.select(col("qid")).crossJoin(seeds)
+        .where(col("vec_id") =!= col("qid"))
+      var frontier = topB(score(seeded), B)
+        .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
+      (1 to R).foreach { _ =>
+        val expand = frontier.select(col("qid"), col("vec_id").as("v"))
+          .join(und, Seq("v")).select(col("qid"), col("u").as("vec_id"))
+          .union(frontier.select(col("qid"), col("vec_id")))
+          .where(col("vec_id") =!= col("qid")).distinct()
+        frontier = topB(score(expand), B)
+          .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
+      }
+      topB(frontier, 10)
+    }),
+
     // Recall gate for the beam search: brute-force top-10 for the same
     // query vs the beam's 10 — the serving path's quality loop.
     "q_sim_graph_beam_recall" -> ((s, d) => {
@@ -2057,7 +2111,63 @@ object SimSearch {
       .stripMargin
   }
 
+  /** Batch beam CTE chain (appended after trainedKnn2Ctes): reuses bb/ub
+    * from the single-query chain's definitions, per-(qid, vec_id) query
+    * scores, shared hash seeds, three PARTITION-BY-qid rounds g0..g3.
+    */
+  private lazy val beamBatchCtes: String = {
+    val beamH = LlmOps.sqlHash64("'beam|' || CAST(vec_id AS VARCHAR)")
+    val bqH = LlmOps.sqlHash64("'bq|' || CAST(vec_id AS VARCHAR)")
+    def roundCte(prev: String, yn: String, gn: String) =
+      s"""$yn AS (
+         |  SELECT DISTINCT g.qid, u.u AS vec_id
+         |  FROM ub u JOIN $prev g ON u.v = g.vec_id WHERE u.u != g.qid
+         |  UNION SELECT qid, vec_id FROM $prev),
+         |$gn AS (SELECT qid, vec_id, cos FROM (
+         |  SELECT c.qid, c.vec_id, c.cos,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY c.cos DESC, c.vec_id) AS rn
+         |  FROM qsc2 c JOIN $yn y ON y.qid = c.qid AND y.vec_id = c.vec_id)
+         |  WHERE rn <= 8)"""
+    s"""bb AS MATERIALIZED (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM sc2) WHERE rank <= 3),
+       |ub AS MATERIALIZED (
+       |  SELECT vec_id AS v, nbr AS u FROM bb
+       |  UNION SELECT nbr AS v, vec_id AS u FROM bb),
+       |qset AS (SELECT vec_id AS qid FROM embeddings
+       |  WHERE $bqH % (SELECT GREATEST(1, count(*) // 5) FROM embeddings) = 0),
+       |qsc2 AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, b.vec_id, ${cosSql("b", "q")} AS cos
+       |  FROM e b JOIN e q ON q.i = b.i
+       |  JOIN qset ON qset.qid = q.vec_id
+       |  WHERE b.vec_id != q.vec_id
+       |  GROUP BY 1, 2),
+       |bseeds AS (SELECT vec_id FROM embeddings
+       |  WHERE $beamH % (SELECT GREATEST(1, count(*) // 8) FROM embeddings) = 0),
+       |g0 AS (SELECT qid, vec_id, cos FROM (
+       |  SELECT c.qid, c.vec_id, c.cos,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY c.cos DESC, c.vec_id) AS rn
+       |  FROM qsc2 c JOIN bseeds s ON s.vec_id = c.vec_id) WHERE rn <= 8),
+       |${roundCte("g0", "y1", "g1")},
+       |${roundCte("g1", "y2", "g2")},
+       |${roundCte("g2", "y3", "g3")}"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sim_graph_beam_batch" ->
+      s"""WITH ${trainedKnn2Ctes()},
+         |$beamBatchCtes
+         |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM g3) WHERE rn <= 10""".stripMargin,
+
     "q_stream_ivf_route" ->
       s"""WITH ${trainedKnn2Ctes()}
          |SELECT b.vec_id, b.bucket, b2.bucket2

@@ -56,6 +56,25 @@ class BeamSpec extends SparkSpec {
         "beam never left the seed set on the strict fixture")
   }
 
+  test("batch beam is well-formed per query: contiguous ranks, no " +
+    "duplicates, own qid excluded, and ranks follow (cos DESC, id ASC)") {
+    val rows = SimSearch.queries("q_sim_graph_beam_batch")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, qr) =>
+      assert(qr.map(_._2).sorted.toSeq == (1L to qr.length).toSeq,
+        s"qid $qid ranks not contiguous")
+      assert(qr.map(_._3).distinct.length == qr.length)
+      assert(qr.forall(_._3 != qid), s"qid $qid returned itself")
+      val ordered = qr.sortBy(_._2)
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _           => true
+      }, s"qid $qid rank order violates (cos DESC, id ASC)")
+    }
+  }
+
   test("the recall gate agrees with an independent truth computation") {
     val row = SimSearch.queries("q_sim_graph_beam_recall")(spark, dir)
       .collect().head
