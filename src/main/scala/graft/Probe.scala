@@ -432,6 +432,19 @@ object Probe {
         Seq(root, s"${root}_full").foreach { p =>
           scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
         }
+      case "nnd2form" =>
+        // lazy two-round composition (registered) vs localCheckpoint-per-
+        // round (nndGraphAfter): the lazy plan is ~170 exchanges analyzed
+        // once; the ckpt form trades analysis size for eager round
+        // materialization. Warmup pair discarded.
+        timed("nnd2_lazy") {
+          noop(SparkEntry.queries("q_sim_knn_graph_nnd2")(s, d))
+        }
+        timed("nnd2_ckpt") { noop(SimSearch.nndGraphAfter(s, d, 3, 2)) }
+        timed("nnd2_lazy2") {
+          noop(SparkEntry.queries("q_sim_knn_graph_nnd2")(s, d))
+        }
+        timed("nnd2_ckpt2") { noop(SimSearch.nndGraphAfter(s, d, 3, 2)) }
       case "beamserve" =>
         // the beam walk as a SERVING operation: graph pre-built into the
         // KnnStore (untimed build), the undirected edge view loaded and
