@@ -75,6 +75,28 @@ class KnnStoreSpec extends SparkSpec {
       postingSet(KnnStore.readPostings(spark, fullRoot)))
   }
 
+  test("incremental maintenance composes over time: two successive " +
+    "arrival batches ≡ one rebuild over everything") {
+    // split the arrivals themselves in two by hash — batches arrive in
+    // sequence, each folding into the store the previous one left
+    val h2 = pmod(xxhash64(concat(lit("knnstore2|"),
+      col("vec_id").cast("string"))), lit(2L)) === 0
+    val batch1 = arrivals.where(h2)
+    val batch2 = arrivals.where(!h2)
+    assert(batch1.count() > 0 && batch2.count() > 0,
+      "second-level hash split left a batch empty")
+    val root = tmpRoot("seq")
+    KnnStore.build(spark, base, cents, root, K)
+    KnnStore.addArrivals(spark, batch1, cents, root, K)
+    KnnStore.addArrivals(spark, batch2, cents, root, K)
+    assert(graphSet(KnnStore.readGraph(spark, root)) ==
+      graphSet(KnnStore.readGraph(spark, fullRoot)))
+    assert(memberSet(KnnStore.readMembers(spark, root)) ==
+      memberSet(KnnStore.readMembers(spark, fullRoot)))
+    assert(postingSet(KnnStore.readPostings(spark, root)) ==
+      postingSet(KnnStore.readPostings(spark, fullRoot)))
+  }
+
   test("an arrival batch rewrites ONLY the graph partitions it touches — " +
     "every other cell directory stays byte-stable") {
     val root = tmpRoot("touch")
