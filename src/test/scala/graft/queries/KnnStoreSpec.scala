@@ -97,6 +97,18 @@ class KnnStoreSpec extends SparkSpec {
       postingSet(KnnStore.readPostings(spark, fullRoot)))
   }
 
+  test("an empty arrival batch is a no-op: every table byte-identical") {
+    val root = tmpRoot("empty")
+    KnnStore.build(spark, corpus, cents, root, K)
+    val g0 = graphSet(KnnStore.readGraph(spark, root))
+    val m0 = memberSet(KnnStore.readMembers(spark, root))
+    val p0 = postingSet(KnnStore.readPostings(spark, root))
+    KnnStore.addArrivals(spark, corpus.where(lit(false)), cents, root, K)
+    assert(graphSet(KnnStore.readGraph(spark, root)) == g0)
+    assert(memberSet(KnnStore.readMembers(spark, root)) == m0)
+    assert(postingSet(KnnStore.readPostings(spark, root)) == p0)
+  }
+
   test("an arrival batch rewrites ONLY the graph partitions it touches — " +
     "every other cell directory stays byte-stable") {
     val root = tmpRoot("touch")
