@@ -436,7 +436,11 @@ object Probe {
         // lazy two-round composition (registered) vs localCheckpoint-per-
         // round (nndGraphAfter): the lazy plan is ~170 exchanges analyzed
         // once; the ckpt form trades analysis size for eager round
-        // materialization. Warmup pair discarded.
+        // materialization. A genuinely UNTIMED warmup pass absorbs the
+        // JIT/page-cache premium (r13 ADVICE: the old first timed pair
+        // read cold and could be A/B'd by mistake).
+        noop(SparkEntry.queries("q_sim_knn_graph_nnd2")(s, d))
+        s.catalog.clearCache()
         timed("nnd2_lazy") {
           noop(SparkEntry.queries("q_sim_knn_graph_nnd2")(s, d))
         }

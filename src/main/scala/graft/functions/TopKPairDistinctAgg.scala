@@ -36,14 +36,18 @@ class TopKPairDistinctAgg(k: Int) extends TopKPairAgg(k) {
     var i = 0
     while (i < buf.length) {
       if (buf(i)._2 == v._2) {
-        // contract guard (elidable via -Xdisable-assertions): a duplicate
-        // id carrying a DIFFERENT score means the caller's score is not a
-        // function of (group, id) — keep-first would be silently arbitrary.
+        // contract guard — LOAD-BEARING (KnnStore's incremental merge and
+        // the NND rounds rely on it failing loudly), so it throws
+        // unconditionally rather than via an elidable assert: a build
+        // compiled with -Xdisable-assertions must not silently revert to
+        // arbitrary keep-first. A duplicate id carrying a DIFFERENT score
+        // means the caller's score is not a function of (group, id).
         // Double.compare, not ==: NaN duplicates are contract-honoring
         // (the NaN-dedup behavior the spec pins)
-        assert(java.lang.Double.compare(buf(i)._1, v._1) == 0,
-          s"TopKPairDistinctAgg contract violation: id ${v._2} scored " +
-            s"${v._1} and ${buf(i)._1} in one group")
+        if (java.lang.Double.compare(buf(i)._1, v._1) != 0)
+          throw new IllegalStateException(
+            s"TopKPairDistinctAgg contract violation: id ${v._2} scored " +
+              s"${v._1} and ${buf(i)._1} in one group")
         return buf
       }
       i += 1
@@ -55,13 +59,15 @@ class TopKPairDistinctAgg(k: Int) extends TopKPairAgg(k) {
                      b: Array[(Double, Long)]): Array[(Double, Long)] = {
     // keep-first by id (equal ids carry equal scores by contract), then
     // the usual bounded top-K; the map records the kept score so a
-    // contract-violating duplicate fails loudly instead of keep-first
+    // contract-violating duplicate fails loudly instead of keep-first —
+    // an unconditional throw, never an elidable assert (see reduce)
     val seen =
       new java.util.HashMap[java.lang.Long, java.lang.Double](a.length + b.length)
     val all = (a ++ b).filter { p =>
       val prev = seen.putIfAbsent(p._2, p._1)
-      if (prev ne null)
-        assert(java.lang.Double.compare(prev.doubleValue(), p._1) == 0,
+      if ((prev ne null) &&
+          java.lang.Double.compare(prev.doubleValue(), p._1) != 0)
+        throw new IllegalStateException(
           s"TopKPairDistinctAgg contract violation: id ${p._2} scored " +
             s"${p._1} and $prev across partitions")
       prev eq null

@@ -24,6 +24,15 @@ import graft.llm.Vectors
   *    lookups.
   *  - `graph`    (bucket=partition, = owner's home): (vec_id, rank, nbr,
   *    cos) — the top-K edges.
+  *  - `dir`      (shard=partition, shard = hash(vec_id) % DirShards):
+  *    (vec_id, home, bucket2) — the ID DIRECTORY. members/postings/graph
+  *    are all partitioned by CONTENT-derived cells, so an id-only
+  *    question (does this id exist? where does it live?) would scan the
+  *    store; the directory answers it from the id's own shard — the
+  *    secondary-index discipline every 100 TB table needs. Rows are
+  *    sorted by vec_id within each shard so parquet row-group stats
+  *    prune literal id probes below partition granularity. Serves the
+  *    arrival-batch disjointness guard and id-only removal.
   *
   * INCREMENTAL CONTRACT (KnnStoreSpec pins it as a theorem): after
   * `build(base)` + `addArrivals(batch)`, all three tables are
@@ -40,12 +49,36 @@ import graft.llm.Vectors
   *
   * Scale shape: an arrival batch of m vectors reads ≤2m member
   * partitions + the postings partitions of its primary cells + the graph
-  * partitions of affected homes, and rewrites only those — work is
+  * partitions of gaining homes (the defense check pre-prunes on
+  * `bucket ∈ gains.home` — a gaining member's stored list lives exactly
+  * in its home partition, so the read never touches an uninvolved cell;
+  * the unpruned vec_id-keyed form scanned all n·K stored edges per
+  * batch, the r13 weak), and rewrites only those — work is
   * O(m · occupancy · K), INDEPENDENT of corpus size n (measured in
-  * SCALE.md r13 vs the full rebuild). Dynamic partition overwrite keeps
-  * every untouched cell directory byte-identical on disk.
+  * SCALE.md r13/r14 vs the full rebuild, incl. the r14 RunMetrics
+  * read-volume probe). Dynamic partition overwrite keeps every untouched
+  * cell directory byte-identical on disk.
+  *
+  * Arrival CONTRACT (guarded, not assumed): arrival vec_ids must be
+  * unique within the batch and NEW to the store — a replayed batch or an
+  * id collision would silently duplicate member/posting rows and corrupt
+  * graph top-K lists, voiding the theorem. Both guards are O(batch): the
+  * in-batch check is a distinct count on the checkpointed batch; the
+  * store check probes the id directory pruned to the batch ids' shards.
+  * A same-id-different-vector arrival is a RE-EMBED, not an arrival —
+  * route it through `removeVectors` + `addArrivals`.
   */
 object KnnStore {
+
+  /** Id-directory shard count — a LAYOUT constant (build and every
+    * maintenance fold must agree; changing it requires a rebuild). Fixed
+    * rather than n-derived so arrival batches can compute an id's shard
+    * without knowing corpus size.
+    */
+  val DirShards = 64L
+
+  private def shardOf(id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(id), lit(DirShards))
 
   // Partition columns read back TYPE-INFERRED (bucket= dirs of longs come
   // back INT below ~2^31, LONG above — cell ids are centroid vec_ids, so
@@ -64,6 +97,9 @@ object KnnStore {
     s.read.schema(
         "vec_id LONG, rank LONG, nbr LONG, cos DOUBLE, bucket LONG")
       .parquet(s"$root/graph")
+  private[graft] def readDir(s: SparkSession, root: String): DataFrame =
+    s.read.schema("vec_id LONG, home LONG, bucket2 LONG, shard LONG")
+      .parquet(s"$root/dir")
 
   /** Normalize + assign a (vec_id, v) frame against the static centroid
     * index: (vec_id, vn, bucket, bucket2), primary-assignable rows only
@@ -106,11 +142,22 @@ object KnnStore {
     * the same discipline a 100 TB table needs for its object store.
     */
   private def writePartitioned(df: DataFrame, part: String,
-      path: String): Unit =
-    df.repartition(col(part))
+      path: String, sortCol: Option[String] = None): Unit = {
+    val clustered = df.repartition(col(part))
+    // an in-task sort keeps one-file-per-dir (the writer still splits by
+    // partition value) while giving parquet row-group min/max stats on
+    // the sorted column — literal id probes then skip below partition
+    // granularity (the dir table's layout contract)
+    sortCol.fold(clustered)(c =>
+        clustered.sortWithinPartitions(col(part), col(c)))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(part).parquet(path)
+  }
+
+  private def dirOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("bucket").as("home"),
+      col("bucket2"), shardOf(col("vec_id")).as("shard"))
 
   private def topK(edges: DataFrame, k: Int): DataFrame =
     edges.groupBy(col("vec_id"))
@@ -127,6 +174,14 @@ object KnnStore {
     */
   def build(s: SparkSession, corpus: DataFrame, cents: DataFrame,
       root: String, k: Int): Unit = {
+    // from-scratch means FROM SCRATCH: dynamic partition overwrite keeps
+    // any cell partitions a previous store at this root wrote (a crashed
+    // probe run's leftovers) — ghost rows that break the build ≡
+    // registered-graph identity. Delete the root first; dynamic mode is
+    // for addArrivals only.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(rootPath, true)
     writePartitioned(assignFrame(corpus, cents), "bucket",
       s"$root/members")
     val members = readMembers(s, root)
@@ -138,6 +193,9 @@ object KnnStore {
     writePartitioned(
       graph.join(members.select(col("vec_id"), col("bucket")), Seq("vec_id")),
       "bucket", s"$root/graph")
+    writePartitioned(
+      dirOf(members.select(col("vec_id"), col("bucket"), col("bucket2"))),
+      "shard", s"$root/dir", sortCol = Some("vec_id"))
   }
 
   /** Fold an arrival batch into the store — exact (see the class doc
@@ -151,6 +209,25 @@ object KnnStore {
     // dirs below, so every new partition content must be materialized
     // before the first overwrite)
     val av = assignFrame(arrivals, cents).localCheckpoint(true)
+
+    // CONTRACT GUARDS (class doc): unique within the batch, disjoint from
+    // the store. Both O(batch): the store probe reads only the batch ids'
+    // directory shards (partition prune via the broadcast shard join;
+    // within a shard the vec_id sort gives row-group skipping).
+    val nBatch = av.count()
+    require(av.select(col("vec_id")).distinct().count() == nBatch,
+      "addArrivals: duplicate vec_ids within the arrival batch — " +
+        "replayed/duplicated batches are out of contract")
+    val aIds = av.select(col("vec_id"), shardOf(col("vec_id")).as("shard"))
+    val nCollide = readDir(s, root)
+      .join(broadcast(aIds.select(col("shard")).distinct()), Seq("shard"))
+      .join(broadcast(aIds.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+      .count()
+    require(nCollide == 0,
+      s"addArrivals: $nCollide arrival vec_ids already exist in the " +
+        "store — a re-embed must go through removeVectors + addArrivals")
+
     val aPost = postingsOf(av).localCheckpoint(true)
     val aProbes = aPost
       .select(col("vec_id"), col("vn"), col("pcell").as("bucket"))
@@ -184,13 +261,22 @@ object KnnStore {
     // Without this, every member probing a touched cell rewrote its home
     // partition, and secondary probers spray homes across ~all cells: the
     // 200k probe measured addArrivals ≈ a full rebuild (39 vs 41 s). The
-    // check is one read-only pass over the graph (filter + agg, no
-    // shuffle-out of edge rows); the REWRITE set then shrinks to members
-    // whose lists actually change — exactness preserved because a
-    // non-beating gain provably leaves the merged top-K identical.
+    // check is one read-only pass over the GAINING HOMES' graph
+    // partitions — a gaining member's stored list lives exactly in its
+    // home partition (gains carries home from postings), so the read
+    // prunes on `bucket ∈ gains.home` FIRST (broadcast join on the
+    // partition column, the same DPP shape as the member fetch above);
+    // the r13 form semi-joined on vec_id alone, which is NOT the
+    // partition column, and scanned all n·K stored edges per batch. The
+    // REWRITE set then shrinks to members whose lists actually change —
+    // exactness preserved because a non-beating gain provably leaves the
+    // merged top-K identical.
     val graph = readGraph(s, root)
     val gainIds = gains.select(col("vec_id")).distinct().localCheckpoint(true)
-    val defense = graph.join(broadcast(gainIds), Seq("vec_id"), "left_semi")
+    val gainHomes = gains.select(col("home").as("bucket")).distinct()
+    val defense = graph
+      .join(broadcast(gainHomes), Seq("bucket"))
+      .join(broadcast(gainIds), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("nk"),
         min(struct(col("cos"), (-col("nbr")).as("negnbr"))).as("worst"))
@@ -246,6 +332,15 @@ object KnnStore {
       .union(aPost.select(col("vec_id"), col("vn"), col("home"), col("pcell")))
       .localCheckpoint(true)
     writePartitioned(newPostingRows, "pcell", s"$root/postings")
+
+    // dir: the batch ids' shards gain the arrival directory rows
+    val newDirRows = readDir(s, root)
+      .join(broadcast(aIds.select(col("shard")).distinct()), Seq("shard"))
+      .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
+      .union(dirOf(av))
+      .localCheckpoint(true)
+    writePartitioned(newDirRows, "shard", s"$root/dir",
+      sortCol = Some("vec_id"))
 
     newGraphRows.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))

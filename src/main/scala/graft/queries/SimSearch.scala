@@ -1155,7 +1155,14 @@ object SimSearch {
     }),
 
     // Recall gate for the beam search: brute-force top-10 for the same
-    // query vs the beam's 10 — the serving path's quality loop.
+    // query vs the beam's 10 — the serving path's quality loop. The truth
+    // side is orderBy + limit (TakeOrderedAndProject: per-partition
+    // bounded heaps + a 10-row driver merge), NEVER a partition-less
+    // window — a global row_number over the corpus-sized scored frame
+    // sorts all n rows in one task (the r13 weak; the kNN family's
+    // recallGate avoids the same trap with the bounded TopKPairAgg).
+    // Identical rows: the (cos DESC, vec_id ASC) total order ties off
+    // deterministically either way.
     "q_sim_graph_beam_recall" -> ((s, d) => {
       val en = normEmbeds(s, d)
       val qvArr = en.where(col("vec_id") === 0)
@@ -1164,9 +1171,8 @@ object SimSearch {
       val truth = en.where(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("rn") <= 10).select(col("vec_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
       val found = queries("q_sim_graph_beam")(s, d).select(col("vec_id"))
       val nT = truth.agg(count(lit(1)).as("n_true"))
       val nH = truth.join(found, Seq("vec_id"), "left_semi")

@@ -43,6 +43,21 @@ class KnnStoreSpec extends SparkSpec {
   private def postingSet(df: DataFrame) =
     df.select(col("vec_id"), col("pcell"), col("home"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  private def dirSet(df: DataFrame) =
+    df.select(col("vec_id"), col("home"),
+        coalesce(col("bucket2"), lit(-1L)), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+  private def allTablesEqual(rootA: String, rootB: String): Unit = {
+    assert(graphSet(KnnStore.readGraph(spark, rootA)) ==
+      graphSet(KnnStore.readGraph(spark, rootB)))
+    assert(memberSet(KnnStore.readMembers(spark, rootA)) ==
+      memberSet(KnnStore.readMembers(spark, rootB)))
+    assert(postingSet(KnnStore.readPostings(spark, rootA)) ==
+      postingSet(KnnStore.readPostings(spark, rootB)))
+    assert(dirSet(KnnStore.readDir(spark, rootA)) ==
+      dirSet(KnnStore.readDir(spark, rootB)))
+  }
 
   // full-corpus build — shared by the identity and rebuild-equivalence
   // tests
@@ -67,12 +82,7 @@ class KnnStoreSpec extends SparkSpec {
     val incRoot = tmpRoot("inc")
     KnnStore.build(spark, base, cents, incRoot, K)
     KnnStore.addArrivals(spark, arrivals, cents, incRoot, K)
-    assert(graphSet(KnnStore.readGraph(spark, incRoot)) ==
-      graphSet(KnnStore.readGraph(spark, fullRoot)))
-    assert(memberSet(KnnStore.readMembers(spark, incRoot)) ==
-      memberSet(KnnStore.readMembers(spark, fullRoot)))
-    assert(postingSet(KnnStore.readPostings(spark, incRoot)) ==
-      postingSet(KnnStore.readPostings(spark, fullRoot)))
+    allTablesEqual(incRoot, fullRoot)
   }
 
   test("incremental maintenance composes over time: two successive " +
@@ -89,12 +99,7 @@ class KnnStoreSpec extends SparkSpec {
     KnnStore.build(spark, base, cents, root, K)
     KnnStore.addArrivals(spark, batch1, cents, root, K)
     KnnStore.addArrivals(spark, batch2, cents, root, K)
-    assert(graphSet(KnnStore.readGraph(spark, root)) ==
-      graphSet(KnnStore.readGraph(spark, fullRoot)))
-    assert(memberSet(KnnStore.readMembers(spark, root)) ==
-      memberSet(KnnStore.readMembers(spark, fullRoot)))
-    assert(postingSet(KnnStore.readPostings(spark, root)) ==
-      postingSet(KnnStore.readPostings(spark, fullRoot)))
+    allTablesEqual(root, fullRoot)
   }
 
   test("an empty arrival batch is a no-op: every table byte-identical") {
@@ -103,10 +108,40 @@ class KnnStoreSpec extends SparkSpec {
     val g0 = graphSet(KnnStore.readGraph(spark, root))
     val m0 = memberSet(KnnStore.readMembers(spark, root))
     val p0 = postingSet(KnnStore.readPostings(spark, root))
+    val d0 = dirSet(KnnStore.readDir(spark, root))
     KnnStore.addArrivals(spark, corpus.where(lit(false)), cents, root, K)
     assert(graphSet(KnnStore.readGraph(spark, root)) == g0)
     assert(memberSet(KnnStore.readMembers(spark, root)) == m0)
     assert(postingSet(KnnStore.readPostings(spark, root)) == p0)
+    assert(dirSet(KnnStore.readDir(spark, root)) == d0)
+  }
+
+  test("build into a non-empty root starts from scratch: no ghost " +
+    "partitions from a previous store survive (r13 ADVICE)") {
+    val root = tmpRoot("dirty")
+    // a previous, LARGER store at the same root — its extra cell
+    // partitions must not leak into the rebuild
+    KnnStore.build(spark, corpus, cents, root, K)
+    KnnStore.build(spark, base, cents, root, K)
+    val baseRoot = tmpRoot("cleanbase")
+    KnnStore.build(spark, base, cents, baseRoot, K)
+    allTablesEqual(root, baseRoot)
+  }
+
+  test("arrival-batch contract guards fail loudly: an in-batch duplicate " +
+    "and a replayed (already-stored) batch both throw") {
+    val root = tmpRoot("guard")
+    KnnStore.build(spark, base, cents, root, K)
+    val dup = arrivals.union(arrivals.limit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      KnnStore.addArrivals(spark, dup, cents, root, K)
+    }
+    assert(e1.getMessage.contains("duplicate vec_ids"))
+    KnnStore.addArrivals(spark, arrivals, cents, root, K)
+    val e2 = intercept[IllegalArgumentException] {
+      KnnStore.addArrivals(spark, arrivals, cents, root, K)
+    }
+    assert(e2.getMessage.contains("already exist"))
   }
 
   test("an arrival batch rewrites ONLY the graph partitions it touches — " +
