@@ -33,11 +33,27 @@ import graft.llm.Vectors
   *    sorted by vec_id within each shard so parquet row-group stats
   *    prune literal id probes below partition granularity. Serves the
   *    arrival-batch disjointness guard and id-only removal.
+  *  - `adj`      (shard=partition, shard = hash(v) % DirShards): (v, u,
+  *    owner) — the UNDIRECTED adjacency view, id-sharded: for every
+  *    graph edge (x → y) two rows, (x, y, owner=x) and (y, x, owner=x).
+  *    The graph table answers "x's top-K" from x's home partition, but a
+  *    beam walk needs B(v) ∪ R(v) — the REVERSE edges of a frontier node
+  *    live in its holders' homes, i.e. everywhere. This is the
+  *    vec_id-bucketed edge layout SCALE.md's beamserve row named: a
+  *    frontier's full neighbourhood reads only the frontier ids' shards
+  *    (v-sorted within shards for row-group skipping). `owner` keys
+  *    incremental maintenance: a member whose top-K changes owns exactly
+  *    its two rows per edge, so a rewrite drops owner ∈ changed and
+  *    re-inserts the new lists — duplicate (v, u) pairs under two owners
+  *    are deliberate (each direction independently maintained; readers
+  *    dedup the beam-sized fetch).
   *
   * INCREMENTAL CONTRACT (KnnStoreSpec pins it as a theorem): after
-  * `build(base)` + `addArrivals(batch)`, all three tables are
+  * `build(base)` + `addArrivals(batch)`, all five tables are
   * row-identical to `build(base ∪ batch)` against the same centroid
-  * frame. This is exact, not approximate: the probe-2 candidate relation
+  * frame; `removeVectors(ids)` and `upsert(batch)` carry the same
+  * exactness (remove ≡ build without the victims — including DELETING
+  * partitions the removal empties; upsert = remove ∘ add). This is exact, not approximate: the probe-2 candidate relation
   * {(x, m) : m primary in a cell x probes} decomposes disjointly into
   * base×base (already folded into the stored top-K), arrival×(base∪batch)
   * (computed here from the probed cells' members), and base×arrival (the
@@ -77,6 +93,18 @@ object KnnStore {
     */
   val DirShards = 64L
 
+  /** Every eager checkpoint in this op family goes through
+    * PlanUtil.cleanLocalCheckpoint: plain localCheckpoint(true) copies
+    * the lineage's CONSTRAINT set onto the new leaf, and a constraint
+    * referencing a USING-join's dropped key poisons any later Union over
+    * the frame (Catalyst key-not-found in rewriteConstraints — hit by
+    * removeVectors' merge union).
+    */
+  private implicit class CkptOps(df: DataFrame) {
+    def cleanCkpt: DataFrame =
+      org.apache.spark.sql.graft.PlanUtil.cleanLocalCheckpoint(df)
+  }
+
   private def shardOf(id: org.apache.spark.sql.Column) =
     pmod(xxhash64(id), lit(DirShards))
 
@@ -100,6 +128,9 @@ object KnnStore {
   private[graft] def readDir(s: SparkSession, root: String): DataFrame =
     s.read.schema("vec_id LONG, home LONG, bucket2 LONG, shard LONG")
       .parquet(s"$root/dir")
+  private[graft] def readAdj(s: SparkSession, root: String): DataFrame =
+    s.read.schema("v LONG, u LONG, owner LONG, shard LONG")
+      .parquet(s"$root/adj")
 
   /** Normalize + assign a (vec_id, v) frame against the static centroid
     * index: (vec_id, vn, bucket, bucket2), primary-assignable rows only
@@ -159,6 +190,38 @@ object KnnStore {
     assigned.select(col("vec_id"), col("bucket").as("home"),
       col("bucket2"), shardOf(col("vec_id")).as("shard"))
 
+  /** Both undirected rows of each (vec_id → nbr) edge list row, owner =
+    * the list's member.
+    */
+  private def adjOf(edges: DataFrame): DataFrame =
+    edges.select(col("vec_id").as("v"), col("nbr").as("u"),
+        col("vec_id").as("owner"))
+      .union(edges.select(col("nbr").as("v"), col("vec_id").as("u"),
+        col("vec_id").as("owner")))
+      .withColumn("shard", shardOf(col("v")))
+
+  /** Re-alias every column (fresh exprIds): checkpointed frames keep
+    * their lineage's constraint sets, and a leaked constraint attribute
+    * (e.g. a USING-join's dropped right-side key) breaks Catalyst's
+    * union constraint rewrite with key-not-found when such frames meet
+    * in a Union. The alias projection gives the union child a clean
+    * attribute boundary.
+    */
+  private def fresh(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+
+  /** Driver-side twin of `shardOf` — the same XXH64(seed 42) Spark's
+    * xxhash64 column evaluates, via the Catalyst expression itself so the
+    * two can never drift. Lets a serving walk turn a collected frontier
+    * into LITERAL shard predicates (static partition pruning + row-group
+    * stats skipping), with no per-round assist job.
+    */
+  private[graft] def shardOfId(id: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(id)), 42L).eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, DirShards)
+  }
+
   private def topK(edges: DataFrame, k: Int): DataFrame =
     edges.groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairDistinctAgg
@@ -196,6 +259,10 @@ object KnnStore {
     writePartitioned(
       dirOf(members.select(col("vec_id"), col("bucket"), col("bucket2"))),
       "shard", s"$root/dir", sortCol = Some("vec_id"))
+    // adj derives from the just-written graph (a re-READ, not a recompute
+    // of the top-K plan)
+    writePartitioned(adjOf(readGraph(s, root)), "shard", s"$root/adj",
+      sortCol = Some("v"))
   }
 
   /** Fold an arrival batch into the store — exact (see the class doc
@@ -208,7 +275,7 @@ object KnnStore {
     // everywhere (also required: we read AND overwrite the same parquet
     // dirs below, so every new partition content must be materialized
     // before the first overwrite)
-    val av = assignFrame(arrivals, cents).localCheckpoint(true)
+    val av = assignFrame(arrivals, cents).cleanCkpt
 
     // CONTRACT GUARDS (class doc): unique within the batch, disjoint from
     // the store. Both O(batch): the store probe reads only the batch ids'
@@ -228,7 +295,7 @@ object KnnStore {
       s"addArrivals: $nCollide arrival vec_ids already exist in the " +
         "store — a re-embed must go through removeVectors + addArrivals")
 
-    val aPost = postingsOf(av).localCheckpoint(true)
+    val aPost = postingsOf(av).cleanCkpt
     val aProbes = aPost
       .select(col("vec_id"), col("vn"), col("pcell").as("bucket"))
     val aMembers = av.select(col("vec_id"), col("vn"), col("bucket"))
@@ -253,7 +320,7 @@ object KnnStore {
         col("vn").as("avn"), col("bucket").as("pcell"))), Seq("pcell"))
       .select(col("vec_id"), col("home"), col("a_id").as("nbr"),
         round(Vectors.dotFast(col("vn"), col("avn")), 6).as("cos"))
-      .localCheckpoint(true)
+      .cleanCkpt
 
     // DEFENSE CHECK (the r13 locality fix): a gain only changes a member's
     // stored top-K when it BEATS the member's worst held edge under the
@@ -272,7 +339,7 @@ object KnnStore {
     // exactness preserved because a non-beating gain provably leaves the
     // merged top-K identical.
     val graph = readGraph(s, root)
-    val gainIds = gains.select(col("vec_id")).distinct().localCheckpoint(true)
+    val gainIds = gains.select(col("vec_id")).distinct().cleanCkpt
     val gainHomes = gains.select(col("home").as("bucket")).distinct()
     val defense = graph
       .join(broadcast(gainHomes), Seq("bucket"))
@@ -288,9 +355,9 @@ object KnnStore {
         col("cos") > col("kcos") ||
         (col("cos") === col("kcos") && col("nbr") < col("knbr")))
       .select(col("vec_id"), col("home")).distinct()
-      .localCheckpoint(true)
+      .cleanCkpt
     val touched = changed.select(col("home").as("bucket"))
-      .union(av.select(col("bucket"))).distinct().localCheckpoint(true)
+      .union(av.select(col("bucket"))).distinct().cleanCkpt
 
     // rewrite graph partitions: touched homes get (merged changed rows +
     // unchanged co-resident rows), arrival primaries additionally get the
@@ -314,15 +381,43 @@ object KnnStore {
       .union(arrivalEdges
         .join(av.select(col("vec_id"), col("bucket")), Seq("vec_id"))
         .select(col("vec_id"), col("rank"), col("nbr"), col("cos"), col("bucket")))
-      .localCheckpoint(true)
+      .cleanCkpt
+
+    // adj delta frames — materialized BEFORE the graph overwrite (both
+    // read the graph table). Removals: every adj row OWNED by a changed
+    // member (its old list's two directions); additions: both directions
+    // of the changed members' merged lists and the arrival lists. Every
+    // endpoint of a removed or added edge names an affected shard; a
+    // changed owner's old rows live only at shards of {owner} ∪ {old
+    // nbrs} ⊆ affected, so the owner anti-join within affected shards
+    // removes exactly them.
+    val oldChanged = storedTouched
+      .join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr")).cleanCkpt
+    val deltaNew = newGraphRows
+      .join(broadcast(changedIds.union(av.select(col("vec_id")))),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr")).cleanCkpt
     writePartitioned(newGraphRows, "bucket", s"$root/graph")
+    val affectedShards = oldChanged.union(deltaNew)
+      .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
+      .select(shardOf(col("id")).as("shard")).distinct()
+    val newAdjRows = readAdj(s, root)
+      .join(broadcast(affectedShards), Seq("shard"))
+      .join(broadcast(changedIds.select(col("vec_id").as("owner"))),
+        Seq("owner"), "left_anti")
+      .select(col("v"), col("u"), col("owner"), col("shard"))
+      .union(adjOf(deltaNew))
+      .cleanCkpt
+    writePartitioned(newAdjRows, "shard", s"$root/adj",
+      sortCol = Some("v"))
 
     // members: arrival primary partitions gain the batch rows
     val newMemberRows = members
       .join(broadcast(av.select(col("bucket")).distinct()), Seq("bucket"))
       .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
       .union(av.select(col("vec_id"), col("vn"), col("bucket2"), col("bucket")))
-      .localCheckpoint(true)
+      .cleanCkpt
     writePartitioned(newMemberRows, "bucket", s"$root/members")
 
     // postings: every probed cell gains the arrival's posting row
@@ -330,7 +425,7 @@ object KnnStore {
       .join(broadcast(aPost.select(col("pcell")).distinct()), Seq("pcell"))
       .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
       .union(aPost.select(col("vec_id"), col("vn"), col("home"), col("pcell")))
-      .localCheckpoint(true)
+      .cleanCkpt
     writePartitioned(newPostingRows, "pcell", s"$root/postings")
 
     // dir: the batch ids' shards gain the arrival directory rows
@@ -338,11 +433,265 @@ object KnnStore {
       .join(broadcast(aIds.select(col("shard")).distinct()), Seq("shard"))
       .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
       .union(dirOf(av))
-      .localCheckpoint(true)
+      .cleanCkpt
     writePartitioned(newDirRows, "shard", s"$root/dir",
       sortCol = Some("vec_id"))
 
     newGraphRows.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Overwrite the `touched` partitions of `path` with `df` — including
+    * partitions that end up EMPTY: dynamic partition overwrite only
+    * replaces directories present in the written data, so a partition
+    * whose rows were all removed would silently keep its stale file.
+    * `touched` must be the small driver-bounded touch set (O(batch ·
+    * occupancy) values); the present-set collect is bounded by it.
+    */
+  private def overwriteTouched(s: SparkSession, df: DataFrame, part: String,
+      path: String, touched: DataFrame,
+      sortCol: Option[String] = None): Unit = {
+    val present = df.select(col(part)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val vanished = touched.collect().map(_.getLong(0)).filterNot(present)
+    writePartitioned(df, part, path, sortCol)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    vanished.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$part=$v"), true)
+    }
+  }
+
+  /** Remove vectors BY ID — the store's update/delete story (exact, like
+    * everything else here): after `build(corpus)` + `removeVectors(ids)`,
+    * all five tables are row-identical to `build(corpus \ ids)`
+    * (KnnStoreSpec theorem). A re-embedded vector (the CDC upsert case
+    * `Streams.upsertBatch` raises for documents) is `upsert` below =
+    * remove(old id) + addArrivals(new row).
+    *
+    * Unlike addArrivals, removal must UNDO top-K evictions it cannot
+    * see: a member holding a victim as a neighbour needs candidates the
+    * original fold threw away, so affected members' lists are RECOMPUTED
+    * from their probed cells' current members. Everything stays
+    * partition-pruned — an id-only request never scans the corpus:
+    *  - victims' homes/probed cells come from the id DIRECTORY (their
+    *    own shards);
+    *  - holders ⊆ probers of the victims' primary cells (a graph row
+    *    (h, victim) exists only if h probes victim.home — the candidate
+    *    relation), i.e. the postings partitions pcell ∈ victims.home and
+    *    the graph partitions of those probers' homes;
+    *  - holders' recompute reads the member partitions of THEIR probed
+    *    cells — O(holders · occupancy) work, holders ≤ occupancy ·
+    *    |victims|.
+    * Returns the per-partition row summary of the rewritten graph cells.
+    */
+  def removeVectors(s: SparkSession, ids: DataFrame, root: String,
+      k: Int): DataFrame = {
+    val rmIds = ids.select(col("vec_id"), shardOf(col("vec_id")).as("shard"))
+      .cleanCkpt
+    val nRm = rmIds.count()
+    require(rmIds.select(col("vec_id")).distinct().count() == nRm,
+      "removeVectors: duplicate vec_ids in the removal batch")
+    val rmShards = rmIds.select(col("shard")).distinct()
+    val victims = readDir(s, root)
+      .join(broadcast(rmShards), Seq("shard"))
+      .join(broadcast(rmIds.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id"), col("home"), col("bucket2"))
+      .cleanCkpt
+    require(victims.count() == nRm,
+      "removeVectors: some ids are not in the store")
+    // defs, not vals: these tiny frames feed joins in BOTH arms of
+    // several later unions, and a reused exprId across union children
+    // breaks Catalyst's union constraint rewrite (key-not-found) — the
+    // alias mints a fresh attribute per use
+    def vIds = victims.select(col("vec_id").as("vec_id"))
+    def vHomes = victims.select(col("home").as("bucket")).distinct()
+    def vCells = victims
+      .select(explode(array_compact(array(col("home"), col("bucket2"))))
+        .as("cell")).distinct()
+
+    // holders: probers of the victims' primary cells whose stored list
+    // contains a victim (victims' own lists are dropped wholesale, so
+    // victims are not "holders" to recompute)
+    val probers = readPostings(s, root)
+      .join(broadcast(vHomes.select(col("bucket").as("pcell"))),
+        Seq("pcell"))
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("home")).distinct()
+    val proberHomes = probers.select(col("home").as("bucket")).distinct()
+    val proberLists = readGraph(s, root)
+      .join(broadcast(proberHomes), Seq("bucket"))
+      .join(broadcast(probers.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+      .cleanCkpt
+    val holders = proberLists
+      .join(broadcast(vIds.select(col("vec_id").as("nbr"))), Seq("nbr"),
+        "left_semi")
+      .select(col("vec_id"), col("bucket").as("home")).distinct()
+      .cleanCkpt
+    def hIds = holders.select(col("vec_id").as("vec_id"))
+
+    // holders' member rows (vn + probed cells), then their full candidate
+    // recompute against the post-removal members of those cells
+    val hHomes = holders.select(col("home").as("bucket")).distinct()
+    val hProbes = readMembers(s, root)
+      .join(broadcast(hHomes), Seq("bucket"))
+      .join(broadcast(hIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("vn"),
+        explode(array_compact(array(col("bucket"), col("bucket2"))))
+          .as("bucket"))
+      .cleanCkpt
+    val hCells = hProbes.select(col("bucket")).distinct()
+    val candMembers = readMembers(s, root)
+      .join(broadcast(hCells), Seq("bucket"))
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vn"), col("bucket"))
+    val newLists = topK(scoreAgainst(broadcast(hProbes), candMembers,
+        "bucket"), k)
+      .join(broadcast(holders.select(col("vec_id"),
+        col("home").as("bucket"))), Seq("vec_id"))
+      .cleanCkpt
+
+    // graph rewrite set + adj deltas (materialized before any write)
+    val touchedGraph = vHomes
+      .union(holders.select(col("home").as("bucket"))).distinct()
+      .cleanCkpt
+    val storedTouched = readGraph(s, root)
+      .join(broadcast(touchedGraph), Seq("bucket"))
+    // the kept arm is materialized on its own first: unioning the
+    // double-anti-join lineage with the recompute lineage trips
+    // Catalyst's union constraint rewrite (key-not-found on the shared
+    // vec_id attribute — the r6 shared-lineage family)
+    val keptRows = storedTouched
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .join(broadcast(hIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cos"),
+        col("bucket"))
+      .cleanCkpt
+    val newGraphRows = fresh(keptRows)
+      .union(fresh(newLists.select(col("vec_id"), col("rank"), col("nbr"),
+        col("cos"), col("bucket"))))
+      .cleanCkpt
+    val oldVictimLists = readGraph(s, root)
+      .join(broadcast(vHomes), Seq("bucket"))
+      .join(broadcast(vIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr"))
+    val oldHolderLists = proberLists
+      .join(broadcast(hIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr"))
+    val deltaOld = oldVictimLists.union(oldHolderLists).cleanCkpt
+    val deltaNew = newLists.select(col("vec_id"), col("nbr"))
+    val rmOwners = vIds.union(hIds).select(col("vec_id").as("owner"))
+      .cleanCkpt
+    val affectedShards = deltaOld.union(deltaNew)
+      .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
+      .select(shardOf(col("id")).as("shard")).distinct()
+      .cleanCkpt
+    val newAdjRows = readAdj(s, root)
+      .join(broadcast(affectedShards), Seq("shard"))
+      .join(broadcast(rmOwners), Seq("owner"), "left_anti")
+      .select(col("v"), col("u"), col("owner"), col("shard"))
+      .union(adjOf(deltaNew))
+      .cleanCkpt
+
+    // members / postings / dir shrink in place (pruned reads, no
+    // additions)
+    val newMemberRows = readMembers(s, root)
+      .join(broadcast(vHomes), Seq("bucket"))
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
+      .cleanCkpt
+    val newPostingRows = readPostings(s, root)
+      .join(broadcast(vCells.select(col("cell").as("pcell"))), Seq("pcell"))
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
+      .cleanCkpt
+    val newDirRows = readDir(s, root)
+      .join(broadcast(rmShards), Seq("shard"))
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
+      .cleanCkpt
+
+    // all writes last; emptied partitions are deleted, not left stale
+    overwriteTouched(s, newGraphRows, "bucket", s"$root/graph",
+      touchedGraph)
+    overwriteTouched(s, newMemberRows, "bucket", s"$root/members", vHomes)
+    overwriteTouched(s, newPostingRows, "pcell", s"$root/postings",
+      vCells)
+    overwriteTouched(s, newDirRows, "shard", s"$root/dir",
+      rmShards, sortCol = Some("vec_id"))
+    overwriteTouched(s, newAdjRows, "shard", s"$root/adj",
+      affectedShards, sortCol = Some("v"))
+
+    newGraphRows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Re-embed (CDC upsert): remove the old vectors, fold the new rows —
+    * exactly the remove-then-add composition of the two theorems, so
+    * build(corpus) + upsert(batch) ≡ build((corpus \ batch.ids) ∪ batch).
+    */
+  def upsert(s: SparkSession, updated: DataFrame, cents: DataFrame,
+      root: String, k: Int): Unit = {
+    removeVectors(s, updated.select(col("vec_id")), root, k)
+    addArrivals(s, updated, cents, root, k)
+  }
+
+  /** HNSW-style beam walk served ENTIRELY from the persisted store —
+    * every read partition-pruned by LITERAL predicates derived from the
+    * (driver-resident, B-sized) frontier: adj shards for the
+    * neighbourhood, dir shards for id → home, member cells for the
+    * candidate vectors. Per-round read volume is therefore ∝ frontier
+    * (≤ B·(2K+1) ids across ≤ B partitions per table, row-group-skipped
+    * within via the sorted layout), independent of corpus size —
+    * measured in SCALE.md r14 (Probe beamstore, RunMetrics
+    * inputRecords). The frontier lives on the driver like the query
+    * vector itself: B ≤ tens, the honest serving shape — this is the
+    * one operator family where the driver IS the right place for state.
+    *
+    * Identical math to q_sim_graph_beam (BeamSpec pins collected-row
+    * equality): score = round(dot(vn, qv), 6) against the stored
+    * normalized vectors; per-round top-B under (cos DESC, id ASC);
+    * expand = frontier ∪ its undirected graph neighbourhood; excludeId
+    * dropped everywhere. Seeds must be indexed ids (a non-member seed is
+    * dropped by the member fetch).
+    */
+  def beamSearch(s: SparkSession, root: String, qv: Seq[Double],
+      excludeId: Long, beam: Int, rounds: Int,
+      seedIds: Seq[Long]): DataFrame = {
+    val qvCol = array(qv.map(lit): _*)
+    def scoreTopB(ids: Seq[Long], b: Int): Seq[(Long, Double)] =
+      if (ids.isEmpty) Seq.empty
+      else {
+        val homes = readDir(s, root)
+          .where(col("shard").isin(ids.map(shardOfId).distinct: _*) &&
+            col("vec_id").isin(ids: _*))
+          .select(col("home")).distinct().collect().map(_.getLong(0)).toSeq
+        readMembers(s, root)
+          .where(col("bucket").isin(homes: _*) &&
+            col("vec_id").isin(ids: _*))
+          .select(col("vec_id"),
+            round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(b)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+    def neighbours(ids: Seq[Long]): Seq[Long] =
+      if (ids.isEmpty) Seq.empty
+      else readAdj(s, root)
+        .where(col("shard").isin(ids.map(shardOfId).distinct: _*) &&
+          col("v").isin(ids: _*))
+        .select(col("u")).distinct().collect().map(_.getLong(0)).toSeq
+    var frontier = scoreTopB(seedIds.filterNot(_ == excludeId), beam)
+    (1 to rounds).foreach { _ =>
+      val ids = frontier.map(_._1)
+      val expand = (ids ++ neighbours(ids)).distinct
+        .filterNot(_ == excludeId)
+      frontier = scoreTopB(expand, beam)
+    }
+    import s.implicits._
+    frontier.sortBy(p => (-p._2, p._1)).take(10).zipWithIndex
+      .map { case ((id, cos), i) => (i + 1L, id, cos) }
+      .toDF("rank", "vec_id", "cos")
   }
 }

@@ -1184,6 +1184,35 @@ object SimSearch {
             .as("recall"))
     }),
 
+    // The SAME walk served from the PERSISTED store (r13 verdict task
+    // 3): builds the KnnStore at a scratch root (once per app — marker-
+    // gated, so repeat runs in one JVM pay only the walk), then runs
+    // KnnStore.beamSearch, whose every per-round read is partition-
+    // pruned to the frontier's id shards / home cells — the vec_id-
+    // bucketed adj layout closes the unpruned per-round scan the inline
+    // form pays. Output ≡ q_sim_graph_beam (BeamSpec pins row equality;
+    // the two share one oracle).
+    "q_sim_graph_beam_stored" -> ((s, d) => {
+      val root = Relational.scratchPath(s, d, "beamstore")
+      val e = embeds(s, d)
+      val marker = new java.io.File(s"$root/_STORE_COMPLETE")
+      if (!marker.exists()) {
+        val cents = trainedCentroidFrame(e, e.count()).localCheckpoint(true)
+        KnnStore.build(s, e, cents, root, 3)
+        marker.createNewFile()
+      }
+      val en = normEmbeds(s, d)
+      val qvArr = en.where(col("vec_id") === 0)
+        .select(col("vn")).head().getSeq[Double](0)
+      val every = math.max(1L, e.count() / 8)
+      val seeds = en
+        .where(pmod(Core.md5Hash64(concat(lit("beam|"),
+          col("vec_id").cast("string"))), lit(every)) === 0 &&
+          col("vec_id") =!= 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      KnnStore.beamSearch(s, root, qvArr, 0L, 8, 3, seeds)
+    }),
+
     // NN-Descent iterate-until-decay (r12 verdict task 3): the fixpoint
     // driver over nndRound with the per-round new-edge count as the
     // convergence certificate — the output IS the certificate (round,
@@ -2165,6 +2194,19 @@ object SimSearch {
       .stripMargin
   }
 
+  /** Shared by q_sim_graph_beam and its store-backed twin — identical
+    * output by BeamSpec's row-equality pin.
+    */
+  private lazy val beamSelectSql: String =
+    s"""WITH ${trainedKnn2Ctes()},
+       |$beamCtes
+       |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+       |  AS rank, vec_id, cos
+       |FROM (SELECT vec_id, cos FROM (
+       |  SELECT vec_id, cos,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+       |  FROM f3) WHERE rn <= 10)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sim_graph_beam_batch" ->
       s"""WITH ${trainedKnn2Ctes()},
@@ -2221,15 +2263,11 @@ object SimSearch {
       recallGateSql(s"${trainedKnn2Ctes()},\n$nndCtes,\n$nnd2Ctes,\n$nnd3Ctes",
         "scn3"),
 
-    "q_sim_graph_beam" ->
-      s"""WITH ${trainedKnn2Ctes()},
-         |$beamCtes
-         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
-         |  AS rank, vec_id, cos
-         |FROM (SELECT vec_id, cos FROM (
-         |  SELECT vec_id, cos,
-         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
-         |  FROM f3) WHERE rn <= 10)""".stripMargin,
+    "q_sim_graph_beam" -> beamSelectSql,
+
+    // the store-backed walk is pinned row-identical to the inline one
+    // (BeamSpec), so it shares the oracle verbatim
+    "q_sim_graph_beam_stored" -> beamSelectSql,
 
     "q_sim_graph_beam_recall" ->
       s"""WITH ${trainedKnn2Ctes()},

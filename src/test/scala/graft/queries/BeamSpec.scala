@@ -75,6 +75,13 @@ class BeamSpec extends SparkSpec {
     }
   }
 
+  test("the store-backed walk serves the identical result: " +
+    "q_sim_graph_beam_stored ≡ q_sim_graph_beam, row for row") {
+    val stored = SimSearch.queries("q_sim_graph_beam_stored")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(stored.toSeq == beam.toSeq)
+  }
+
   test("the recall gate agrees with an independent truth computation") {
     val row = SimSearch.queries("q_sim_graph_beam_recall")(spark, dir)
       .collect().head

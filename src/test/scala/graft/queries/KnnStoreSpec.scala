@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** The persisted kNN-graph store and its incremental-maintenance theorem
   * (KnnStore's class doc): `build(base)` + `addArrivals(batch)` must leave
-  * all three tables row-identical to `build(base ∪ batch)` under the same
+  * all five tables row-identical to `build(base ∪ batch)` under the same
   * centroid frame — exact, because the probe-2 candidate relation
   * decomposes disjointly over the split and bounded top-K is mergeable.
   * Plus the storage discipline: an arrival batch rewrites ONLY the
@@ -48,6 +48,10 @@ class KnnStoreSpec extends SparkSpec {
         coalesce(col("bucket2"), lit(-1L)), col("shard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
+  private def adjSet(df: DataFrame) =
+    df.select(col("v"), col("u"), col("owner"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
   private def allTablesEqual(rootA: String, rootB: String): Unit = {
     assert(graphSet(KnnStore.readGraph(spark, rootA)) ==
       graphSet(KnnStore.readGraph(spark, rootB)))
@@ -57,6 +61,12 @@ class KnnStoreSpec extends SparkSpec {
       postingSet(KnnStore.readPostings(spark, rootB)))
     assert(dirSet(KnnStore.readDir(spark, rootA)) ==
       dirSet(KnnStore.readDir(spark, rootB)))
+    assert(adjSet(KnnStore.readAdj(spark, rootA)) ==
+      adjSet(KnnStore.readAdj(spark, rootB)))
+    // set-equality can hide duplicated rows; adj rows are unique by
+    // construction, so the counts must agree too
+    assert(KnnStore.readAdj(spark, rootA).count() ==
+      KnnStore.readAdj(spark, rootB).count())
   }
 
   // full-corpus build — shared by the identity and rebuild-equivalence
@@ -76,8 +86,21 @@ class KnnStoreSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("adj is exactly the undirected, owner-tagged view of graph — both " +
+    "directions of every edge, sharded by hash(v)") {
+    val g = KnnStore.readGraph(spark, fullRoot)
+      .select(col("vec_id"), col("nbr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = g.flatMap { case (x, y) =>
+      Seq((x, y, x, KnnStore.shardOfId(x)), (y, x, x, KnnStore.shardOfId(y)))
+    }.toSet
+    val got = adjSet(KnnStore.readAdj(spark, fullRoot))
+    assert(got == expected)
+    assert(KnnStore.readAdj(spark, fullRoot).count() == 2L * g.length)
+  }
+
   test("incremental maintenance is exact: build(base) + addArrivals ≡ " +
-    "build(base ∪ arrivals), all three tables") {
+    "build(base ∪ arrivals), all five tables") {
     assert(arrivals.count() > 0, "hash split produced no arrivals")
     val incRoot = tmpRoot("inc")
     KnnStore.build(spark, base, cents, incRoot, K)
@@ -126,6 +149,62 @@ class KnnStoreSpec extends SparkSpec {
     val baseRoot = tmpRoot("cleanbase")
     KnnStore.build(spark, base, cents, baseRoot, K)
     allTablesEqual(root, baseRoot)
+  }
+
+  test("removal is exact: build(corpus) + removeVectors(arrival ids) ≡ " +
+    "build(base), all five tables") {
+    val root = tmpRoot("rm")
+    KnnStore.build(spark, corpus, cents, root, K)
+    KnnStore.removeVectors(spark, arrivals.select(col("vec_id")), root, K)
+    val expRoot = tmpRoot("rmexp")
+    KnnStore.build(spark, base, cents, expRoot, K)
+    allTablesEqual(root, expRoot)
+  }
+
+  test("removing every member of a cell DELETES the emptied partitions — " +
+    "no ghost rows survive dynamic overwrite") {
+    val root = tmpRoot("rmcell")
+    KnnStore.build(spark, corpus, cents, root, K)
+    val cell = KnnStore.readMembers(spark, root)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("bucket")).head().getLong(0)
+    val cellIds = KnnStore.readMembers(spark, root)
+      .where(col("bucket") === cell).select(col("vec_id"))
+      .localCheckpoint(true)
+    KnnStore.removeVectors(spark, cellIds, root, K)
+    assert(!new java.io.File(s"$root/members/bucket=$cell").exists(),
+      "emptied member partition directory still on disk")
+    val expRoot = tmpRoot("rmcellexp")
+    KnnStore.build(spark,
+      corpus.join(cellIds, Seq("vec_id"), "left_anti"), cents, expRoot, K)
+    allTablesEqual(root, expRoot)
+  }
+
+  test("upsert (re-embed) is exact: build(corpus) + upsert(modified " +
+    "batch) ≡ build(base ∪ modified)") {
+    val root = tmpRoot("upsert")
+    KnnStore.build(spark, corpus, cents, root, K)
+    val updated = arrivals.select(col("vec_id"),
+      transform(col("v"), x => -x).as("v")).localCheckpoint(true)
+    KnnStore.upsert(spark, updated, cents, root, K)
+    val expRoot = tmpRoot("upsertexp")
+    KnnStore.build(spark, base.union(updated), cents, expRoot, K)
+    allTablesEqual(root, expRoot)
+  }
+
+  test("removal guards fail loudly: duplicate ids and non-stored ids " +
+    "both throw") {
+    val root = tmpRoot("rmguard")
+    KnnStore.build(spark, base, cents, root, K)
+    val one = base.select(col("vec_id")).limit(1)
+    val e1 = intercept[IllegalArgumentException] {
+      KnnStore.removeVectors(spark, one.union(one), root, K)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      KnnStore.removeVectors(spark, arrivals.select(col("vec_id")), root, K)
+    }
+    assert(e2.getMessage.contains("not in the store"))
   }
 
   test("arrival-batch contract guards fail loudly: an in-batch duplicate " +
