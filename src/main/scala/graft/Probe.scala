@@ -546,6 +546,174 @@ object Probe {
         println(s"STATS=passagevol NPASSAGES=$nPass NTF=$nTf NDF=$nDf " +
           s"NQDF=$nQdf NCAND=$nCand NSCORED=$nScored")
         s.catalog.clearCache()
+      case "knnstorevol" =>
+        // r13 weak #1 follow-through: with the defense check pruned to
+        // gaining homes, does addArrivals' READ volume track the BATCH
+        // rather than the corpus? RunMetrics.inputRecords is the ground
+        // truth across every file scan each step issues. The arrival
+        // frame is checkpointed OUTSIDE the measurement so the corpus
+        // fixture scan doesn't pollute the store-read number.
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_knnstorevol_probe"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        val isArr = pmod(xxhash64(concat(lit("knnstore|"),
+          col("vec_id").cast("string"))), lit(1024L)) === 0
+        // two batch sizes out of the same arrival pool (≈ m/8 and 7m/8):
+        // the claim under test is reads TRACK the batch. The touch set is
+        // min(batch · occupancy · 2, C) partitions per table, so a batch
+        // near C/(2·occ) degenerates to all partitions — the small batch
+        // sits well under that line, the large one near it.
+        val isSmall = isArr && pmod(xxhash64(concat(lit("kv2|"),
+          col("vec_id").cast("string"))), lit(64L)) === 0
+        val small = e.where(isSmall).localCheckpoint(true)
+        val rest = e.where(isArr && !isSmall).localCheckpoint(true)
+        val bse = e.where(!isArr).localCheckpoint(true)
+        val nSmall = small.count()
+        val nRest = rest.count()
+        timed("knnstorevol_build") {
+          graft.queries.KnnStore.build(s, bse, cents, root, 3)
+        }
+        def addStep(tag: String, batch: DataFrame, m: Long): Unit = {
+          val (_, mm) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+            timed(s"knnstorevol_$tag") {
+              noop(graft.queries.KnnStore.addArrivals(s, batch, cents,
+                root, 3))
+            }
+          }
+          println(s"STATS=knnstorevol STEP=$tag N=$n BATCH=$m " +
+            s"INPUT_RECORDS=${mm.inputRecords} " +
+            s"SHUFFLE_RECORDS=${mm.shuffleReadRecords}")
+        }
+        addStep("add_small", small, nSmall)
+        addStep("add_rest", rest, nRest)
+        val (_, mReb) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+          timed("knnstorevol_rebuild") {
+            graft.queries.KnnStore.build(s, e, cents, s"${root}_full", 3)
+          }
+        }
+        println(s"STATS=knnstorevol STEP=rebuild N=$n BATCH=$n " +
+          s"INPUT_RECORDS=${mReb.inputRecords} " +
+          s"SHUFFLE_RECORDS=${mReb.shuffleReadRecords}")
+        Seq(root, s"${root}_full").foreach { p =>
+          scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+        }
+      case "beamstore" =>
+        // the store-served walk (q_sim_graph_beam_stored's engine) as a
+        // SERVING operation: store pre-built (untimed — offline index
+        // work), then the walk timed alone with its read volume. The
+        // claim under test: per-walk reads track the frontier (shard
+        // row-group granules), not the corpus.
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_beamstore"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        graft.queries.KnnStore.build(s, e, cents, root, 3)
+        val en = SimSearch.normEmbeds(s, d)
+        val qvArr = en.where(col("vec_id") === 0)
+          .select(col("vn")).head().getSeq[Double](0)
+        val every = math.max(1L, n / 8)
+        val seeds = en
+          .where(pmod(graft.ops.Core.md5Hash64(concat(lit("beam|"),
+            col("vec_id").cast("string"))), lit(every)) === 0 &&
+            col("vec_id") =!= 0)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+        def walk(): Long = graft.queries.KnnStore
+          .beamSearch(s, root, qvArr, 0L, 8, 3, seeds).count()
+        walk() // discarded warmup
+        val (_, mWalk) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+          timed("beamstore_walk") { walk() }
+        }
+        println(s"STATS=beamstore N=$n SEEDS=${seeds.length} " +
+          s"INPUT_RECORDS=${mWalk.inputRecords} " +
+          s"SHUFFLE_RECORDS=${mWalk.shuffleReadRecords} " +
+          s"TASKS=${mWalk.tasks}")
+        timed("beamstore_walk2") { walk() }
+        scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "nndshard" =>
+        // r13 verdict task 4: price the sharded (beyond-broadcast) NND
+        // round against the broadcast-fetch form at a scale where both
+        // run — same JVM, discarded warmup, then A/B. Threshold n/2 and
+        // n/4 model the just-past-broadcast regime (2 and 4 shards).
+        val baseG = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
+          .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
+        noop(SimSearch.nndRound(s, d, baseG, 3)) // discarded warmup
+        s.catalog.clearCache()
+        timed("nnd_round_broadcast") {
+          noop(SimSearch.nndRound(s, d, baseG, 3))
+        }
+        timed("nnd_round_shard2") {
+          noop(SimSearch.nndRound(s, d, baseG, 3, shardThreshold = n / 2))
+        }
+        timed("nnd_round_shard4") {
+          noop(SimSearch.nndRound(s, d, baseG, 3, shardThreshold = n / 4))
+        }
+        timed("nnd_round_broadcast2") {
+          noop(SimSearch.nndRound(s, d, baseG, 3))
+        }
+      case "nndconv" =>
+        // the convergence certificate at scale (r13 verdict task 5):
+        // bounded 3 rounds, per-round decay printed
+        timed("nndconverge3") {
+          val rows = SimSearch.nndConverge(s, d, 3, 3).collect()
+          rows.foreach(r => println(s"STATS=nndconv ROUND=${r.getLong(0)} " +
+            s"N_NEW=${r.getLong(1)} N_EDGES=${r.getLong(2)}"))
+        }
+      case "recallnnd23" =>
+        // the sampled recall ladder extended past +1 round (r13 verdict
+        // task 5's other half): rounds 2 and 3 against the same
+        // hash-sampled brute-force truth as recallsampled
+        val en = SimSearch.normEmbeds(s, d).cache()
+        val every = math.max(1L, n / 2000)
+        val qs = en.where(pmod(xxhash64(concat(lit("rq|"),
+            col("vec_id").cast("string"))), lit(every)) === 0)
+          .select(col("vec_id").as("qid"), col("vn").as("qv"))
+        val truth = qs
+          .join(en.select(col("vec_id").as("nbr"), col("vn")),
+            col("qid") =!= col("nbr"))
+          .select(col("qid"), col("nbr"),
+            graft.llm.Vectors.dotFast(col("qv"), col("vn")).as("cos"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), 3)
+            .as("t"))
+          .select(col("qid"), explode(col("t")).as("p"))
+          .select(col("qid"), col("p._2").as("nbr"))
+          .localCheckpoint()
+        val nTrue = truth.count()
+        for (r <- Seq(2, 3)) {
+          s.catalog.clearCache()
+          timed(s"recall_nnd_r$r") {
+            val found = SimSearch.nndGraphAfter(s, d, 3, r)
+              .select(col("vec_id").as("qid"), col("nbr"))
+              .join(truth.select(col("qid")).distinct(), Seq("qid"),
+                "left_semi")
+              .localCheckpoint()
+            val hit = truth.join(found, Seq("qid", "nbr"), "left_semi")
+              .count()
+            println(s"STATS=recallnnd ROUNDS=$r N_TRUE=$nTrue N_HIT=$hit " +
+              s"RECALL=${hit.toDouble / nTrue}")
+          }
+        }
+      case "beamfam" =>
+        // r13 verdict task 8: is there shareable work inside the beam
+        // family's bench entries? Within ONE entry the trained2 graph is
+        // already derived exactly once (the walk checkpoints it), so the
+        // A/B is entry-vs-entry: beam alone, recall (walk + exact truth),
+        // both repeated warm after a discarded first pass.
+        noop(SparkEntry.queries("q_sim_graph_beam")(s, d)) // warmup
+        s.catalog.clearCache()
+        timed("beamfam_beam") {
+          noop(SparkEntry.queries("q_sim_graph_beam")(s, d))
+        }
+        timed("beamfam_recall") {
+          noop(SparkEntry.queries("q_sim_graph_beam_recall")(s, d))
+        }
+        timed("beamfam_beam2") {
+          noop(SparkEntry.queries("q_sim_graph_beam")(s, d))
+        }
+        timed("beamfam_recall2") {
+          noop(SparkEntry.queries("q_sim_graph_beam_recall")(s, d))
+        }
+        timed("beamfam_stored") {
+          noop(SparkEntry.queries("q_sim_graph_beam_stored")(s, d))
+        }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -24,7 +24,7 @@ import graft.llm.Vectors
   *    lookups.
   *  - `graph`    (bucket=partition, = owner's home): (vec_id, rank, nbr,
   *    cos) — the top-K edges.
-  *  - `dir`      (shard=partition, shard = hash(vec_id) % DirShards):
+  *  - `dir`      (shard=partition, shard = hash(vec_id) % S, S per-store from _meta.json):
   *    (vec_id, home, bucket2) — the ID DIRECTORY. members/postings/graph
   *    are all partitioned by CONTENT-derived cells, so an id-only
   *    question (does this id exist? where does it live?) would scan the
@@ -33,7 +33,7 @@ import graft.llm.Vectors
   *    sorted by vec_id within each shard so parquet row-group stats
   *    prune literal id probes below partition granularity. Serves the
   *    arrival-batch disjointness guard and id-only removal.
-  *  - `adj`      (shard=partition, shard = hash(v) % DirShards): (v, u,
+  *  - `adj`      (shard=partition, shard = hash(v) % S): (v, u,
   *    owner) — the UNDIRECTED adjacency view, id-sharded: for every
   *    graph edge (x → y) two rows, (x, y, owner=x) and (y, x, owner=x).
   *    The graph table answers "x's top-K" from x's home partition, but a
@@ -63,17 +63,30 @@ import graft.llm.Vectors
   * NOT retrain on arrivals (the streaming-ANN contract shared with
   * Streams.ingestScreenPipeline: training is corpus-owned).
   *
-  * Scale shape: an arrival batch of m vectors reads ≤2m member
-  * partitions + the postings partitions of its primary cells + the graph
-  * partitions of gaining homes (the defense check pre-prunes on
-  * `bucket ∈ gains.home` — a gaining member's stored list lives exactly
-  * in its home partition, so the read never touches an uninvolved cell;
-  * the unpruned vec_id-keyed form scanned all n·K stored edges per
-  * batch, the r13 weak), and rewrites only those — work is
-  * O(m · occupancy · K), INDEPENDENT of corpus size n (measured in
-  * SCALE.md r13/r14 vs the full rebuild, incl. the r14 RunMetrics
-  * read-volume probe). Dynamic partition overwrite keeps every untouched
-  * cell directory byte-identical on disk.
+  * Scale shape (the precise bounds, r14 — every prune below is a LITERAL
+  * partition predicate from a collected driver-bounded touch set; the
+  * r13 broadcast-join prunes relied on DPP heuristics that do NOT fire
+  * for checkpointed build sides and silently full-scanned, measured):
+  * an arrival batch of m vectors reads
+  *  - members/postings: the ≤2m probed-cell partitions — O(m · occ);
+  *  - graph: the gaining homes (defense check; a gaining member's stored
+  *    list lives exactly in its home partition — the unpruned
+  *    vec_id-keyed r13 form scanned all n·K edges per batch) plus the
+  *    changed homes once (storedTouched is checkpointed; its three
+  *    consumers cost one parquet pass, not three) —
+  *    O(min(m · 2occ, C) partitions · occ · K);
+  *  - dir/adj: the batch ids' / changed-edge ENDPOINTS' shards —
+  *    O(min(endpoints, S) · rows-per-shard), endpoints ≈ 2K · changed +
+  *    K · m. S scales with the corpus at build (see DirShardsFloor) so
+  *    rows-per-shard is constant and the id-sharded reads become
+  *    batch-proportional once S ≫ endpoints — at fixture scale the
+  *    S-floor dominates and adj reads whole tables (SCALE.md r14 records
+  *    the decomposition; the 100 TB regime is the one the bound is for).
+  * Rewrites cover exactly the same partitions. Dynamic partition
+  * overwrite keeps every untouched cell directory byte-identical on
+  * disk. A batch near C/(2·occ) degenerates every bound to "all
+  * partitions" — at that ratio REBUILD is the right operation anyway
+  * (measured: add ≈ 0.5× rebuild wall even fully saturated).
   *
   * Arrival CONTRACT (guarded, not assumed): arrival vec_ids must be
   * unique within the batch and NEW to the store — a replayed batch or an
@@ -86,12 +99,42 @@ import graft.llm.Vectors
   */
 object KnnStore {
 
-  /** Id-directory shard count — a LAYOUT constant (build and every
-    * maintenance fold must agree; changing it requires a rebuild). Fixed
-    * rather than n-derived so arrival batches can compute an id's shard
-    * without knowing corpus size.
+  /** Id-shard count floor. The ACTUAL shard count is a per-store LAYOUT
+    * property fixed at build time (≈ n/4096, floored here) and persisted
+    * in `_meta.json` at the store root so every maintenance fold and
+    * serving walk agrees without knowing corpus size. Scaling shards
+    * with the corpus is what keeps an id-sharded read proportional to
+    * the TOUCH SET: with a fixed shard count, any batch whose ids span
+    * all shards reads the whole dir/adj table (measured r14 at 200k —
+    * 64 shards, a 38-vector batch hit every one), while n-scaled shards
+    * bound a read by touched-shards × (rows/shard) with rows/shard
+    * constant across corpus growth.
     */
-  val DirShards = 64L
+  val DirShardsFloor = 64L
+
+  private def metaPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_meta.json")
+
+  private def writeMeta(s: SparkSession, root: String, shards: Long): Unit = {
+    val p = metaPath(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write(s"""{"dirShards":$shards}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private[graft] def readDirShards(s: SparkSession, root: String): Long = {
+    val p = metaPath(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val txt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    """"dirShards"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"KnnStore meta at $p has no dirShards"))
+  }
 
   /** Every eager checkpoint in this op family goes through
     * PlanUtil.cleanLocalCheckpoint: plain localCheckpoint(true) copies
@@ -105,8 +148,8 @@ object KnnStore {
       org.apache.spark.sql.graft.PlanUtil.cleanLocalCheckpoint(df)
   }
 
-  private def shardOf(id: org.apache.spark.sql.Column) =
-    pmod(xxhash64(id), lit(DirShards))
+  private def shardOf(id: org.apache.spark.sql.Column, shards: Long) =
+    pmod(xxhash64(id), lit(shards))
 
   // Partition columns read back TYPE-INFERRED (bucket= dirs of longs come
   // back INT below ~2^31, LONG above — cell ids are centroid vec_ids, so
@@ -178,27 +221,33 @@ object KnnStore {
     // an in-task sort keeps one-file-per-dir (the writer still splits by
     // partition value) while giving parquet row-group min/max stats on
     // the sorted column — literal id probes then skip below partition
-    // granularity (the dir table's layout contract)
-    sortCol.fold(clustered)(c =>
+    // granularity (the dir/adj point-lookup contract). Sorted index
+    // tables also write SMALL row groups (1 MiB vs the 128 MiB scan
+    // default): a point lookup's isin pushdown skips at row-group
+    // granularity, so the granule — not the shard — bounds what a
+    // frontier fetch reads as shards grow with the corpus.
+    val writer = sortCol.fold(clustered)(c =>
         clustered.sortWithinPartitions(col(part), col(c)))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+    sortCol.fold(writer)(_ =>
+        writer.option("parquet.block.size", (1L << 20).toString))
       .partitionBy(part).parquet(path)
   }
 
-  private def dirOf(assigned: DataFrame): DataFrame =
+  private def dirOf(assigned: DataFrame, shards: Long): DataFrame =
     assigned.select(col("vec_id"), col("bucket").as("home"),
-      col("bucket2"), shardOf(col("vec_id")).as("shard"))
+      col("bucket2"), shardOf(col("vec_id"), shards).as("shard"))
 
   /** Both undirected rows of each (vec_id → nbr) edge list row, owner =
     * the list's member.
     */
-  private def adjOf(edges: DataFrame): DataFrame =
+  private def adjOf(edges: DataFrame, shards: Long): DataFrame =
     edges.select(col("vec_id").as("v"), col("nbr").as("u"),
         col("vec_id").as("owner"))
       .union(edges.select(col("nbr").as("v"), col("vec_id").as("u"),
         col("vec_id").as("owner")))
-      .withColumn("shard", shardOf(col("v")))
+      .withColumn("shard", shardOf(col("v"), shards))
 
   /** Re-alias every column (fresh exprIds): checkpointed frames keep
     * their lineage's constraint sets, and a leaked constraint attribute
@@ -210,16 +259,34 @@ object KnnStore {
   private def fresh(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
 
+  /** Collect a one-column LONG frame to literal values. The touch sets
+    * here are driver-bounded by contract (O(batch · occupancy) values),
+    * and LITERAL partition predicates are the only prune GUARANTEED at
+    * planning time: the broadcast-join form leans on runtime DPP
+    * heuristics that do not fire for checkpointed build sides — measured
+    * r14, addArrivals read 2.7× a full rebuild's input records at 200k
+    * under join prunes, O(touched partitions) under literal prunes.
+    */
+  private def litSeq(df: DataFrame): Seq[Long] =
+    df.distinct().collect().map(_.getLong(0)).toSeq
+
+  /** isin over a possibly-empty literal set (empty ⇒ false — the empty
+    * arrival batch's no-op path plans zero file reads).
+    */
+  private def inLits(c: org.apache.spark.sql.Column,
+      vs: Seq[Long]): org.apache.spark.sql.Column =
+    if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+
   /** Driver-side twin of `shardOf` — the same XXH64(seed 42) Spark's
     * xxhash64 column evaluates, via the Catalyst expression itself so the
     * two can never drift. Lets a serving walk turn a collected frontier
     * into LITERAL shard predicates (static partition pruning + row-group
     * stats skipping), with no per-round assist job.
     */
-  private[graft] def shardOfId(id: Long): Long = {
+  private[graft] def shardOfId(id: Long, shards: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(Seq(Literal(id)), 42L).eval(null).asInstanceOf[Long]
-    java.lang.Math.floorMod(h, DirShards)
+    java.lang.Math.floorMod(h, shards)
   }
 
   private def topK(edges: DataFrame, k: Int): DataFrame =
@@ -248,6 +315,11 @@ object KnnStore {
     writePartitioned(assignFrame(corpus, cents), "bucket",
       s"$root/members")
     val members = readMembers(s, root)
+    // id-shard count scales with the corpus (≈4096 ids/shard, floored):
+    // fixed at build, persisted in _meta.json — see DirShardsFloor
+    val dirShards =
+      math.max(DirShardsFloor, members.count() / 4096L)
+    writeMeta(s, root, dirShards)
     writePartitioned(postingsOf(members), "pcell", s"$root/postings")
     val probes = readPostings(s, root)
       .select(col("vec_id"), col("vn"), col("pcell").as("bucket"))
@@ -257,12 +329,13 @@ object KnnStore {
       graph.join(members.select(col("vec_id"), col("bucket")), Seq("vec_id")),
       "bucket", s"$root/graph")
     writePartitioned(
-      dirOf(members.select(col("vec_id"), col("bucket"), col("bucket2"))),
+      dirOf(members.select(col("vec_id"), col("bucket"), col("bucket2")),
+        dirShards),
       "shard", s"$root/dir", sortCol = Some("vec_id"))
     // adj derives from the just-written graph (a re-READ, not a recompute
     // of the top-K plan)
-    writePartitioned(adjOf(readGraph(s, root)), "shard", s"$root/adj",
-      sortCol = Some("v"))
+    writePartitioned(adjOf(readGraph(s, root), dirShards), "shard",
+      s"$root/adj", sortCol = Some("v"))
   }
 
   /** Fold an arrival batch into the store — exact (see the class doc
@@ -276,18 +349,25 @@ object KnnStore {
     // dirs below, so every new partition content must be materialized
     // before the first overwrite)
     val av = assignFrame(arrivals, cents).cleanCkpt
+    val dirShards = readDirShards(s, root)
 
     // CONTRACT GUARDS (class doc): unique within the batch, disjoint from
     // the store. Both O(batch): the store probe reads only the batch ids'
-    // directory shards (partition prune via the broadcast shard join;
-    // within a shard the vec_id sort gives row-group skipping).
+    // directory shards (literal partition predicate; within a shard the
+    // vec_id sort gives row-group skipping).
     val nBatch = av.count()
     require(av.select(col("vec_id")).distinct().count() == nBatch,
       "addArrivals: duplicate vec_ids within the arrival batch — " +
         "replayed/duplicated batches are out of contract")
-    val aIds = av.select(col("vec_id"), shardOf(col("vec_id")).as("shard"))
+    val aIds = av.select(col("vec_id"),
+      shardOf(col("vec_id"), dirShards).as("shard"))
+    // every prune below is a LITERAL partition predicate from a collected
+    // touch set (all O(batch · occupancy) values — see litSeq): static
+    // pruning the plan GUARANTEES, where the broadcast-join form's DPP
+    // did not fire and silently full-scanned (measured r14)
+    val aShardSeq = litSeq(aIds.select(col("shard")))
     val nCollide = readDir(s, root)
-      .join(broadcast(aIds.select(col("shard")).distinct()), Seq("shard"))
+      .where(inLits(col("shard"), aShardSeq))
       .join(broadcast(aIds.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
       .count()
@@ -299,16 +379,18 @@ object KnnStore {
     val aProbes = aPost
       .select(col("vec_id"), col("vn"), col("pcell").as("bucket"))
     val aMembers = av.select(col("vec_id"), col("vn"), col("bucket"))
+    val aCellSeq = litSeq(aPost.select(col("pcell")))
+    val aBucketSeq = litSeq(av.select(col("bucket")))
 
     val members = readMembers(s, root)
     val postings = readPostings(s, root)
 
     // arrival edges: candidates = primary members (stored ∪ in-batch) of
-    // the arrival's probed cells. broadcast(batch side) ⇒ the stored
-    // member scan prunes to the probed partitions (the IVF-disk DPP
-    // shape).
+    // the arrival's probed cells — the stored member scan prunes to
+    // exactly those partitions.
     val aCands = scoreAgainst(broadcast(aProbes),
-        members.select(col("vec_id"), col("vn"), col("bucket")), "bucket")
+        members.where(inLits(col("bucket"), aCellSeq))
+          .select(col("vec_id"), col("vn"), col("bucket")), "bucket")
       .union(scoreAgainst(aProbes, aMembers, "bucket"))
     val arrivalEdges = topK(aCands, k)
 
@@ -316,6 +398,7 @@ object KnnStore {
     // primary cell (postings reverse lookup, pruned to arrival cells) —
     // candidates for a top-K merge (mergeable bounded agg).
     val gains = postings
+      .where(inLits(col("pcell"), aBucketSeq))
       .join(broadcast(av.select(col("vec_id").as("a_id"),
         col("vn").as("avn"), col("bucket").as("pcell"))), Seq("pcell"))
       .select(col("vec_id"), col("home"), col("a_id").as("nbr"),
@@ -331,18 +414,17 @@ object KnnStore {
     // check is one read-only pass over the GAINING HOMES' graph
     // partitions — a gaining member's stored list lives exactly in its
     // home partition (gains carries home from postings), so the read
-    // prunes on `bucket ∈ gains.home` FIRST (broadcast join on the
-    // partition column, the same DPP shape as the member fetch above);
-    // the r13 form semi-joined on vec_id alone, which is NOT the
-    // partition column, and scanned all n·K stored edges per batch. The
-    // REWRITE set then shrinks to members whose lists actually change —
-    // exactness preserved because a non-beating gain provably leaves the
-    // merged top-K identical.
+    // prunes on `bucket ∈ gains.home` FIRST (a literal partition
+    // predicate); the r13 form semi-joined on vec_id alone, which is NOT
+    // the partition column, and scanned all n·K stored edges per batch.
+    // The REWRITE set then shrinks to members whose lists actually
+    // change — exactness preserved because a non-beating gain provably
+    // leaves the merged top-K identical.
     val graph = readGraph(s, root)
     val gainIds = gains.select(col("vec_id")).distinct().cleanCkpt
-    val gainHomes = gains.select(col("home").as("bucket")).distinct()
+    val gainHomeSeq = litSeq(gains.select(col("home")))
     val defense = graph
-      .join(broadcast(gainHomes), Seq("bucket"))
+      .where(inLits(col("bucket"), gainHomeSeq))
       .join(broadcast(gainIds), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("nk"),
@@ -356,14 +438,19 @@ object KnnStore {
         (col("cos") === col("kcos") && col("nbr") < col("knbr")))
       .select(col("vec_id"), col("home")).distinct()
       .cleanCkpt
-    val touched = changed.select(col("home").as("bucket"))
-      .union(av.select(col("bucket"))).distinct().cleanCkpt
+    val touchedSeq =
+      (litSeq(changed.select(col("home"))) ++ aBucketSeq).distinct
 
     // rewrite graph partitions: touched homes get (merged changed rows +
     // unchanged co-resident rows), arrival primaries additionally get the
-    // arrival edges. Read only the touched partitions (broadcast-join
-    // prune), materialize, then dynamic-overwrite exactly those dirs.
-    val storedTouched = graph.join(broadcast(touched), Seq("bucket"))
+    // arrival edges. Read only the touched partitions (literal prune),
+    // materialize, then dynamic-overwrite exactly those dirs.
+    // materialized ONCE: three consumers (unchanged, merged, oldChanged)
+    // would otherwise each re-scan the touched graph partitions from
+    // parquet — measured r14, the graph table contributed ~3× its touched
+    // size to the batch's read volume before this checkpoint
+    val storedTouched = graph.where(inLits(col("bucket"), touchedSeq))
+      .cleanCkpt
     val changedIds = changed.select(col("vec_id"))
     val unchanged = storedTouched
       .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
@@ -399,22 +486,22 @@ object KnnStore {
         Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("nbr")).cleanCkpt
     writePartitioned(newGraphRows, "bucket", s"$root/graph")
-    val affectedShards = oldChanged.union(deltaNew)
+    val affectedShardSeq = litSeq(oldChanged.union(deltaNew)
       .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
-      .select(shardOf(col("id")).as("shard")).distinct()
+      .select(shardOf(col("id"), dirShards).as("shard")))
     val newAdjRows = readAdj(s, root)
-      .join(broadcast(affectedShards), Seq("shard"))
+      .where(inLits(col("shard"), affectedShardSeq))
       .join(broadcast(changedIds.select(col("vec_id").as("owner"))),
         Seq("owner"), "left_anti")
       .select(col("v"), col("u"), col("owner"), col("shard"))
-      .union(adjOf(deltaNew))
+      .union(adjOf(deltaNew, dirShards))
       .cleanCkpt
     writePartitioned(newAdjRows, "shard", s"$root/adj",
       sortCol = Some("v"))
 
     // members: arrival primary partitions gain the batch rows
     val newMemberRows = members
-      .join(broadcast(av.select(col("bucket")).distinct()), Seq("bucket"))
+      .where(inLits(col("bucket"), aBucketSeq))
       .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
       .union(av.select(col("vec_id"), col("vn"), col("bucket2"), col("bucket")))
       .cleanCkpt
@@ -422,7 +509,7 @@ object KnnStore {
 
     // postings: every probed cell gains the arrival's posting row
     val newPostingRows = postings
-      .join(broadcast(aPost.select(col("pcell")).distinct()), Seq("pcell"))
+      .where(inLits(col("pcell"), aCellSeq))
       .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
       .union(aPost.select(col("vec_id"), col("vn"), col("home"), col("pcell")))
       .cleanCkpt
@@ -430,9 +517,9 @@ object KnnStore {
 
     // dir: the batch ids' shards gain the arrival directory rows
     val newDirRows = readDir(s, root)
-      .join(broadcast(aIds.select(col("shard")).distinct()), Seq("shard"))
+      .where(inLits(col("shard"), aShardSeq))
       .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
-      .union(dirOf(av))
+      .union(dirOf(av, dirShards))
       .cleanCkpt
     writePartitioned(newDirRows, "shard", s"$root/dir",
       sortCol = Some("vec_id"))
@@ -449,11 +536,11 @@ object KnnStore {
     * occupancy) values); the present-set collect is bounded by it.
     */
   private def overwriteTouched(s: SparkSession, df: DataFrame, part: String,
-      path: String, touched: DataFrame,
+      path: String, touched: Seq[Long],
       sortCol: Option[String] = None): Unit = {
     val present = df.select(col(part)).distinct()
       .collect().map(_.getLong(0)).toSet
-    val vanished = touched.collect().map(_.getLong(0)).filterNot(present)
+    val vanished = touched.filterNot(present)
     writePartitioned(df, part, path, sortCol)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -487,14 +574,16 @@ object KnnStore {
     */
   def removeVectors(s: SparkSession, ids: DataFrame, root: String,
       k: Int): DataFrame = {
-    val rmIds = ids.select(col("vec_id"), shardOf(col("vec_id")).as("shard"))
+    val dirShards = readDirShards(s, root)
+    val rmIds = ids.select(col("vec_id"),
+        shardOf(col("vec_id"), dirShards).as("shard"))
       .cleanCkpt
     val nRm = rmIds.count()
     require(rmIds.select(col("vec_id")).distinct().count() == nRm,
       "removeVectors: duplicate vec_ids in the removal batch")
-    val rmShards = rmIds.select(col("shard")).distinct()
+    val rmShardSeq = litSeq(rmIds.select(col("shard")))
     val victims = readDir(s, root)
-      .join(broadcast(rmShards), Seq("shard"))
+      .where(inLits(col("shard"), rmShardSeq))
       .join(broadcast(rmIds.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
       .select(col("vec_id"), col("home"), col("bucket2"))
@@ -506,22 +595,22 @@ object KnnStore {
     // breaks Catalyst's union constraint rewrite (key-not-found) — the
     // alias mints a fresh attribute per use
     def vIds = victims.select(col("vec_id").as("vec_id"))
-    def vHomes = victims.select(col("home").as("bucket")).distinct()
-    def vCells = victims
+    val vHomeSeq = litSeq(victims.select(col("home")))
+    val vCellSeq = litSeq(victims
       .select(explode(array_compact(array(col("home"), col("bucket2"))))
-        .as("cell")).distinct()
+        .as("cell")))
 
     // holders: probers of the victims' primary cells whose stored list
     // contains a victim (victims' own lists are dropped wholesale, so
     // victims are not "holders" to recompute)
     val probers = readPostings(s, root)
-      .join(broadcast(vHomes.select(col("bucket").as("pcell"))),
-        Seq("pcell"))
+      .where(inLits(col("pcell"), vHomeSeq))
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("home")).distinct()
-    val proberHomes = probers.select(col("home").as("bucket")).distinct()
+      .cleanCkpt
+    val proberHomeSeq = litSeq(probers.select(col("home")))
     val proberLists = readGraph(s, root)
-      .join(broadcast(proberHomes), Seq("bucket"))
+      .where(inLits(col("bucket"), proberHomeSeq))
       .join(broadcast(probers.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
       .cleanCkpt
@@ -534,17 +623,17 @@ object KnnStore {
 
     // holders' member rows (vn + probed cells), then their full candidate
     // recompute against the post-removal members of those cells
-    val hHomes = holders.select(col("home").as("bucket")).distinct()
+    val hHomeSeq = litSeq(holders.select(col("home")))
     val hProbes = readMembers(s, root)
-      .join(broadcast(hHomes), Seq("bucket"))
+      .where(inLits(col("bucket"), hHomeSeq))
       .join(broadcast(hIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("vn"),
         explode(array_compact(array(col("bucket"), col("bucket2"))))
           .as("bucket"))
       .cleanCkpt
-    val hCells = hProbes.select(col("bucket")).distinct()
+    val hCellSeq = litSeq(hProbes.select(col("bucket")))
     val candMembers = readMembers(s, root)
-      .join(broadcast(hCells), Seq("bucket"))
+      .where(inLits(col("bucket"), hCellSeq))
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vn"), col("bucket"))
     val newLists = topK(scoreAgainst(broadcast(hProbes), candMembers,
@@ -554,11 +643,9 @@ object KnnStore {
       .cleanCkpt
 
     // graph rewrite set + adj deltas (materialized before any write)
-    val touchedGraph = vHomes
-      .union(holders.select(col("home").as("bucket"))).distinct()
-      .cleanCkpt
+    val touchedGraphSeq = (vHomeSeq ++ hHomeSeq).distinct
     val storedTouched = readGraph(s, root)
-      .join(broadcast(touchedGraph), Seq("bucket"))
+      .where(inLits(col("bucket"), touchedGraphSeq))
     // the kept arm is materialized on its own first: unioning the
     // double-anti-join lineage with the recompute lineage trips
     // Catalyst's union constraint rewrite (key-not-found on the shared
@@ -574,7 +661,7 @@ object KnnStore {
         col("cos"), col("bucket"))))
       .cleanCkpt
     val oldVictimLists = readGraph(s, root)
-      .join(broadcast(vHomes), Seq("bucket"))
+      .where(inLits(col("bucket"), vHomeSeq))
       .join(broadcast(vIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("nbr"))
     val oldHolderLists = proberLists
@@ -584,45 +671,45 @@ object KnnStore {
     val deltaNew = newLists.select(col("vec_id"), col("nbr"))
     val rmOwners = vIds.union(hIds).select(col("vec_id").as("owner"))
       .cleanCkpt
-    val affectedShards = deltaOld.union(deltaNew)
+    val affectedShardSeq = litSeq(deltaOld.union(deltaNew)
       .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
-      .select(shardOf(col("id")).as("shard")).distinct()
-      .cleanCkpt
+      .select(shardOf(col("id"), dirShards).as("shard")))
     val newAdjRows = readAdj(s, root)
-      .join(broadcast(affectedShards), Seq("shard"))
+      .where(inLits(col("shard"), affectedShardSeq))
       .join(broadcast(rmOwners), Seq("owner"), "left_anti")
       .select(col("v"), col("u"), col("owner"), col("shard"))
-      .union(adjOf(deltaNew))
+      .union(adjOf(deltaNew, dirShards))
       .cleanCkpt
 
     // members / postings / dir shrink in place (pruned reads, no
     // additions)
     val newMemberRows = readMembers(s, root)
-      .join(broadcast(vHomes), Seq("bucket"))
+      .where(inLits(col("bucket"), vHomeSeq))
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
       .cleanCkpt
     val newPostingRows = readPostings(s, root)
-      .join(broadcast(vCells.select(col("cell").as("pcell"))), Seq("pcell"))
+      .where(inLits(col("pcell"), vCellSeq))
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
       .cleanCkpt
     val newDirRows = readDir(s, root)
-      .join(broadcast(rmShards), Seq("shard"))
+      .where(inLits(col("shard"), rmShardSeq))
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
       .cleanCkpt
 
     // all writes last; emptied partitions are deleted, not left stale
     overwriteTouched(s, newGraphRows, "bucket", s"$root/graph",
-      touchedGraph)
-    overwriteTouched(s, newMemberRows, "bucket", s"$root/members", vHomes)
+      touchedGraphSeq)
+    overwriteTouched(s, newMemberRows, "bucket", s"$root/members",
+      vHomeSeq)
     overwriteTouched(s, newPostingRows, "pcell", s"$root/postings",
-      vCells)
+      vCellSeq)
     overwriteTouched(s, newDirRows, "shard", s"$root/dir",
-      rmShards, sortCol = Some("vec_id"))
+      rmShardSeq, sortCol = Some("vec_id"))
     overwriteTouched(s, newAdjRows, "shard", s"$root/adj",
-      affectedShards, sortCol = Some("v"))
+      affectedShardSeq, sortCol = Some("v"))
 
     newGraphRows.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))
@@ -661,11 +748,12 @@ object KnnStore {
       excludeId: Long, beam: Int, rounds: Int,
       seedIds: Seq[Long]): DataFrame = {
     val qvCol = array(qv.map(lit): _*)
+    val dirShards = readDirShards(s, root)
     def scoreTopB(ids: Seq[Long], b: Int): Seq[(Long, Double)] =
       if (ids.isEmpty) Seq.empty
       else {
         val homes = readDir(s, root)
-          .where(col("shard").isin(ids.map(shardOfId).distinct: _*) &&
+          .where(col("shard").isin(ids.map(shardOfId(_, dirShards)).distinct: _*) &&
             col("vec_id").isin(ids: _*))
           .select(col("home")).distinct().collect().map(_.getLong(0)).toSeq
         readMembers(s, root)
@@ -679,7 +767,7 @@ object KnnStore {
     def neighbours(ids: Seq[Long]): Seq[Long] =
       if (ids.isEmpty) Seq.empty
       else readAdj(s, root)
-        .where(col("shard").isin(ids.map(shardOfId).distinct: _*) &&
+        .where(col("shard").isin(ids.map(shardOfId(_, dirShards)).distinct: _*) &&
           col("v").isin(ids: _*))
         .select(col("u")).distinct().collect().map(_.getLong(0)).toSeq
     var frontier = scoreTopB(seedIds.filterNot(_ == excludeId), beam)

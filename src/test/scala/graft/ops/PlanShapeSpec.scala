@@ -411,6 +411,27 @@ class PlanShapeSpec extends SparkSpec {
       s"pair-sized Exchange between bucket join and TopKPair agg:\n$plan")
   }
 
+  test("beam recall gate: the exact-truth top-10 is a TakeOrderedAndProject" +
+    " — never a partition-less window sorting the scored corpus") {
+    // the r13 weak: row_number().over(Window.orderBy(...)) on the
+    // corpus-sized scored frame runs as a SINGLE-task sort at scale;
+    // orderBy+limit plans per-partition bounded heaps + a 10-row merge.
+    // The beam walk's own windows are fine (beam-sized frames only), so
+    // the pin is: a TakeOrderedAndProject exists, and every Window in
+    // the plan sits above a beam-bounded frame — equivalently, no
+    // Window node reads the embeddings scan directly (the walk's windows
+    // all sit above checkpointed B-row frontiers, which plan as scans of
+    // ExistingRDD, not parquet).
+    val plan = executedPlan("q_sim_graph_beam_recall")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val windowChunks = plan.split("\n").sliding(6).filter(
+      _.head.contains("Window "))
+    windowChunks.foreach { w =>
+      assert(!w.exists(_.contains("FileScan parquet")),
+        s"Window directly over a parquet scan:\n${w.mkString("\n")}")
+    }
+  }
+
   test("fuzzy join: variant self-joins are sort-merge, never a broadcast " +
     "build of the domain-sized variant table") {
     // Catalyst's static estimate under distinct+posexplode reads the

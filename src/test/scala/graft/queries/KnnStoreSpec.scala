@@ -87,12 +87,15 @@ class KnnStoreSpec extends SparkSpec {
   }
 
   test("adj is exactly the undirected, owner-tagged view of graph — both " +
-    "directions of every edge, sharded by hash(v)") {
+    "directions of every edge, sharded by hash(v) % the persisted " +
+    "layout constant") {
+    val shards = KnnStore.readDirShards(spark, fullRoot)
     val g = KnnStore.readGraph(spark, fullRoot)
       .select(col("vec_id"), col("nbr"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val expected = g.flatMap { case (x, y) =>
-      Seq((x, y, x, KnnStore.shardOfId(x)), (y, x, x, KnnStore.shardOfId(y)))
+      Seq((x, y, x, KnnStore.shardOfId(x, shards)),
+        (y, x, x, KnnStore.shardOfId(y, shards)))
     }.toSet
     val got = adjSet(KnnStore.readAdj(spark, fullRoot))
     assert(got == expected)
