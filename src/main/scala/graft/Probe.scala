@@ -714,6 +714,46 @@ object Probe {
         timed("beamfam_stored") {
           noop(SparkEntry.queries("q_sim_graph_beam_stored")(s, d))
         }
+      case "beamplan" =>
+        // plan + per-read metrics for the store-backed walk's three read
+        // shapes: is the literal isin a PartitionFilter, and how many
+        // tasks does each pruned read schedule?
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_beamplan"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        graft.queries.KnnStore.build(s, e, cents, root, 3)
+        val shards = graft.queries.KnnStore.readDirShards(s, root)
+        val ids = e.select(col("vec_id")).limit(8).collect()
+          .map(_.getLong(0)).toSeq
+        val sh = ids.map(graft.queries.KnnStore.shardOfId(_, shards)).distinct
+        val dirRead = graft.queries.KnnStore.readDir(s, root)
+          .where(col("shard").isin(sh: _*) && col("vec_id").isin(ids: _*))
+        println("=== dir read plan ===")
+        println(dirRead.queryExecution.executedPlan.toString.take(2500))
+        val (_, m1) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+          dirRead.collect()
+        }
+        println(s"STATS=beamplan READ=dir TASKS=${m1.tasks} " +
+          s"RECORDS=${m1.inputRecords}")
+        val homes = dirRead.select(col("home")).distinct().collect()
+          .map(_.getLong(0)).toSeq
+        val memRead = graft.queries.KnnStore.readMembers(s, root)
+          .where(col("bucket").isin(homes: _*) && col("vec_id").isin(ids: _*))
+        println("=== member read plan ===")
+        println(memRead.queryExecution.executedPlan.toString.take(2500))
+        val (_, m2) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+          memRead.collect()
+        }
+        println(s"STATS=beamplan READ=members TASKS=${m2.tasks} " +
+          s"RECORDS=${m2.inputRecords}")
+        val adjRead = graft.queries.KnnStore.readAdj(s, root)
+          .where(col("shard").isin(sh: _*) && col("v").isin(ids: _*))
+          .select(col("u")).distinct()
+        val (_, m3) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+          adjRead.collect()
+        }
+        println(s"STATS=beamplan READ=adj TASKS=${m3.tasks} " +
+          s"RECORDS=${m3.inputRecords}")
+        scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

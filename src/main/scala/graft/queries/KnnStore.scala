@@ -259,6 +259,37 @@ object KnnStore {
   private def fresh(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
 
+  /** Point-read of an exact partition-value set: pass the partition
+    * DIRECTORIES as the paths (basePath keeps the partition column in
+    * the schema), so the file-system LISTING — itself a Spark job with
+    * one task per directory on a plain InMemoryFileIndex — touches only
+    * the requested values instead of all C cell dirs. Measured r14: the
+    * 31,250-dir members listing was the whole residual cost of a beam
+    * walk at 2M (one listing ≈ 10k tasks ≈ 10+ s; the actual pruned
+    * read is ~10 tasks). Values whose directory does not exist (an id
+    * with no adjacency rows) are dropped with a driver-side stat —
+    * ≤ |values| cheap FS calls.
+    */
+  private def readPart(s: SparkSession, base: String, schemaStr: String,
+      part: String, values: Seq[Long]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val dirs = values.distinct.map(v => s"$base/$part=$v")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaStr))
+    else
+      s.read.schema(schemaStr).option("basePath", base)
+        .parquet(dirs: _*)
+  }
+
+  private[graft] val MembersSchema =
+    "vec_id LONG, vn ARRAY<DOUBLE>, bucket2 LONG, bucket LONG"
+  private[graft] val DirSchema =
+    "vec_id LONG, home LONG, bucket2 LONG, shard LONG"
+  private[graft] val AdjSchema = "v LONG, u LONG, owner LONG, shard LONG"
+
   /** Collect a one-column LONG frame to literal values. The touch sets
     * here are driver-bounded by contract (O(batch · occupancy) values),
     * and LITERAL partition predicates are the only prune GUARANTEED at
@@ -749,16 +780,20 @@ object KnnStore {
       seedIds: Seq[Long]): DataFrame = {
     val qvCol = array(qv.map(lit): _*)
     val dirShards = readDirShards(s, root)
+    // every read is a POINT read of the exact partition values the
+    // frontier names (readPart — listing ∝ frontier, never ∝ C; the
+    // plain per-round readX() calls re-listed all 31,250 member dirs at
+    // 2M and the listing jobs alone were 4× the walk's read cost,
+    // measured r14 Probe beamstore)
     def scoreTopB(ids: Seq[Long], b: Int): Seq[(Long, Double)] =
       if (ids.isEmpty) Seq.empty
       else {
-        val homes = readDir(s, root)
-          .where(col("shard").isin(ids.map(shardOfId(_, dirShards)).distinct: _*) &&
-            col("vec_id").isin(ids: _*))
+        val homes = readPart(s, s"$root/dir", DirSchema, "shard",
+            ids.map(shardOfId(_, dirShards)))
+          .where(col("vec_id").isin(ids: _*))
           .select(col("home")).distinct().collect().map(_.getLong(0)).toSeq
-        readMembers(s, root)
-          .where(col("bucket").isin(homes: _*) &&
-            col("vec_id").isin(ids: _*))
+        readPart(s, s"$root/members", MembersSchema, "bucket", homes)
+          .where(col("vec_id").isin(ids: _*))
           .select(col("vec_id"),
             round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(b)
@@ -766,9 +801,9 @@ object KnnStore {
       }
     def neighbours(ids: Seq[Long]): Seq[Long] =
       if (ids.isEmpty) Seq.empty
-      else readAdj(s, root)
-        .where(col("shard").isin(ids.map(shardOfId(_, dirShards)).distinct: _*) &&
-          col("v").isin(ids: _*))
+      else readPart(s, s"$root/adj", AdjSchema, "shard",
+          ids.map(shardOfId(_, dirShards)))
+        .where(col("v").isin(ids: _*))
         .select(col("u")).distinct().collect().map(_.getLong(0)).toSeq
     var frontier = scoreTopB(seedIds.filterNot(_ == excludeId), beam)
     (1 to rounds).foreach { _ =>
