@@ -573,11 +573,15 @@ object SimSearch {
     * fetches switch to shardedCosVerify over a localCheckpoint'd
     * candidate frame (peak broadcast |table|/R; the checkpoint bounds
     * the R² candidate re-scans) — output-identical (NndSpec forces the
-    * path with threshold 1 and pins row equality).
+    * path with threshold 1 and pins row equality). Default (-1) derives
+    * the ceiling from a ~1 GiB byte budget and the actual vector dim
+    * (r13 ADVICE — the old fixed 4M rows meant ~2 GB broadcasts at
+    * 0.5 KB/vector); the sharded fallback costs ≤1.5-2× wall at 2M
+    * (SCALE.md r14), so engaging it early is the safe side.
     */
   private[graft] def nndRound(s: SparkSession, d: String,
       baseEdges: DataFrame, k: Int,
-      shardThreshold: Long = 4000000L): DataFrame = {
+      shardThreshold: Long = -1L): DataFrame = {
     val base = baseEdges
       .select(col("vec_id"), col("nbr"), col("cos")).cache()
     val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
@@ -592,8 +596,21 @@ object SimSearch {
       .select(col("a.v").as("v1"), col("b.v").as("v2"))
     val en = normEmbeds(s, d)
     val nVec = embeds(s, d).count() // parquet-footer count — plan-time
+    // default threshold derives from a BYTE budget, not a fixed row
+    // count (r13 ADVICE: the old 4M-row default shipped ~2 GB per
+    // broadcast right below the cutover at 0.5 KB/vector): ~1 GiB per
+    // fetch, bytes/vector from the actual dim. The sharded fallback is
+    // priced at 2M as a graceful ≤1.5-2× slowdown with peak broadcast
+    // |table|/R (SCALE.md r14 nndshard) — engaging it early is safe;
+    // overshooting the driver/executor broadcast ceiling is not.
+    val threshold =
+      if (shardThreshold > 0) shardThreshold
+      else {
+        val dim = en.select(size(col("vn"))).head().getInt(0)
+        math.max(1L, (1L << 30) / (8L * dim + 48L))
+      }
     val hopScored =
-      if (nVec <= shardThreshold)
+      if (nVec <= threshold)
         cand
           .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
             Seq("v1"))
@@ -602,7 +619,7 @@ object SimSearch {
           .select(col("v1").as("vec_id"), col("v2").as("nbr"),
             round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
       else {
-        val shards = math.ceil(nVec.toDouble / shardThreshold).toInt
+        val shards = math.ceil(nVec.toDouble / threshold).toInt
         shardedCosVerify(en, cand.localCheckpoint(), shards)
           .select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cos"))
       }
