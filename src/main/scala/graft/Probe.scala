@@ -714,6 +714,45 @@ object Probe {
         timed("beamfam_stored") {
           noop(SparkEntry.queries("q_sim_graph_beam_stored")(s, d))
         }
+      case "knnremove" =>
+        // removeVectors / upsert priced vs the rebuild they replace:
+        // build(corpus), remove a ~n/1024 hash batch (timed +
+        // RunMetrics), then the reference rebuild-without for the same
+        // end state.
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_knnremove_probe"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        val isRm = pmod(xxhash64(concat(lit("knnstore|"),
+          col("vec_id").cast("string"))), lit(1024L)) === 0
+        val isRmSmall = isRm && pmod(xxhash64(concat(lit("kv2|"),
+          col("vec_id").cast("string"))), lit(64L)) === 0
+        val small = e.where(isRmSmall).select(col("vec_id"))
+          .localCheckpoint(true)
+        val rest = e.where(isRm && !isRmSmall).select(col("vec_id"))
+          .localCheckpoint(true)
+        timed("knnremove_build") {
+          graft.queries.KnnStore.build(s, e, cents, root, 3)
+        }
+        def rmStep(tag: String, batch: DataFrame): Unit = {
+          val m = batch.count()
+          val (_, mRm) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+            timed(s"knnremove_$tag") {
+              noop(graft.queries.KnnStore.removeVectors(s, batch, root, 3))
+            }
+          }
+          println(s"STATS=knnremove STEP=$tag N=$n BATCH=$m " +
+            s"INPUT_RECORDS=${mRm.inputRecords} " +
+            s"SHUFFLE_RECORDS=${mRm.shuffleReadRecords}")
+        }
+        rmStep("remove_small", small)
+        rmStep("remove_rest", rest)
+        timed("knnremove_rebuild_without") {
+          graft.queries.KnnStore.build(s, e.where(!isRm), cents,
+            s"${root}_ref", 3)
+        }
+        Seq(root, s"${root}_ref").foreach { p =>
+          scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+        }
       case "beamplan" =>
         // plan + per-read metrics for the store-backed walk's three read
         // shapes: is the literal isin a PartitionFilter, and how many

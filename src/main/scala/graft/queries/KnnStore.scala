@@ -289,6 +289,10 @@ object KnnStore {
   private[graft] val DirSchema =
     "vec_id LONG, home LONG, bucket2 LONG, shard LONG"
   private[graft] val AdjSchema = "v LONG, u LONG, owner LONG, shard LONG"
+  private[graft] val PostingsSchema =
+    "vec_id LONG, vn ARRAY<DOUBLE>, home LONG, pcell LONG"
+  private[graft] val GraphSchema =
+    "vec_id LONG, rank LONG, nbr LONG, cos DOUBLE, bucket LONG"
 
   /** Collect a one-column LONG frame to literal values. The touch sets
     * here are driver-bounded by contract (O(batch · occupancy) values),
@@ -300,13 +304,6 @@ object KnnStore {
     */
   private def litSeq(df: DataFrame): Seq[Long] =
     df.distinct().collect().map(_.getLong(0)).toSeq
-
-  /** isin over a possibly-empty literal set (empty ⇒ false — the empty
-    * arrival batch's no-op path plans zero file reads).
-    */
-  private def inLits(c: org.apache.spark.sql.Column,
-      vs: Seq[Long]): org.apache.spark.sql.Column =
-    if (vs.isEmpty) lit(false) else c.isin(vs: _*)
 
   /** Driver-side twin of `shardOf` — the same XXH64(seed 42) Spark's
     * xxhash64 column evaluates, via the Catalyst expression itself so the
@@ -397,8 +394,7 @@ object KnnStore {
     // pruning the plan GUARANTEES, where the broadcast-join form's DPP
     // did not fire and silently full-scanned (measured r14)
     val aShardSeq = litSeq(aIds.select(col("shard")))
-    val nCollide = readDir(s, root)
-      .where(inLits(col("shard"), aShardSeq))
+    val nCollide = readPart(s, s"$root/dir", DirSchema, "shard", aShardSeq)
       .join(broadcast(aIds.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
       .count()
@@ -413,14 +409,11 @@ object KnnStore {
     val aCellSeq = litSeq(aPost.select(col("pcell")))
     val aBucketSeq = litSeq(av.select(col("bucket")))
 
-    val members = readMembers(s, root)
-    val postings = readPostings(s, root)
-
     // arrival edges: candidates = primary members (stored ∪ in-batch) of
     // the arrival's probed cells — the stored member scan prunes to
     // exactly those partitions.
     val aCands = scoreAgainst(broadcast(aProbes),
-        members.where(inLits(col("bucket"), aCellSeq))
+        readPart(s, s"$root/members", MembersSchema, "bucket", aCellSeq)
           .select(col("vec_id"), col("vn"), col("bucket")), "bucket")
       .union(scoreAgainst(aProbes, aMembers, "bucket"))
     val arrivalEdges = topK(aCands, k)
@@ -428,8 +421,8 @@ object KnnStore {
     // members gaining the arrival: every stored vector PROBING an arrival
     // primary cell (postings reverse lookup, pruned to arrival cells) —
     // candidates for a top-K merge (mergeable bounded agg).
-    val gains = postings
-      .where(inLits(col("pcell"), aBucketSeq))
+    val gains = readPart(s, s"$root/postings", PostingsSchema, "pcell",
+        aBucketSeq)
       .join(broadcast(av.select(col("vec_id").as("a_id"),
         col("vn").as("avn"), col("bucket").as("pcell"))), Seq("pcell"))
       .select(col("vec_id"), col("home"), col("a_id").as("nbr"),
@@ -451,11 +444,10 @@ object KnnStore {
     // The REWRITE set then shrinks to members whose lists actually
     // change — exactness preserved because a non-beating gain provably
     // leaves the merged top-K identical.
-    val graph = readGraph(s, root)
     val gainIds = gains.select(col("vec_id")).distinct().cleanCkpt
     val gainHomeSeq = litSeq(gains.select(col("home")))
-    val defense = graph
-      .where(inLits(col("bucket"), gainHomeSeq))
+    val defense = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        gainHomeSeq)
       .join(broadcast(gainIds), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("nk"),
@@ -480,7 +472,8 @@ object KnnStore {
     // would otherwise each re-scan the touched graph partitions from
     // parquet — measured r14, the graph table contributed ~3× its touched
     // size to the batch's read volume before this checkpoint
-    val storedTouched = graph.where(inLits(col("bucket"), touchedSeq))
+    val storedTouched = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        touchedSeq)
       .cleanCkpt
     val changedIds = changed.select(col("vec_id"))
     val unchanged = storedTouched
@@ -520,8 +513,8 @@ object KnnStore {
     val affectedShardSeq = litSeq(oldChanged.union(deltaNew)
       .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
       .select(shardOf(col("id"), dirShards).as("shard")))
-    val newAdjRows = readAdj(s, root)
-      .where(inLits(col("shard"), affectedShardSeq))
+    val newAdjRows = readPart(s, s"$root/adj", AdjSchema, "shard",
+        affectedShardSeq)
       .join(broadcast(changedIds.select(col("vec_id").as("owner"))),
         Seq("owner"), "left_anti")
       .select(col("v"), col("u"), col("owner"), col("shard"))
@@ -531,24 +524,24 @@ object KnnStore {
       sortCol = Some("v"))
 
     // members: arrival primary partitions gain the batch rows
-    val newMemberRows = members
-      .where(inLits(col("bucket"), aBucketSeq))
+    val newMemberRows =
+      readPart(s, s"$root/members", MembersSchema, "bucket", aBucketSeq)
       .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
       .union(av.select(col("vec_id"), col("vn"), col("bucket2"), col("bucket")))
       .cleanCkpt
     writePartitioned(newMemberRows, "bucket", s"$root/members")
 
     // postings: every probed cell gains the arrival's posting row
-    val newPostingRows = postings
-      .where(inLits(col("pcell"), aCellSeq))
+    val newPostingRows =
+      readPart(s, s"$root/postings", PostingsSchema, "pcell", aCellSeq)
       .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
       .union(aPost.select(col("vec_id"), col("vn"), col("home"), col("pcell")))
       .cleanCkpt
     writePartitioned(newPostingRows, "pcell", s"$root/postings")
 
     // dir: the batch ids' shards gain the arrival directory rows
-    val newDirRows = readDir(s, root)
-      .where(inLits(col("shard"), aShardSeq))
+    val newDirRows =
+      readPart(s, s"$root/dir", DirSchema, "shard", aShardSeq)
       .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
       .union(dirOf(av, dirShards))
       .cleanCkpt
@@ -613,8 +606,7 @@ object KnnStore {
     require(rmIds.select(col("vec_id")).distinct().count() == nRm,
       "removeVectors: duplicate vec_ids in the removal batch")
     val rmShardSeq = litSeq(rmIds.select(col("shard")))
-    val victims = readDir(s, root)
-      .where(inLits(col("shard"), rmShardSeq))
+    val victims = readPart(s, s"$root/dir", DirSchema, "shard", rmShardSeq)
       .join(broadcast(rmIds.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
       .select(col("vec_id"), col("home"), col("bucket2"))
@@ -634,14 +626,14 @@ object KnnStore {
     // holders: probers of the victims' primary cells whose stored list
     // contains a victim (victims' own lists are dropped wholesale, so
     // victims are not "holders" to recompute)
-    val probers = readPostings(s, root)
-      .where(inLits(col("pcell"), vHomeSeq))
+    val probers = readPart(s, s"$root/postings", PostingsSchema, "pcell",
+        vHomeSeq)
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("home")).distinct()
       .cleanCkpt
     val proberHomeSeq = litSeq(probers.select(col("home")))
-    val proberLists = readGraph(s, root)
-      .where(inLits(col("bucket"), proberHomeSeq))
+    val proberLists = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        proberHomeSeq)
       .join(broadcast(probers.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
       .cleanCkpt
@@ -655,16 +647,16 @@ object KnnStore {
     // holders' member rows (vn + probed cells), then their full candidate
     // recompute against the post-removal members of those cells
     val hHomeSeq = litSeq(holders.select(col("home")))
-    val hProbes = readMembers(s, root)
-      .where(inLits(col("bucket"), hHomeSeq))
+    val hProbes = readPart(s, s"$root/members", MembersSchema, "bucket",
+        hHomeSeq)
       .join(broadcast(hIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("vn"),
         explode(array_compact(array(col("bucket"), col("bucket2"))))
           .as("bucket"))
       .cleanCkpt
     val hCellSeq = litSeq(hProbes.select(col("bucket")))
-    val candMembers = readMembers(s, root)
-      .where(inLits(col("bucket"), hCellSeq))
+    val candMembers = readPart(s, s"$root/members", MembersSchema,
+        "bucket", hCellSeq)
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vn"), col("bucket"))
     val newLists = topK(scoreAgainst(broadcast(hProbes), candMembers,
@@ -675,8 +667,8 @@ object KnnStore {
 
     // graph rewrite set + adj deltas (materialized before any write)
     val touchedGraphSeq = (vHomeSeq ++ hHomeSeq).distinct
-    val storedTouched = readGraph(s, root)
-      .where(inLits(col("bucket"), touchedGraphSeq))
+    val storedTouched = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        touchedGraphSeq)
     // the kept arm is materialized on its own first: unioning the
     // double-anti-join lineage with the recompute lineage trips
     // Catalyst's union constraint rewrite (key-not-found on the shared
@@ -691,8 +683,8 @@ object KnnStore {
       .union(fresh(newLists.select(col("vec_id"), col("rank"), col("nbr"),
         col("cos"), col("bucket"))))
       .cleanCkpt
-    val oldVictimLists = readGraph(s, root)
-      .where(inLits(col("bucket"), vHomeSeq))
+    val oldVictimLists = readPart(s, s"$root/graph", GraphSchema,
+        "bucket", vHomeSeq)
       .join(broadcast(vIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("nbr"))
     val oldHolderLists = proberLists
@@ -705,8 +697,8 @@ object KnnStore {
     val affectedShardSeq = litSeq(deltaOld.union(deltaNew)
       .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
       .select(shardOf(col("id"), dirShards).as("shard")))
-    val newAdjRows = readAdj(s, root)
-      .where(inLits(col("shard"), affectedShardSeq))
+    val newAdjRows = readPart(s, s"$root/adj", AdjSchema, "shard",
+        affectedShardSeq)
       .join(broadcast(rmOwners), Seq("owner"), "left_anti")
       .select(col("v"), col("u"), col("owner"), col("shard"))
       .union(adjOf(deltaNew, dirShards))
@@ -714,18 +706,18 @@ object KnnStore {
 
     // members / postings / dir shrink in place (pruned reads, no
     // additions)
-    val newMemberRows = readMembers(s, root)
-      .where(inLits(col("bucket"), vHomeSeq))
+    val newMemberRows = readPart(s, s"$root/members", MembersSchema,
+        "bucket", vHomeSeq)
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
       .cleanCkpt
-    val newPostingRows = readPostings(s, root)
-      .where(inLits(col("pcell"), vCellSeq))
+    val newPostingRows = readPart(s, s"$root/postings", PostingsSchema,
+        "pcell", vCellSeq)
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
       .cleanCkpt
-    val newDirRows = readDir(s, root)
-      .where(inLits(col("shard"), rmShardSeq))
+    val newDirRows = readPart(s, s"$root/dir", DirSchema, "shard",
+        rmShardSeq)
       .join(broadcast(vIds), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
       .cleanCkpt
