@@ -274,8 +274,26 @@ object KnnStore {
       part: String, values: Seq[Long]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
-    val dirs = values.distinct.map(v => s"$base/$part=$v")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val distinctVals = values.distinct
+    // existence screen: per-value exists() is one driver-side RPC each —
+    // right for a beam-sized frontier, but a maintenance touch set can
+    // reach min(endpoints, S) values and the serial round-trip loop would
+    // dominate on an object store. Past a handful of values, ONE
+    // listStatus of the base enumerates all present partition dirs in a
+    // single RPC and the screen becomes a set intersection (r14 ADVICE).
+    val present: Long => Boolean =
+      if (distinctVals.size <= 16)
+        v => fs.exists(new org.apache.hadoop.fs.Path(s"$base/$part=$v"))
+      else {
+        val names =
+          (try fs.listStatus(new org.apache.hadoop.fs.Path(base))
+           catch { case _: java.io.FileNotFoundException =>
+             Array.empty[org.apache.hadoop.fs.FileStatus] })
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith(s"$part=")).toSet
+        v => names.contains(s"$part=$v")
+      }
+    val dirs = distinctVals.filter(present).map(v => s"$base/$part=$v")
     if (dirs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaStr))
@@ -520,8 +538,13 @@ object KnnStore {
       .select(col("v"), col("u"), col("owner"), col("shard"))
       .union(adjOf(deltaNew, dirShards))
       .cleanCkpt
-    writePartitioned(newAdjRows, "shard", s"$root/adj",
-      sortCol = Some("v"))
+    // overwriteTouched, not writePartitioned: an affected shard whose
+    // surviving rows were all owned by changed members and gains no
+    // deltaNew rows ends up EMPTY, and dynamic overwrite would silently
+    // keep its stale file — ghost reverse edges served to beamSearch
+    // (removeVectors always guarded this; addArrivals did not, r14 ADVICE)
+    overwriteTouched(s, newAdjRows, "shard", s"$root/adj",
+      affectedShardSeq, sortCol = Some("v"))
 
     // members: arrival primary partitions gain the batch rows
     val newMemberRows =
@@ -766,6 +789,15 @@ object KnnStore {
     * expand = frontier ∪ its undirected graph neighbourhood; excludeId
     * dropped everywhere. Seeds must be indexed ids (a non-member seed is
     * dropped by the member fetch).
+    *
+    * SEED CONTRACT UNDER CHURN: after `removeVectors`, a cached seed set
+    * may contain ids no longer in the store — those are dropped by the
+    * same member fetch, so a stale seed set walks exactly as its
+    * surviving subset (KnnStoreSpec pins the equivalence) and removed
+    * ids are never served. The silent shrink is deliberate: serving
+    * tiers cache seeds and must not fail on churn — but a caller whose
+    * recall depends on seed COUNT should refresh seeds from the dir
+    * table after removals (a point read of the seeds' shards, O(seeds)).
     */
   def beamSearch(s: SparkSession, root: String, qv: Seq[Double],
       excludeId: Long, beam: Int, rounds: Int,

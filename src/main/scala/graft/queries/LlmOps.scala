@@ -1173,7 +1173,11 @@ object LlmOps {
 
     // Brute-force cosine top-10 vs the vec_id=0 query vector — the exact
     // baseline an IVF/LSH variant must agree with. Query side is a broadcast
-    // (1 row); the scan side is embarrassingly parallel.
+    // (1 row); the scan side is embarrassingly parallel. The top-10 is
+    // orderBy+limit — TakeOrderedAndProject's per-partition bounded heaps
+    // + a 10-row merge; a partition-less row_number window here would sort
+    // the whole scored corpus in ONE task (the r14-outlawed shape). The
+    // rank column is minted by a window over the 10-row result only.
     "q_sim_cosine_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = table(s, d, "embeddings")
@@ -1182,12 +1186,12 @@ object LlmOps {
       val dot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
       val n1 = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
       val n2 = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x))
-      val w = Window.orderBy(col("cos").desc, col("vec_id"))
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), round(dot / (n1 * n2), 6).as("cos"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 10)
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
     }),
 
     // BM25-shaped sparse retrieval (Robertson/Spärck Jones; the k1/b

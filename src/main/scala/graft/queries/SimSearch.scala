@@ -579,6 +579,20 @@ object SimSearch {
     * 0.5 KB/vector); the sharded fallback costs ≤1.5-2× wall at 2M
     * (SCALE.md r14), so engaging it early is the safe side.
     */
+  /** Byte-budget broadcast ceiling (vectors per ~1 GiB broadcast) from
+    * the actual vector dim. Driver LOOPS compute this once and pass it
+    * into every nndRound — the per-call probe was one extra job per
+    * round and head() threw on an empty embeddings table (r14 ADVICE).
+    * An empty table yields no pairs to shard, so the ceiling is MaxValue
+    * (broadcast path, trivially).
+    */
+  private[graft] def broadcastCeiling(s: SparkSession, d: String): Long = {
+    val dim = normEmbeds(s, d).select(size(col("vn"))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim <= 0) Long.MaxValue
+    else math.max(1L, (1L << 30) / (8L * dim + 48L))
+  }
+
   private[graft] def nndRound(s: SparkSession, d: String,
       baseEdges: DataFrame, k: Int,
       shardThreshold: Long = -1L): DataFrame = {
@@ -605,10 +619,7 @@ object SimSearch {
     // overshooting the driver/executor broadcast ceiling is not.
     val threshold =
       if (shardThreshold > 0) shardThreshold
-      else {
-        val dim = en.select(size(col("vn"))).head().getInt(0)
-        math.max(1L, (1L << 30) / (8L * dim + 48L))
-      }
+      else broadcastCeiling(s, d)
     val hopScored =
       if (nVec <= threshold)
         cand
@@ -656,8 +667,9 @@ object SimSearch {
     val cert = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     var r = 1
     var newEdges = -1L
+    val ceiling = broadcastCeiling(s, d) // once per loop, not per round
     while (r <= maxRounds && newEdges != 0L) {
-      val next = nndRound(s, d, g, k)
+      val next = nndRound(s, d, g, k, ceiling)
         .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
       newEdges = next
         .join(g.select(col("vec_id"), col("nbr")),
@@ -679,8 +691,9 @@ object SimSearch {
     var g = queries("q_sim_knn_graph_trained2")(s, d)
       .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
       .localCheckpoint()
+    val ceiling = broadcastCeiling(s, d) // once per loop, not per round
     (1 to rounds).foreach { _ =>
-      g = nndRound(s, d, g, k).localCheckpoint()
+      g = nndRound(s, d, g, k, ceiling).localCheckpoint()
     }
     g
   }
@@ -1093,10 +1106,12 @@ object SimSearch {
         .join(en, Seq("vec_id"))
         .select(col("vec_id"),
           round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
-      def topB(sc0: DataFrame, b: Int): DataFrame = sc0
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("rn") <= b).drop("rn")
+      // per-round top-B under (cos DESC, id ASC): orderBy+limit plans
+      // TakeOrderedAndProject (bounded heaps); the seed round's scored
+      // frame reads the embeddings parquet through a join, so a global
+      // row_number window here would be the r14-outlawed single-task sort
+      def topB(sc0: DataFrame, b: Int): DataFrame =
+        sc0.orderBy(col("cos").desc, col("vec_id")).limit(b)
       val every = math.max(1L, nVec / 8)
       val seeds = en
         .where(pmod(Core.md5Hash64(concat(lit("beam|"),
@@ -1212,11 +1227,16 @@ object SimSearch {
     "q_sim_graph_beam_stored" -> ((s, d) => {
       val root = Relational.scratchPath(s, d, "beamstore")
       val e = embeds(s, d)
-      val marker = new java.io.File(s"$root/_STORE_COMPLETE")
-      if (!marker.exists()) {
+      // marker via the Hadoop FS for the root path, matching how the
+      // store itself is written/read — a java.io.File check was only
+      // consistent while the scratch root lived on the local filesystem
+      // (r14 ADVICE)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_STORE_COMPLETE")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
         val cents = trainedCentroidFrame(e, e.count()).localCheckpoint(true)
         KnnStore.build(s, e, cents, root, 3)
-        marker.createNewFile()
+        fs.create(marker, true).close()
       }
       val en = normEmbeds(s, d)
       val qvArr = en.where(col("vec_id") === 0)
@@ -1322,9 +1342,9 @@ object SimSearch {
         .where(col("vec_id") >= NCentroids && col("bucket") === 0)
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .where(col("rn") <= 10)
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
     }),
 
     // Multi-probe IVF (nprobe = 2): the query probes its TWO nearest
@@ -1351,9 +1371,12 @@ object SimSearch {
         .where(col("vec_id") >= NCentroids)
         .join(broadcast(probes), Seq("bucket"))
         .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .where(col("rn") <= 10)
+        // top-10 re-rank over the probed buckets' candidates (a corpus
+        // FRACTION, still ∝ n): orderBy+limit, never a partition-less
+        // window — bucket pruning is only scale-safe if the re-rank is too
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
     }),
 
     // The ON-DISK IVF index: the same top-2-probe search as q_sim_ann_ivf2,
@@ -1389,9 +1412,9 @@ object SimSearch {
         .join(broadcast(probes.withColumn("bucket", col("bucket").cast("int"))),
           Seq("bucket"))
         .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 6).as("cos"))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .where(col("rn") <= 10)
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
     }),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

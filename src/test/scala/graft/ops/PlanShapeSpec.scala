@@ -442,4 +442,118 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
     assert("SortMergeJoin".r.findAllIn(plan).length >= 2, plan)
   }
+
+  // --- suite-wide partition-less-window sweep (r14 verdict task 1) ------
+  //
+  // The outlawed shape: a Window with an EMPTY partition spec whose input
+  // can be an unbounded fraction of a table — it plans an
+  // Exchange SinglePartition + one-task sort of everything beneath it.
+  // The r13/r14 rounds each found one instance (beam_recall, then the
+  // ivf re-ranks + cosine_topk) with a per-query textual pin; this sweep
+  // walks the PLAN TREE of every registered query so the class cannot
+  // recur anywhere. A global window is fine only when its input is
+  // provably bounded before the window: a grouping aggregate (group-count
+  // rows: vocab/shard/bucket-cardinality frames), a limit
+  // (TakeOrderedAndProject / GlobalLimit — the rank-minting window over
+  // an already-limited top-10), or a driver-bounded leaf (checkpointed
+  // beam frontiers plan as RDD scans, not file scans). WindowGroupLimit
+  // is deliberately NOT treated as bounding: it is planner sugar the
+  // rn<=k filter itself induces, i.e. exactly the shape under review.
+
+  private def planChildren(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case o => o.children
+    }
+  }
+
+  /** Can a file scan feed this subtree without passing a
+    * cardinality-bounding operator (grouping aggregate or limit)?
+    */
+  private def unboundedFileScanBelow(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec,
+      GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec,
+      CollectLimitExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    p match {
+      case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => false
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => false
+      case _: FileSourceScanExec => true
+      case o => planChildren(o).exists(unboundedFileScanBelow)
+    }
+  }
+
+  private def globalWindowViolations(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          unboundedFileScanBelow(w.child) =>
+        Seq(w.simpleStringWithNodeId())
+      case _ => Seq.empty
+    }
+    self ++ planChildren(p).flatMap(globalWindowViolations)
+  }
+
+  test("sweep positive control: the outlawed global-window-over-scan " +
+    "shape is detected, and the bounded forms are not") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = Window.orderBy(col("doc_id"))
+    // NOTE (measured here, r15): Spark 4.1's InferWindowGroupLimit +
+    // limit pushdown RESCUE the row_number + rn<=k filter form — even
+    // with a cast on the rank, the executed plan is already
+    // TakeOrderedAndProject below a 10-row window, so the four
+    // r14-flagged queries never actually executed a single-task corpus
+    // sort on this Spark. The source rewrite to orderBy+limit makes the
+    // intent explicit instead of leaning on optimizer rescue. The shape
+    // Catalyst CANNOT rescue — and the one this sweep really guards —
+    // is a global window with no rank-limit filter (a running total /
+    // unfiltered rank over the corpus): a genuine
+    // Exchange SinglePartition + one-task sort of the whole scan.
+    val bad = docs.withColumn("rn", row_number().over(w))
+    assert(globalWindowViolations(bad.queryExecution.executedPlan).nonEmpty,
+      bad.queryExecution.executedPlan.toString)
+    val badSum = docs.withColumn("run", sum(col("n_chars")).over(w))
+    assert(globalWindowViolations(badSum.queryExecution.executedPlan).nonEmpty,
+      badSum.queryExecution.executedPlan.toString)
+    // bounded-by-limit and bounded-by-aggregate forms both pass
+    val limited = docs.orderBy(col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(w))
+    assert(globalWindowViolations(limited.queryExecution.executedPlan).isEmpty)
+    val agged = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("lang"))))
+    assert(globalWindowViolations(agged.queryExecution.executedPlan).isEmpty)
+    val partitioned = docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(globalWindowViolations(partitioned.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("suite-wide sweep: no registered query plans a partition-less " +
+    "Window over an unbounded file-scan frame") {
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — set SPARK_GRAFT_FIXTURE_DIR")
+    // no allowlist: per the r14 verdict no query legitimately needs one —
+    // additions must come with a documented cardinality argument here
+    val allow = Set.empty[String]
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .flatMap { q =>
+        val viols = globalWindowViolations(
+          SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan)
+        if (viols.isEmpty) Nil else Seq(s"$q: ${viols.mkString("; ")}")
+      }
+    assert(bad.isEmpty,
+      s"partition-less Window over an unbounded scan in:\n${bad.mkString("\n")}")
+  }
 }

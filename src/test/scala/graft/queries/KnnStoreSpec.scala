@@ -226,6 +226,38 @@ class KnnStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("already exist"))
   }
 
+  test("beam seed contract under churn: after removeVectors, a stale " +
+    "seed set walks exactly as its surviving subset, and removed ids " +
+    "are never served") {
+    // the r14 verdict task-7 pin: beamSearch drops non-member seeds via
+    // the member fetch, so a seed set cached BEFORE a removal must give
+    // the same walk as the explicitly pruned set — silent shrink, never
+    // a stale result and never an error
+    val root = tmpRoot("churn")
+    KnnStore.build(spark, corpus, cents, root, K)
+    val allSeeds = KnnStore.readDir(spark, root).select(col("vec_id"))
+      .where(col("vec_id") > 0).orderBy(col("vec_id")).limit(6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(allSeeds.size == 6)
+    val removed = allSeeds.take(2)
+    val qv = SimSearch.normEmbeds(spark, dir).where(col("vec_id") === 0)
+      .select(col("vn")).head().getSeq[Double](0)
+    KnnStore.removeVectors(spark,
+      corpus.where(col("vec_id").isin(removed: _*)).select(col("vec_id")),
+      root, K)
+    def rows(seeds: Seq[Long]) =
+      KnnStore.beamSearch(spark, root, qv, 0L, 8, 2, seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val stale = rows(allSeeds)
+    val fresh = rows(allSeeds.filterNot(removed.contains))
+    assert(stale == fresh,
+      "stale seed set did not walk as its surviving subset")
+    assert(stale.nonEmpty)
+    assert(stale.forall(r => !removed.contains(r._2)),
+      "a removed id was served from the walk")
+  }
+
   test("an arrival batch rewrites ONLY the graph partitions it touches — " +
     "every other cell directory stays byte-stable") {
     val root = tmpRoot("touch")
