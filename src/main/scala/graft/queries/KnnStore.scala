@@ -215,7 +215,7 @@ object KnnStore {
     * by the partition value first makes every write one file per dir —
     * the same discipline a 100 TB table needs for its object store.
     */
-  private def writePartitioned(df: DataFrame, part: String,
+  private[graft] def writePartitioned(df: DataFrame, part: String,
       path: String, sortCol: Option[String] = None): Unit = {
     val clustered = df.repartition(col(part))
     // an in-task sort keeps one-file-per-dir (the writer still splits by
@@ -270,8 +270,8 @@ object KnnStore {
     * with no adjacency rows) are dropped with a driver-side stat —
     * ≤ |values| cheap FS calls.
     */
-  private def readPart(s: SparkSession, base: String, schemaStr: String,
-      part: String, values: Seq[Long]): DataFrame = {
+  private[graft] def readPart(s: SparkSession, base: String,
+      schemaStr: String, part: String, values: Seq[Long]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
     val distinctVals = values.distinct
@@ -840,5 +840,97 @@ object KnnStore {
     frontier.sortBy(p => (-p._2, p._1)).take(10).zipWithIndex
       .map { case ((id, cos), i) => (i + 1L, id, cos) }
       .toDF("rank", "vec_id", "cos")
+  }
+
+  /** BATCH form of the store-served beam walk (r14 verdict task 3): walk
+    * ALL queries of a serving batch simultaneously off the persisted
+    * store. The single-query walk pays ~15 driver-scheduled jobs of
+    * fixed overhead per query (SCALE.md r13 beamserve); here each round
+    * issues ONE point read per table keyed by the UNION of every query's
+    * frontier — per-round job count is FLAT in the batch size and read
+    * volume ∝ the union frontier (≤ Q·B·(2K+1) ids), still independent
+    * of corpus size. Per-query frontiers live on the driver like the
+    * query vectors themselves (Q·B pairs — the serving-tier contract
+    * that queries scale with SERVING load, never the corpus).
+    *
+    * Identical math to q_sim_graph_beam_batch (BeamSpec pins row
+    * equality; the two share one oracle): per-round per-qid top-B via
+    * TopKPairAgg over round(dot(vn, qv), 6); expand = frontier ∪ its
+    * undirected neighbourhood; a query's own qid excluded everywhere;
+    * final output ranks each query's closing frontier under
+    * (cos DESC, id ASC). Scoring runs IN SPARK — the union candidate
+    * members fetch (point read) joins the broadcast (qid, candidate)
+    * pair list and the broadcast query frame, so the driver never
+    * touches a vector beyond the Q query vectors it already holds.
+    * Non-member seeds/candidates drop exactly as in beamSearch (the
+    * seed-churn contract above).
+    */
+  def beamSearchBatch(s: SparkSession, root: String,
+      queryVecs: Seq[(Long, Seq[Double])], beam: Int, rounds: Int,
+      seedIds: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val dirShards = readDirShards(s, root)
+    val qFrame = queryVecs.toDF("qid", "qv")
+
+    def scoreTopB(cand: Map[Long, Seq[Long]], b: Int)
+        : Map[Long, Seq[(Long, Double)]] = {
+      val unionIds = cand.valuesIterator.flatten.toSeq.distinct
+      if (unionIds.isEmpty) Map.empty
+      else {
+        val homes = readPart(s, s"$root/dir", DirSchema, "shard",
+            unionIds.map(shardOfId(_, dirShards)))
+          .where(col("vec_id").isin(unionIds: _*))
+          .select(col("home")).distinct().collect().map(_.getLong(0)).toSeq
+        val mem = readPart(s, s"$root/members", MembersSchema, "bucket",
+            homes)
+          .where(col("vec_id").isin(unionIds: _*))
+          .select(col("vec_id"), col("vn"))
+        val pairs = cand.toSeq
+          .flatMap { case (q, ids) => ids.map(i => (q, i)) }
+          .toDF("qid", "vec_id")
+        mem.join(broadcast(pairs), Seq("vec_id"))
+          .join(broadcast(qFrame), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(Vectors.dotFast(col("vn"), col("qv")), 6).as("cos"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopKPairAgg
+            .topK(col("cos"), col("vec_id"), b).as("t"))
+          .select(col("qid"), explode(col("t")).as("p"))
+          .select(col("qid"), col("p._2").as("vec_id"),
+            col("p._1").as("cos"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (q, rs) =>
+            q -> rs.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq
+          }
+      }
+    }
+
+    var frontier = scoreTopB(
+      queryVecs.map { case (q, _) => q -> seedIds.filterNot(_ == q) }.toMap,
+      beam)
+    (1 to rounds).foreach { _ =>
+      val unionIds =
+        frontier.valuesIterator.flatMap(_.map(_._1)).toSeq.distinct
+      val nbrs =
+        if (unionIds.isEmpty) Map.empty[Long, Seq[Long]]
+        else readPart(s, s"$root/adj", AdjSchema, "shard",
+            unionIds.map(shardOfId(_, dirShards)))
+          .where(col("v").isin(unionIds: _*))
+          .select(col("v"), col("u")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (v, us) => v -> us.map(_._2).toSeq }
+      val cand = frontier.map { case (q, fr) =>
+        val ids = fr.map(_._1)
+        q -> (ids ++ ids.flatMap(nbrs.getOrElse(_, Seq.empty)))
+          .distinct.filterNot(_ == q)
+      }
+      frontier = scoreTopB(cand, beam)
+    }
+    frontier.toSeq.flatMap { case (q, fr) =>
+      fr.take(10).zipWithIndex.map { case ((id, cos), i) =>
+        (q, i + 1L, id, cos) }
+    }.toDF("qid", "rank", "vec_id", "cos")
   }
 }

@@ -461,6 +461,26 @@ object SimSearch {
           col("cid").cast("string"))), lit(kc)) === 0)
   }
 
+  /** Build-once (marker-gated) KnnStore over the fixture embeddings at
+    * the shared "beamstore" scratch root — serves both store-backed beam
+    * queries (single + batch); repeat runs in one JVM pay only the walk.
+    * Marker via the Hadoop FS for the root path, matching how the store
+    * itself is written/read — a java.io.File check was only consistent
+    * while the scratch root lived on the local filesystem (r14 ADVICE).
+    */
+  private def ensureBeamStore(s: SparkSession, d: String): String = {
+    val root = Relational.scratchPath(s, d, "beamstore")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_STORE_COMPLETE")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val e = embeds(s, d)
+      val cents = trainedCentroidFrame(e, e.count()).localCheckpoint(true)
+      KnnStore.build(s, e, cents, root, 3)
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
   /** Shared kNN-within-bucket tail: bucket self-join on ids only
     * (hard-won rule: broadcast-able id re-fetch beats carrying vectors
     * through the pair shuffle), exact cosine on candidates, per-vector
@@ -1225,19 +1245,8 @@ object SimSearch {
     // form pays. Output ≡ q_sim_graph_beam (BeamSpec pins row equality;
     // the two share one oracle).
     "q_sim_graph_beam_stored" -> ((s, d) => {
-      val root = Relational.scratchPath(s, d, "beamstore")
+      val root = ensureBeamStore(s, d)
       val e = embeds(s, d)
-      // marker via the Hadoop FS for the root path, matching how the
-      // store itself is written/read — a java.io.File check was only
-      // consistent while the scratch root lived on the local filesystem
-      // (r14 ADVICE)
-      val marker = new org.apache.hadoop.fs.Path(s"$root/_STORE_COMPLETE")
-      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(marker)) {
-        val cents = trainedCentroidFrame(e, e.count()).localCheckpoint(true)
-        KnnStore.build(s, e, cents, root, 3)
-        fs.create(marker, true).close()
-      }
       val en = normEmbeds(s, d)
       val qvArr = en.where(col("vec_id") === 0)
         .select(col("vn")).head().getSeq[Double](0)
@@ -1248,6 +1257,33 @@ object SimSearch {
           col("vec_id") =!= 0)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
       KnnStore.beamSearch(s, root, qvArr, 0L, 8, 3, seeds)
+    }),
+
+    // BATCH beam serving from the persisted store (r14 verdict task 3):
+    // the stored twin of q_sim_graph_beam_batch. Where the inline batch
+    // walk re-derives the whole trained2 graph per run, this walks the
+    // marker-gated KnnStore with each round's adj/dir/member point reads
+    // keyed by the UNION of all queries' frontiers — one readPart per
+    // table per round for the whole batch, so the ~15-job per-query walk
+    // overhead amortizes over the serving batch and read volume tracks
+    // the union frontier, never the corpus (Probe beambatchstore).
+    // Output ≡ q_sim_graph_beam_batch (BeamSpec pins row equality; the
+    // two share one oracle).
+    "q_sim_graph_beam_batch_stored" -> ((s, d) => {
+      val root = ensureBeamStore(s, d)
+      val en = normEmbeds(s, d)
+      val nVec = embeds(s, d).count()
+      def h(salt: String) =
+        Core.md5Hash64(concat(lit(salt), col("vec_id").cast("string")))
+      // same count-derived hash picks as the inline batch walk: the
+      // query set scales with SERVING load, never the corpus
+      val qs = en.where(pmod(h("bq|"), lit(math.max(1L, nVec / 5))) === 0)
+        .select(col("vec_id"), col("vn"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val seeds = en
+        .where(pmod(h("beam|"), lit(math.max(1L, nVec / 8))) === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      KnnStore.beamSearchBatch(s, root, qs, 8, 3, seeds)
     }),
 
     // NN-Descent iterate-until-decay (r12 verdict task 3): the fixpoint
@@ -2247,15 +2283,21 @@ object SimSearch {
        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
        |  FROM f3) WHERE rn <= 10)""".stripMargin
 
+  private lazy val beamBatchSelectSql =
+    s"""WITH ${trainedKnn2Ctes()},
+       |$beamBatchCtes
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |  FROM g3) WHERE rn <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_sim_graph_beam_batch" ->
-      s"""WITH ${trainedKnn2Ctes()},
-         |$beamBatchCtes
-         |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, cos FROM (
-         |  SELECT qid, vec_id, cos,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY cos DESC, vec_id) AS rn
-         |  FROM g3) WHERE rn <= 10""".stripMargin,
+    "q_sim_graph_beam_batch" -> beamBatchSelectSql,
+
+    // the store-served batch walk is pinned row-identical to the inline
+    // batch walk (BeamSpec), so it shares the oracle verbatim
+    "q_sim_graph_beam_batch_stored" -> beamBatchSelectSql,
 
     "q_stream_ivf_route" ->
       s"""WITH ${trainedKnn2Ctes()}

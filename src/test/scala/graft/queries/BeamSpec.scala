@@ -82,6 +82,18 @@ class BeamSpec extends SparkSpec {
     assert(stored.toSeq == beam.toSeq)
   }
 
+  test("the store-backed BATCH walk serves the identical result: " +
+    "q_sim_graph_beam_batch_stored ≡ q_sim_graph_beam_batch, row for row") {
+    def rowSet(q: String) =
+      SimSearch.queries(q)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val inline = rowSet("q_sim_graph_beam_batch")
+    val stored = rowSet("q_sim_graph_beam_batch_stored")
+    assert(inline.nonEmpty)
+    assert(stored == inline)
+  }
+
   test("the recall gate agrees with an independent truth computation") {
     val row = SimSearch.queries("q_sim_graph_beam_recall")(spark, dir)
       .collect().head
