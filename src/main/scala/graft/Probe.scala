@@ -793,6 +793,101 @@ object Probe {
         println(s"STATS=beamplan READ=adj TASKS=${m3.tasks} " +
           s"RECORDS=${m3.inputRecords}")
         scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "beambatchstore" =>
+        // r14 verdict task 3 evidence: per-round job count of the batch
+        // walk must be FLAT in the serving-batch size (one readPart per
+        // table per round for the whole batch) and read volume ∝ the
+        // union frontier — plus the amortization baseline: the same
+        // queries walked singly through beamSearch.
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_beambatch_probe"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        timed("beambatchstore_build") {
+          graft.queries.KnnStore.build(s, e, cents, root, 3)
+        }
+        val en = SimSearch.normEmbeds(s, d)
+        def picks(salt: String, expect: Long) = en
+          .where(pmod(graft.ops.Core.md5Hash64(concat(lit(salt),
+            col("vec_id").cast("string"))),
+            lit(math.max(1L, n / expect))) === 0)
+        val seeds = picks("beam|", 8).select(col("vec_id"))
+          .collect().map(_.getLong(0)).toSeq
+        def qset(expect: Long) = picks("bq|", expect)
+          .select(col("vec_id"), col("vn"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        // discarded warmup: JIT + page-cache premium on the first case
+        // (hard-won rule: fixed-order composite probes)
+        graft.queries.KnnStore.beamSearchBatch(s, root, qset(4), 8, 3, seeds)
+        Seq(8L, 32L, 128L).foreach { qn =>
+          val qs = qset(qn)
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val jl = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          }
+          s.sparkContext.addSparkListener(jl)
+          val t0 = System.nanoTime()
+          val (_, m) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+            graft.queries.KnnStore.beamSearchBatch(s, root, qs, 8, 3, seeds)
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          s.sparkContext.removeSparkListener(jl)
+          println(s"STATS=beambatchstore N=$n Q=${qs.size} " +
+            s"JOBS=${jobs.get} TASKS=${m.tasks} " +
+            s"INPUT_RECORDS=${m.inputRecords} SEC=$sec")
+        }
+        val qsSmall = qset(8)
+        val t1 = System.nanoTime()
+        val (_, mS) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+          qsSmall.foreach { case (qid, qv) =>
+            graft.queries.KnnStore.beamSearch(s, root, qv, qid, 8, 3,
+              seeds).collect()
+          }
+        }
+        println(s"STATS=beambatchstore N=$n SINGLES=${qsSmall.size} " +
+          s"TASKS=${mS.tasks} INPUT_RECORDS=${mS.inputRecords} " +
+          s"SEC=${(System.nanoTime() - t1) / 1e9}")
+        scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "bandstore" =>
+        // r14 frontier #1 evidence: the stored streaming screen's probe
+        // I/O must track the BATCH, never the corpus — run at sf10
+        // (500k docs) and sf100 (5M) and compare INPUT_RECORDS per
+        // batch size across the 10× corpus step.
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_bandstore_probe"
+        val docs = graft.ops.Core.table(s, d, "documents")
+          .localCheckpoint(true)
+        val corpus = docs.where(col("source") === "src0")
+        val nArr = docs.where(col("source") =!= "src0").count()
+        val seeds = 0 until 8
+        timed("bandstore_build") {
+          graft.streaming.BandStore.build(s, graft.llm.Dedup.bandKeys(
+            graft.llm.Dedup.minhashSigs(corpus, "doc_id", "text", 3,
+              seeds),
+            "doc_id", bands = 4, rowsPerBand = 2).select(col("bk")), root)
+        }
+        println(s"STATS=bandstore SHARDS=" +
+          graft.streaming.BandStore.readShards(s, root))
+        // discarded warmup (JIT/page-cache premium on the first case)
+        graft.streaming.BandStore.probe(s, root, Seq("0|1_2"))
+        Seq(100L, 1000L).foreach { bsz =>
+          val batch = docs.where(col("source") =!= "src0")
+            .where(pmod(graft.ops.Core.md5Hash64(concat(
+              lit(s"bsz$bsz|"), col("doc_id").cast("string"))),
+              lit(math.max(1L, nArr / bsz))) === 0)
+            .localCheckpoint(true)
+          val m0 = batch.count()
+          val t0 = System.nanoTime()
+          val (_, m) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+            noop(graft.streaming.BandStore.lshTagBatch(s, root, batch,
+              "doc_id", "text", 3, seeds, bands = 4, rowsPerBand = 2))
+          }
+          println(s"STATS=bandstore BATCH=$m0 TASKS=${m.tasks} " +
+            s"INPUT_RECORDS=${m.inputRecords} " +
+            s"SEC=${(System.nanoTime() - t0) / 1e9}")
+        }
+        scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -1924,6 +1924,40 @@ object LlmOps {
           lit(m.toLong).as("m_bits"), lit(kh.toLong).as("k_hashes"))
     }),
 
+    // Beyond-broadcast streaming LSH screen — the band-key STORE form of
+    // q_stream_lsh_batch (r14 frontier #1): the corpus' band keys live in
+    // a hash-sharded parquet store (BandStore; marker-gated build like
+    // the beam store, so repeat runs pay only the probe), and an arrival
+    // micro-batch tags by POINT-READING exactly its own keys' shard
+    // directories — probe I/O ∝ the batch at any corpus size, where the
+    // bloom forms above cap at the broadcast bitset. The arrival batch is
+    // a count-derived hash pick (~100 docs): a serving batch scales with
+    // INGEST load, never the corpus — collecting its band keys to the
+    // driver is the same driver-bounded contract as a beam frontier.
+    // Membership is EXACT (no bloom FPs), so the oracle is a plain
+    // band-key join — no bitset word math to replicate.
+    "q_stream_lsh_stored" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val root = Relational.scratchPath(s, d, "bandstore")
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_STORE_COMPLETE")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        val sigs = Dedup.minhashSigs(docs.where(col("source") === "src0"),
+          "doc_id", "text", 3, MinhashSeeds)
+        graft.streaming.BandStore.build(s,
+          Dedup.bandKeys(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+            .select(col("bk")), root)
+        fs.create(marker, true).close()
+      }
+      val arrivals = docs.where(col("source") =!= "src0")
+      val mod = math.max(1L, arrivals.count() / 100)
+      val batch = arrivals.where(pmod(Core.md5Hash64(concat(lit("lshq|"),
+        col("doc_id").cast("string"))), lit(mod)) === 0)
+      graft.streaming.BandStore.lshTagBatch(s, root, batch, "doc_id",
+          "text", 3, MinhashSeeds, bands = 4, rowsPerBand = 2)
+        .select(col("doc_id"), col("n_hit_bands"), col("flagged"))
+    }),
+
     // Right-sized decontamination — the production sizing the static
     // 16 Kbit instance above deliberately doesn't do (its fixed m is what
     // the oracle pins; SCALE.md documents its saturation at 10×). Here
@@ -2423,6 +2457,42 @@ object LlmOps {
          |  (SELECT m FROM prm2) AS m_bits,
          |  (SELECT k FROM prm2) AS k_hashes
          |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN nh USING (doc_id)""".stripMargin
+    },
+
+    // Stored-screen twin: EXACT band-key membership (the store has no
+    // bloom, so no bitset word math) — corpus keys distinct, the
+    // hash-picked arrival batch's keys joined against them, hit-band
+    // counts per doc. The pick modulus re-derives from the same
+    // count-over-100 floor division on both sides.
+    "q_stream_lsh_stored" -> {
+      val mins = MinhashSeeds.map(i => s"min(${mhSql(i)}) AS mh$i").mkString(", ")
+      def keyRows(src: String) = (0 until 4)
+        .map(b => s"SELECT doc_id, '$b|' || concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bk FROM $src")
+        .mkString("\n  UNION ALL\n  ")
+      val pick = s"${sqlHash64("'lshq|' || CAST(doc_id AS VARCHAR)")} % " +
+        "(SELECT greatest(1, count(*) // 100) FROM documents WHERE source <> 'src0') = 0"
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents
+         |        WHERE source = 'src0' AND $minDocSql)
+         |  GROUP BY doc_id),
+         |refk AS (SELECT DISTINCT bk FROM (
+         |  ${keyRows("sigs")})),
+         |ssigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM (SELECT doc_id, $shingleSql FROM documents
+         |        WHERE source <> 'src0' AND $minDocSql AND $pick)
+         |  GROUP BY doc_id),
+         |skeys AS (
+         |  ${keyRows("ssigs")}),
+         |nh AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+         |       FROM skeys s JOIN refk USING (bk) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nh.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+         |  coalesce(nh.n_hit_bands, 0) > 0 AS flagged
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE source <> 'src0' AND $pick) d
          |LEFT JOIN nh USING (doc_id)""".stripMargin
     },
 

@@ -62,6 +62,15 @@ object Streams {
     * sketch is the only state, and it lives in the BATCH world.
     * Emits all rows with a `flagged` column; dropping instead of tagging
     * is a `.where` away, but tagging keeps the false-positive audit path.
+    *
+    * SCALE CEILING (stated, not hidden): the whole design rides a
+    * broadcast bitset, so it caps at what the driver can build and every
+    * executor can hold — at ~10 bits/key (1% FP), 10⁹ reference keys is
+    * already a ~1.2 GB one-row broadcast. Past that, use the
+    * disk-partitioned key store (BandStore — hash-sharded key
+    * directories, point-read probes per micro-batch ∝ the batch, exact
+    * membership); this form stays the right one BELOW the ceiling
+    * because its per-row probe is stateless and shuffle-free.
     */
   def bloomTagStream(stream: DataFrame, bits: DataFrame, key: String,
                      mBits: Int, k: Int): DataFrame =
@@ -84,6 +93,13 @@ object Streams {
     * go to the batch exact-verify (tag, don't drop — same audit contract
     * as bloomTagStream). Emits every input row plus
     * (n_hit_bands, flagged); docs too short to shingle tag (0, false).
+    *
+    * SCALE CEILING: same broadcast cap as bloomTagStream — the bitset is
+    * sized to the corpus' BAND-KEY vocabulary, and past ~10⁹ keys there
+    * is no broadcast to probe. BandStore.lshTagBatch is the
+    * beyond-broadcast twin (same key family, exact membership, probe
+    * I/O ∝ the micro-batch); BandStoreSpec pins stored-flagged ⊆
+    * bloom-flagged and exactness on the same corpus.
     */
   def lshNearDupTagStream(stream: DataFrame, bits: DataFrame,
                           textCol: String, n: Int, seeds: Seq[Int],
