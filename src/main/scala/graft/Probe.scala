@@ -849,6 +849,91 @@ object Probe {
           s"TASKS=${mS.tasks} INPUT_RECORDS=${mS.inputRecords} " +
           s"SEC=${(System.nanoTime() - t1) / 1e9}")
         scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "knnupsert" =>
+        // r14 verdict task 4 A/B: the fused one-pass upsert vs the
+        // remove ∘ add composition, identical batches on identically
+        // built stores (each arm pays its own build; the builds also
+        // serve as JIT warm-up so the cross-arm comparison is on warm
+        // code). RunMetrics read volumes are the JIT-independent signal.
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_knnupsert_probe"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        val isUp = pmod(xxhash64(concat(lit("ups|"),
+          col("vec_id").cast("string"))), lit(1024L)) === 0
+        val isUpSmall = isUp && pmod(xxhash64(concat(lit("ups2|"),
+          col("vec_id").cast("string"))), lit(64L)) === 0
+        def reEmbed(pred: org.apache.spark.sql.Column) = e.where(pred)
+          .select(col("vec_id"),
+            transform(col("v"), x => -x).as("v"))
+          .localCheckpoint(true)
+        val small = reEmbed(isUpSmall)
+        val rest = reEmbed(isUp && !isUpSmall)
+        def upStep(tag: String, batch: DataFrame,
+            f: (org.apache.spark.sql.SparkSession, DataFrame) => Unit)
+            : Unit = {
+          val m0 = batch.count()
+          val (_, m) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+            timed(s"knnupsert_$tag") { f(s, batch) }
+          }
+          println(s"STATS=knnupsert STEP=$tag N=$n BATCH=$m0 " +
+            s"INPUT_RECORDS=${m.inputRecords} " +
+            s"SHUFFLE_RECORDS=${m.shuffleReadRecords}")
+        }
+        timed("knnupsert_build_seq") {
+          graft.queries.KnnStore.build(s, e, cents, root, 3)
+        }
+        upStep("seq_small", small, (ss, b) =>
+          graft.queries.KnnStore.upsertSequential(ss, b, cents, root, 3))
+        upStep("seq_rest", rest, (ss, b) =>
+          graft.queries.KnnStore.upsertSequential(ss, b, cents, root, 3))
+        timed("knnupsert_build_fused") {
+          graft.queries.KnnStore.build(s, e, cents, root, 3)
+        }
+        upStep("fused_small", small, (ss, b) =>
+          graft.queries.KnnStore.upsert(ss, b, cents, root, 3))
+        upStep("fused_rest", rest, (ss, b) =>
+          graft.queries.KnnStore.upsert(ss, b, cents, root, 3))
+        scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "knndrift" =>
+        // r14 verdict task 5: centroid-drift contract evidence. Arrival
+        // batches drawn from a SHIFTED distribution (existing vectors
+        // pulled hard toward one fixed direction) land in the few cells
+        // nearest the new mode; occupancyAudit's Σsize² / max_cell
+        // record the skew curve batch by batch — the rebuild-trigger
+        // rule in the class doc derives from it.
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_knndrift_probe"
+        val cents = SimSearch.trainedCentroidFrame(e, n).localCheckpoint(true)
+        timed("knndrift_build") {
+          graft.queries.KnnStore.build(s, e, cents, root, 3)
+        }
+        def audit(tag: String): Unit = {
+          val r = graft.queries.KnnStore.occupancyAudit(s, root).head()
+          println(s"STATS=knndrift STEP=$tag N=$n " +
+            s"NCELLS=${r.getLong(0)} NMEMBERS=${r.getLong(1)} " +
+            s"SUMSQ=${r.getLong(2)} MAXCELL=${r.getLong(3)}")
+        }
+        audit("build")
+        val drift = SimSearch.normEmbeds(s, d).orderBy(col("vec_id"))
+          .select(col("vn")).head().getSeq[Double](0)
+        val driftLit = array(drift.map(lit): _*)
+        (1 to 5).foreach { b =>
+          // unit vectors pulled 2 units toward the drift direction:
+          // ~uniform pick of ids (hash, never prefix), fresh NEGATIVE
+          // ids offset per batch (cannot collide with any fixture /
+          // ScaleUp id)
+          val batch = SimSearch.normEmbeds(s, d)
+            .where(pmod(xxhash64(concat(lit(s"drift$b|"),
+              col("vec_id").cast("string"))), lit(64L)) === 0)
+            .select((-col("vec_id") - lit(b.toLong * (1L << 40))).as("vec_id"),
+              zip_with(col("vn"), driftLit,
+                (x, u) => x + lit(2.0) * u).as("v"))
+          timed(s"knndrift_add$b") {
+            graft.queries.KnnStore.addArrivals(s, batch, cents, root, 3)
+          }
+          audit(s"batch$b")
+        }
+        scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
       case "bandstore" =>
         // r14 frontier #1 evidence: the stored streaming screen's probe
         // I/O must track the BATCH, never the corpus — run at sf10
@@ -871,7 +956,11 @@ object Probe {
           graft.streaming.BandStore.readShards(s, root))
         // discarded warmup (JIT/page-cache premium on the first case)
         graft.streaming.BandStore.probe(s, root, Seq("0|1_2"))
-        Seq(100L, 1000L).foreach { bsz =>
+        // batch sizes straddle the shard count: a batch whose key set
+        // spans every shard reads the whole table (the S-floor regime,
+        // same as KnnStore's adj shards at fixture scale); the ∝-batch
+        // bound shows below S where touched shards < S
+        Seq(5L, 25L, 100L, 1000L).foreach { bsz =>
           val batch = docs.where(col("source") =!= "src0")
             .where(pmod(graft.ops.Core.md5Hash64(concat(
               lit(s"bsz$bsz|"), col("doc_id").cast("string"))),

@@ -63,6 +63,27 @@ import graft.llm.Vectors
   * NOT retrain on arrivals (the streaming-ANN contract shared with
   * Streams.ingestScreenPipeline: training is corpus-owned).
   *
+  * DRIFT CONTRACT (what N batches of DISTRIBUTION-SHIFTED arrivals do,
+  * and when to rebuild — the degenerate-batch rule below covers batch
+  * SIZE; this covers batch SHAPE): because centroids never retrain,
+  * drifted arrivals park in the few cells nearest the new mode and
+  * occupancy balance decays monotonically — exactness is never at risk
+  * (every theorem here is distribution-free), only the occupancy-bound
+  * COSTS: maintenance compute ∝ batch · occ(touched cells), a serving
+  * fetch ∝ the probed cells' sizes, and any bucketed pair work ∝
+  * Σsize². `occupancyAudit` is the meter (one members pass); run it
+  * after arrival batches. Measured drift curve (Probe knndrift, 200k,
+  * arrivals pulled 2 units toward one direction): growing the corpus
+  * 8% with drifted arrivals took Σsize² to 2.2× and max_cell to 10×
+  * their build-time values (352 → 3,494 — the hot cell absorbed most
+  * of every batch; both figures grow ~linearly in drifted volume, so
+  * degradation is gradual, not a cliff). REBUILD TRIGGER: retrain +
+  * rebuild when sum_sq exceeds ~2× or max_cell ~8× their build-time
+  * values — past that the hot-cell fetch dominates serving latency and
+  * batch folds pay occ(hot) per arrival that lands there, while
+  * rebuild cost stays the fixed ~1×-corpus price (amortized over the
+  * drift window that tripped the trigger).
+  *
   * Scale shape (the precise bounds, r14 — every prune below is a LITERAL
   * partition predicate from a collected driver-bounded touch set; the
   * r13 broadcast-join prunes relied on DPP heuristics that do NOT fire
@@ -761,15 +782,278 @@ object KnnStore {
       .agg(count(lit(1)).as("n_rows"))
   }
 
-  /** Re-embed (CDC upsert): remove the old vectors, fold the new rows —
-    * exactly the remove-then-add composition of the two theorems, so
-    * build(corpus) + upsert(batch) ≡ build((corpus \ batch.ids) ∪ batch).
+  /** Re-embed (CDC upsert): build(corpus) + upsert(batch) ≡
+    * build((corpus \ batch.ids) ∪ batch) — KnnStoreSpec pins the theorem
+    * and fused ≡ sequential on all five tables.
+    *
+    * ONE fused fold, not remove ∘ add (upsertSequential below keeps the
+    * two-pass composition for the A/B and as the executable spec of the
+    * semantics). The sequential form pays every guard / directory /
+    * graph / adj pass TWICE over largely-overlapping touch sets; fusing
+    * exploits what remove-then-add cannot see:
+    *  - the victim ids ARE the arrival ids, so the dir guard, its shard
+    *    reads, and the dir rewrite collapse to one pass over ONE shard
+    *    set (same ids → same shards);
+    *  - a holder (stored list contains a victim edge) is recomputed
+    *    ONCE against the FINAL member set (stored \ victims ∪ arrivals)
+    *    instead of recompute-vs-shrunken then maybe fold-the-arrival;
+    *  - graph and adj partitions are rewritten once, with one combined
+    *    replaced-owner set, instead of two dynamic overwrites each.
+    *
+    * Exactness decomposes like the two parent theorems: for x in the
+    * final corpus, cand'(x) = {m ≠ x : m's new primary ∈ probes'(x)}.
+    * Re-embedded rows get fresh lists against final members of their
+    * (new-assignment) probed cells — in-batch pairs included, the
+    * addArrivals argument. An untouched member x either holds a victim
+    * edge (holder → full recompute vs final members: losing an evicted
+    * candidate is exactly the removeVectors argument, gaining a
+    * re-embedded candidate rides the same recompute) or it does not —
+    * then its stored list ≡ its top-K over cand(x) \ U (dropping
+    * non-held candidates never changes a top-K), and the only delta is
+    * arrivals landing in its probed cells, folded by bounded-top-K
+    * mergeability behind the same defense check addArrivals uses.
+    * Rows whose NEW vector is unassignable (both probed cells empty)
+    * leave the store entirely — identical to remove ∘ add, where the
+    * add-side assignFrame drops them.
     */
   def upsert(s: SparkSession, updated: DataFrame, cents: DataFrame,
       root: String, k: Int): Unit = {
+    val dirShards = readDirShards(s, root)
+    val uIds = updated.select(col("vec_id"),
+        shardOf(col("vec_id"), dirShards).as("shard"))
+      .cleanCkpt
+    val nU = uIds.count()
+    require(uIds.select(col("vec_id")).distinct().count() == nU,
+      "upsert: duplicate vec_ids in the update batch")
+    def vIds = uIds.select(col("vec_id").as("vec_id"))
+    val uShardSeq = litSeq(uIds.select(col("shard")))
+    // presence guard + the victims' OLD placement, one directory pass
+    val victims = readPart(s, s"$root/dir", DirSchema, "shard", uShardSeq)
+      .join(broadcast(vIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("home"), col("bucket2"))
+      .cleanCkpt
+    require(victims.count() == nU,
+      "upsert: some ids are not in the store — new ids go through " +
+        "addArrivals")
+    val vHomeSeq = litSeq(victims.select(col("home")))
+    val vCellSeq = litSeq(victims
+      .select(explode(array_compact(array(col("home"), col("bucket2"))))
+        .as("cell")))
+
+    // the batch under its NEW assignment (unassignable rows drop out)
+    val av = assignFrame(updated, cents).cleanCkpt
+    val aPost = postingsOf(av).cleanCkpt
+    val aProbes = aPost
+      .select(col("vec_id"), col("vn"), col("pcell").as("bucket"))
+    val aCellSeq = litSeq(aPost.select(col("pcell")))
+    val aBucketSeq = litSeq(av.select(col("bucket")))
+
+    // final members of a cell set: stored minus victims, plus arrivals
+    // newly primary there — the candidate ground truth every recompute
+    // and fresh list scores against
+    def finalMembers(cellSeq: Seq[Long]): DataFrame =
+      readPart(s, s"$root/members", MembersSchema, "bucket", cellSeq)
+        .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vn"), col("bucket"))
+        .union(av.where(col("bucket").isin(cellSeq: _*))
+          .select(col("vec_id"), col("vn"), col("bucket")))
+
+    // holders: members (≠ victims) whose stored list carries a victim
+    // edge — a graph row (h, u) exists only if h probes u's old home,
+    // so holders ⊆ probers of the victims' old primaries (postings
+    // reverse lookup, pruned)
+    val probers = readPart(s, s"$root/postings", PostingsSchema, "pcell",
+        vHomeSeq)
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("home")).distinct()
+      .cleanCkpt
+    val proberHomeSeq = litSeq(probers.select(col("home")))
+    val proberLists = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        proberHomeSeq)
+      .join(broadcast(probers.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+      .cleanCkpt
+    val holders = proberLists
+      .join(broadcast(vIds.select(col("vec_id").as("nbr"))), Seq("nbr"),
+        "left_semi")
+      .select(col("vec_id"), col("bucket").as("home")).distinct()
+      .cleanCkpt
+    def hIds = holders.select(col("vec_id").as("vec_id"))
+
+    // holders recompute ONCE, against the final member set
+    val hHomeSeq = litSeq(holders.select(col("home")))
+    val hProbes = readPart(s, s"$root/members", MembersSchema, "bucket",
+        hHomeSeq)
+      .join(broadcast(hIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("vn"),
+        explode(array_compact(array(col("bucket"), col("bucket2"))))
+          .as("bucket"))
+      .cleanCkpt
+    val hCellSeq = litSeq(hProbes.select(col("bucket")))
+    val hLists = topK(scoreAgainst(broadcast(hProbes),
+        finalMembers(hCellSeq), "bucket"), k)
+      .join(broadcast(holders.select(col("vec_id"),
+        col("home").as("bucket"))), Seq("vec_id"))
+      .cleanCkpt
+
+    // fresh lists for the re-embedded rows (final members include the
+    // in-batch co-arrivals of shared cells)
+    val aLists = topK(scoreAgainst(broadcast(aProbes),
+        finalMembers(aCellSeq), "bucket"), k)
+      .join(av.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .cleanCkpt
+
+    // gains: stored members (≠ victims, ≠ holders — holders' recompute
+    // already sees the arrivals) probing an arrival's NEW primary cell,
+    // with the addArrivals defense check against their stored lists
+    val gains = readPart(s, s"$root/postings", PostingsSchema, "pcell",
+        aBucketSeq)
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .join(broadcast(hIds), Seq("vec_id"), "left_anti")
+      .join(broadcast(av.select(col("vec_id").as("a_id"),
+        col("vn").as("avn"), col("bucket").as("pcell"))), Seq("pcell"))
+      .select(col("vec_id"), col("home"), col("a_id").as("nbr"),
+        round(Vectors.dotFast(col("vn"), col("avn")), 6).as("cos"))
+      .cleanCkpt
+    val gainIds = gains.select(col("vec_id")).distinct().cleanCkpt
+    val gainHomeSeq = litSeq(gains.select(col("home")))
+    val defense = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        gainHomeSeq)
+      .join(broadcast(gainIds), Seq("vec_id"), "left_semi")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nk"),
+        min(struct(col("cos"), (-col("nbr")).as("negnbr"))).as("worst"))
+      .select(col("vec_id"), col("nk"),
+        col("worst.cos").as("kcos"), (-col("worst.negnbr")).as("knbr"))
+    val changed = gains
+      .join(defense, Seq("vec_id"), "left_outer")
+      .where(col("nk").isNull || col("nk") < k ||
+        col("cos") > col("kcos") ||
+        (col("cos") === col("kcos") && col("nbr") < col("knbr")))
+      .select(col("vec_id"), col("home")).distinct()
+      .cleanCkpt
+    def changedIds = changed.select(col("vec_id").as("vec_id"))
+
+    // ONE graph pass over the combined touch set; replaced owners =
+    // victims ∪ holders ∪ defense-passing gainers (pairwise disjoint by
+    // construction)
+    val touchedGraphSeq = (vHomeSeq ++ hHomeSeq ++ aBucketSeq ++
+      litSeq(changed.select(col("home")))).distinct
+    val storedTouched = readPart(s, s"$root/graph", GraphSchema, "bucket",
+        touchedGraphSeq)
+      .cleanCkpt
+    val replacedIds = fresh(vIds).union(fresh(hIds))
+      .union(fresh(changedIds)).cleanCkpt
+    val keptRows = storedTouched
+      .join(broadcast(replacedIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cos"),
+        col("bucket"))
+      .cleanCkpt
+    val merged = topK(
+      storedTouched.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("nbr"), col("cos"))
+        .union(gains.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("nbr"), col("cos"))), k)
+      .join(broadcast(changed.select(col("vec_id"),
+        col("home").as("bucket"))), Seq("vec_id"))
+      .cleanCkpt
+    val newGraphRows = fresh(keptRows)
+      .union(fresh(merged.select(col("vec_id"), col("rank"), col("nbr"),
+        col("cos"), col("bucket"))))
+      .union(fresh(hLists.select(col("vec_id"), col("rank"), col("nbr"),
+        col("cos"), col("bucket"))))
+      .union(fresh(aLists.select(col("vec_id"), col("rank"), col("nbr"),
+        col("cos"), col("bucket"))))
+      .cleanCkpt
+
+    // adj delta: drop every row owned by a replaced member (old victim /
+    // holder / changed lists), add both directions of the replacement
+    // lists — one rewrite over the union shard set
+    val oldOwned = storedTouched
+      .join(broadcast(replacedIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr"))
+      .cleanCkpt
+    val deltaNew = fresh(merged.select(col("vec_id"), col("nbr")))
+      .union(fresh(hLists.select(col("vec_id"), col("nbr"))))
+      .union(fresh(aLists.select(col("vec_id"), col("nbr"))))
+      .cleanCkpt
+    val rmOwners = replacedIds.select(col("vec_id").as("owner")).cleanCkpt
+    val affectedShardSeq = litSeq(oldOwned.union(deltaNew)
+      .select(explode(array(col("vec_id"), col("nbr"))).as("id"))
+      .select(shardOf(col("id"), dirShards).as("shard")))
+    val newAdjRows = readPart(s, s"$root/adj", AdjSchema, "shard",
+        affectedShardSeq)
+      .join(broadcast(rmOwners), Seq("owner"), "left_anti")
+      .select(col("v"), col("u"), col("owner"), col("shard"))
+      .union(adjOf(deltaNew, dirShards))
+      .cleanCkpt
+
+    // members / postings / dir: drop the victims' rows, add the
+    // re-assigned batch — each table one pass over old ∪ new cells
+    val memberCellSeq = (vHomeSeq ++ aBucketSeq).distinct
+    val newMemberRows = readPart(s, s"$root/members", MembersSchema,
+        "bucket", memberCellSeq)
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vn"), col("bucket2"), col("bucket"))
+      .union(av.select(col("vec_id"), col("vn"), col("bucket2"),
+        col("bucket")))
+      .cleanCkpt
+    val postingCellSeq = (vCellSeq ++ aCellSeq).distinct
+    val newPostingRows = readPart(s, s"$root/postings", PostingsSchema,
+        "pcell", postingCellSeq)
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vn"), col("home"), col("pcell"))
+      .union(aPost.select(col("vec_id"), col("vn"), col("home"),
+        col("pcell")))
+      .cleanCkpt
+    val newDirRows = readPart(s, s"$root/dir", DirSchema, "shard",
+        uShardSeq)
+      .join(broadcast(vIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("home"), col("bucket2"), col("shard"))
+      .union(dirOf(av, dirShards))
+      .cleanCkpt
+
+    // all writes last; emptied partitions deleted, not left stale
+    overwriteTouched(s, newGraphRows, "bucket", s"$root/graph",
+      touchedGraphSeq)
+    overwriteTouched(s, newMemberRows, "bucket", s"$root/members",
+      memberCellSeq)
+    overwriteTouched(s, newPostingRows, "pcell", s"$root/postings",
+      postingCellSeq)
+    overwriteTouched(s, newDirRows, "shard", s"$root/dir",
+      uShardSeq, sortCol = Some("vec_id"))
+    overwriteTouched(s, newAdjRows, "shard", s"$root/adj",
+      affectedShardSeq, sortCol = Some("v"))
+  }
+
+  /** The remove ∘ add composition the fused `upsert` replaced — kept as
+    * the executable SPEC of upsert semantics (KnnStoreSpec pins fused ≡
+    * sequential on all five tables) and the A/B baseline (Probe
+    * knnupsert).
+    */
+  private[graft] def upsertSequential(s: SparkSession, updated: DataFrame,
+      cents: DataFrame, root: String, k: Int): Unit = {
     removeVectors(s, updated.select(col("vec_id")), root, k)
     addArrivals(s, updated, cents, root, k)
   }
+
+  /** Occupancy audit — the DRIFT METER for the no-retrain contract (see
+    * the class doc): one members scan + one agg returning (n_cells,
+    * n_members, sum_sq, max_cell). Σsize² is the figure every bucketed
+    * pair bound rides (pair work ∝ Σsize²; the r10 semdedup skew probe
+    * measured 66× uniform Σsize² → 32× pair wall) and max_cell bounds a
+    * single serving fetch. Run it after arrival batches whose
+    * distribution may have DRIFTED from the training corpus — centroids
+    * deliberately never retrain, so drift parks every arrival in the few
+    * cells nearest the new mode and the audit is the only warning.
+    * Priced as an audit: a full members pass, not a maintenance
+    * point-read.
+    */
+  def occupancyAudit(s: SparkSession, root: String): DataFrame =
+    readMembers(s, root)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_members"),
+        sum(col("c") * col("c")).as("sum_sq"), max(col("c")).as("max_cell"))
 
   /** HNSW-style beam walk served ENTIRELY from the persisted store —
     * every read partition-pruned by LITERAL predicates derived from the

@@ -195,6 +195,48 @@ class KnnStoreSpec extends SparkSpec {
     allTablesEqual(root, expRoot)
   }
 
+  test("fused upsert ≡ the remove ∘ add composition it replaced, all " +
+    "five tables (and its guards fail loudly)") {
+    val updated = arrivals.select(col("vec_id"),
+      transform(col("v"), x => -x).as("v")).localCheckpoint(true)
+    val root = tmpRoot("upsfused")
+    KnnStore.build(spark, corpus, cents, root, K)
+    KnnStore.upsert(spark, updated, cents, root, K)
+    val seqRoot = tmpRoot("upsseq")
+    KnnStore.build(spark, corpus, cents, seqRoot, K)
+    KnnStore.upsertSequential(spark, updated, cents, seqRoot, K)
+    allTablesEqual(root, seqRoot)
+    // guards: in-batch duplicate; an id the store has never seen
+    val one = updated.limit(1)
+    val e1 = intercept[IllegalArgumentException] {
+      KnnStore.upsert(spark, one.union(one), cents, root, K)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val alien = updated.limit(1)
+      .select((col("vec_id") + lit(1L << 60)).as("vec_id"), col("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      KnnStore.upsert(spark, alien, cents, root, K)
+    }
+    assert(e2.getMessage.contains("not in the store"))
+  }
+
+  test("occupancyAudit reports the members table's true cell histogram " +
+    "figures and tracks an arrival batch") {
+    val root = tmpRoot("audit")
+    KnnStore.build(spark, base, cents, root, K)
+    def auditRow = KnnStore.occupancyAudit(spark, root).head()
+    val counts = KnnStore.readMembers(spark, root)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    val r0 = auditRow
+    assert(r0.getLong(0) == counts.length)            // n_cells
+    assert(r0.getLong(1) == counts.sum)               // n_members
+    assert(r0.getLong(2) == counts.map(c => c * c).sum) // sum_sq
+    assert(r0.getLong(3) == counts.max)               // max_cell
+    KnnStore.addArrivals(spark, arrivals, cents, root, K)
+    assert(auditRow.getLong(1) == r0.getLong(1) + arrivals.count())
+  }
+
   test("removal guards fail loudly: duplicate ids and non-stored ids " +
     "both throw") {
     val root = tmpRoot("rmguard")
