@@ -1958,6 +1958,34 @@ object LlmOps {
         .select(col("doc_id"), col("n_hit_bands"), col("flagged"))
     }),
 
+    // Beyond-broadcast decontamination screen — the stored form of
+    // q_dedup_decon_bloom's ingest half (BandStore is key-source-
+    // agnostic: same store discipline, keys = the reference corpus'
+    // distinct 5-gram shingles instead of LSH band keys). Membership is
+    // exact, so the bloom's hit-then-verify split collapses to one
+    // n_ref_grams count; the arrival batch is the same count-derived
+    // serving pick as the LSH twin.
+    "q_dedup_decon_stored" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val root = Relational.scratchPath(s, d, "deconstore")
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_STORE_COMPLETE")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        graft.streaming.BandStore.build(s,
+          docs.where(col("source") === "src0")
+            .select(explode(array_distinct(
+              TextOps.shingles(col("text"), 5))).as("bk")), root)
+        fs.create(marker, true).close()
+      }
+      val arrivals = docs.where(col("source") =!= "src0")
+      val mod = math.max(1L, arrivals.count() / 100)
+      val batch = arrivals.where(pmod(Core.md5Hash64(concat(lit("decq|"),
+        col("doc_id").cast("string"))), lit(mod)) === 0)
+      graft.streaming.BandStore.deconTagBatch(s, root, batch, "doc_id",
+          "text", 5)
+        .select(col("doc_id"), col("n_ref_grams"), col("flagged"))
+    }),
+
     // Right-sized decontamination — the production sizing the static
     // 16 Kbit instance above deliberately doesn't do (its fixed m is what
     // the oracle pins; SCALE.md documents its saturation at 10×). Here
@@ -2491,6 +2519,30 @@ object LlmOps {
          |SELECT d.doc_id,
          |  CAST(coalesce(nh.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
          |  coalesce(nh.n_hit_bands, 0) > 0 AS flagged
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE source <> 'src0' AND $pick) d
+         |LEFT JOIN nh USING (doc_id)""".stripMargin
+    },
+
+    // Stored-decon twin: exact membership of the picked arrivals'
+    // distinct 5-grams in the reference vocabulary — a plain join, no
+    // bitset math (the store has no bloom).
+    "q_dedup_decon_stored" -> {
+      val sh5 = shingleSqlN(5, distinct = true)
+      val pick = s"${sqlHash64("'decq|' || CAST(doc_id AS VARCHAR)")} % " +
+        "(SELECT greatest(1, count(*) // 100) FROM documents WHERE source <> 'src0') = 0"
+      s"""WITH refg AS (
+         |  SELECT DISTINCT w AS g
+         |  FROM (SELECT $sh5 FROM documents WHERE source = 'src0')),
+         |bg AS (
+         |  SELECT doc_id, w AS g
+         |  FROM (SELECT doc_id, $sh5 FROM documents
+         |        WHERE source <> 'src0' AND $pick)),
+         |nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM bg JOIN refg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nh.n, 0) AS BIGINT) AS n_ref_grams,
+         |  coalesce(nh.n, 0) > 0 AS flagged
          |FROM (SELECT doc_id FROM documents
          |      WHERE source <> 'src0' AND $pick) d
          |LEFT JOIN nh USING (doc_id)""".stripMargin

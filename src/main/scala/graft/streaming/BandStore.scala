@@ -160,11 +160,26 @@ object BandStore {
         .map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"$b|"), concat_ws("_", rows: _*))
     }
-    val withKeys = sigs.select(col(idCol).as("__bsid"),
+    tagBatchKeys(s, root, batch, idCol,
+      sigs.select(col(idCol).as("__bsid"),
         when(col(s"mh${seeds.head}").isNotNull, array(bkCols: _*))
-          .otherwise(array().cast("array<string>")).as("bks"))
-      .localCheckpoint(true)
-    // driver-bounded by the serving contract: ≤ bands × |batch| strings
+          .otherwise(array().cast("array<string>")).as("bks")),
+      "n_hit_bands")
+  }
+
+  /** Generic stored-screen tagger: `keyed` carries (`__bsid`, `bks`
+    * array<string>) — each row's screen keys, any key family (LSH band
+    * keys above, n-gram sets for the decontamination screen, …). The
+    * union of the batch's keys is collected (driver-bounded by the
+    * serving contract), point-read-probed, and per-row hit counts
+    * re-joined onto `batch` as (`outCol`, flagged). Keyless rows
+    * (empty array) tag (0, false).
+    */
+  private[graft] def tagBatchKeys(s: SparkSession, root: String,
+      batch: DataFrame, idCol: String, keyed: DataFrame,
+      outCol: String): DataFrame = {
+    val withKeys = keyed.localCheckpoint(true)
+    // driver-bounded by the serving contract: ≤ keys/row × |batch|
     val batchKeys = withKeys
       .select(explode(col("bks")).as("bk")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -177,10 +192,25 @@ object BandStore {
       .groupBy(col("__bsid"))
       .agg(count(lit(1)).as("nh"))
     batch.join(nh, batch(idCol) === nh("__bsid"), "left")
-      .withColumn("n_hit_bands", coalesce(col("nh"), lit(0L)))
-      .withColumn("flagged", col("n_hit_bands") > 0)
+      .withColumn(outCol, coalesce(col("nh"), lit(0L)))
+      .withColumn("flagged", col(outCol) > 0)
       .drop("__bsid", "nh")
   }
+
+  /** The stored twin of the DECONTAMINATION screen
+    * (Streams.bloomTagStream over reference n-grams): tag each batch
+    * row with how many of its distinct `n`-gram shingles exist in the
+    * stored reference vocabulary — exact membership, so `n_ref_grams`
+    * needs no bloom-then-verify split. Build the store from the
+    * reference corpus' distinct shingles.
+    */
+  def deconTagBatch(s: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    tagBatchKeys(s, root, batch, idCol,
+      batch.select(col(idCol).as("__bsid"),
+        array_distinct(graft.llm.TextOps.shingles(col(textCol), n))
+          .as("bks")),
+      "n_ref_grams")
 
   /** Continuous form: screen an arrival stream against the store,
     * appending tagged rows to `outDir` — the beyond-broadcast twin of

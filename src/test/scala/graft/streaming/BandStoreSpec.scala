@@ -107,6 +107,37 @@ class BandStoreSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("deconTagBatch ≡ exact n-gram membership against the stored " +
+    "reference vocabulary (key-source-agnostic store)") {
+    import graft.llm.TextOps
+    val root = tmp("decon")
+    try {
+      BandStore.build(spark, corpus.select(explode(array_distinct(
+        TextOps.shingles(col("text"), 5))).as("bk")), root)
+      val tagged = BandStore.deconTagBatch(spark, root, arrivals,
+          "doc_id", "text", 5)
+        .select(col("doc_id"), col("n_ref_grams"), col("flagged"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      val truth = arrivals
+        .select(col("doc_id"), explode(array_distinct(
+          TextOps.shingles(col("text"), 5))).as("g"))
+        .join(corpus.select(explode(array_distinct(
+            TextOps.shingles(col("text"), 5))).as("g")).distinct(),
+          Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val allIds = arrivals.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(tagged.keySet == allIds)
+      assert(truth.nonEmpty)
+      allIds.foreach { id =>
+        val expect = truth.getOrElse(id, 0L)
+        assert(tagged(id) == ((expect, expect > 0)), s"doc $id")
+      }
+    } finally rm(root)
+  }
+
   test("lshScreenSink tags micro-batches against the store end to end " +
     "(exact dup flags all bands, novel and shingle-less docs pass)") {
     val s = spark
