@@ -118,6 +118,37 @@ object BandStore {
       s"$root/keys", sortCol = Some("bk"))
   }
 
+  /** Fold new keys into an existing store — the store's INCREMENTAL
+    * maintenance, closing the continuous-ingest loop: a batch's accepted
+    * (novel) rows extend the reference vocabulary, so later batches
+    * screen against earlier arrivals without a rebuild. One point read +
+    * dynamic overwrite of exactly the new keys' shards (∝ the batch,
+    * never the vocabulary). Keys are a SET, so this is IDEMPOTENT —
+    * replayed batches merge to the same rows (no KnnStore-style replay
+    * guard needed) — and BandStoreSpec pins build(K1) + addKeys(K2) ≡
+    * build(K1 ∪ K2) table-identical plus the idempotency. The shard
+    * count S is a build-time layout property (meta unchanged): sustained
+    * growth fattens shards ~linearly until the granule dominates probe
+    * reads — the REBUILD trigger, same discipline as KnnStore's
+    * occupancy drift.
+    */
+  def addKeys(s: SparkSession, keys: DataFrame, root: String): Unit = {
+    val shards = readShards(s, root)
+    val newKeys = keys.select(col("bk")).distinct()
+      .withColumn("shard", pmod(Core.md5Hash64(col("bk")), lit(shards)))
+      .localCheckpoint(true)
+    val touched = newKeys.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.nonEmpty) {
+      val merged = graft.queries.KnnStore.readPart(s, s"$root/keys",
+          KeysSchema, "shard", touched)
+        .union(newKeys).distinct()
+        .localCheckpoint(true)
+      graft.queries.KnnStore.writePartitioned(merged, "shard",
+        s"$root/keys", sortCol = Some("bk"))
+    }
+  }
+
   /** Exact membership screen of a driver-bounded key set: point-read the
     * keys' shard directories, intersect, return the present subset. The
     * read is ∝ |keys| (touched shards × rows-per-shard, rows-per-shard
@@ -150,7 +181,18 @@ object BandStore {
     */
   def lshTagBatch(s: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String, n: Int, seeds: Seq[Int],
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int): DataFrame =
+    tagBatchKeys(s, root, batch, idCol,
+      lshKeyed(batch, idCol, textCol, n, seeds, bands, rowsPerBand),
+      "n_hit_bands")
+
+  /** Per-row LSH band keys of a batch as (`__bsid`, `bks` array<string>)
+    * — the key frame both the tagger and the store-maintenance sink
+    * derive from (same positional family as lshNearDupTagStream).
+    */
+  private[graft] def lshKeyed(batch: DataFrame, idCol: String,
+      textCol: String, n: Int, seeds: Seq[Int], bands: Int,
+      rowsPerBand: Int): DataFrame = {
     require(seeds == (0 until bands * rowsPerBand),
       s"lshTagBatch requires seeds == 0 until bands*rowsPerBand " +
         s"(= 0 until ${bands * rowsPerBand}); got $seeds")
@@ -160,11 +202,9 @@ object BandStore {
         .map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"$b|"), concat_ws("_", rows: _*))
     }
-    tagBatchKeys(s, root, batch, idCol,
-      sigs.select(col(idCol).as("__bsid"),
-        when(col(s"mh${seeds.head}").isNotNull, array(bkCols: _*))
-          .otherwise(array().cast("array<string>")).as("bks")),
-      "n_hit_bands")
+    sigs.select(col(idCol).as("__bsid"),
+      when(col(s"mh${seeds.head}").isNotNull, array(bkCols: _*))
+        .otherwise(array().cast("array<string>")).as("bks"))
   }
 
   /** Generic stored-screen tagger: `keyed` carries (`__bsid`, `bks`
@@ -231,6 +271,40 @@ object BandStore {
           lshTagBatch(b.sparkSession, root, b, idCol, textCol, n, seeds,
               bands, rowsPerBand)
             .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** The CLOSED continuous-ingest loop: tag each micro-batch against the
+    * store, append the tagged rows to `outDir`, then fold the ACCEPTED
+    * (unflagged) rows' band keys back into the store — so batch N+1
+    * near-dup-screens against batches 1..N as well as the build-time
+    * corpus, with every step ∝ the batch. This is the self-maintaining
+    * form of the near-dup screen a crawl ingest actually runs (the bloom
+    * form cannot do this at all: a broadcast bitset rebuilt per batch
+    * re-reads the whole corpus — its index is batch-side and static by
+    * construction). addKeys' idempotency makes foreachBatch replays
+    * safe: a re-delivered batch re-merges the same keys.
+    */
+  def lshScreenUpsertSink(stream: DataFrame, root: String, idCol: String,
+      textCol: String, n: Int, seeds: Seq[Int], bands: Int,
+      rowsPerBand: Int, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val s = b.sparkSession
+          val tagged = lshTagBatch(s, root, b, idCol, textCol, n, seeds,
+              bands, rowsPerBand)
+            .localCheckpoint(true)
+          tagged.write.mode("append").parquet(outDir)
+          val novelKeys = lshKeyed(
+              tagged.where(!col("flagged")), idCol, textCol, n, seeds,
+              bands, rowsPerBand)
+            .select(explode(col("bks")).as("bk"))
+          addKeys(s, novelKeys, root)
+        }
       }
       .start()
 }

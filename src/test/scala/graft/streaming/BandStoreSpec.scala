@@ -138,6 +138,74 @@ class BandStoreSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("addKeys is exact and idempotent: build(K1) + addKeys(K2) ≡ " +
+    "build(K1 ∪ K2), and a replayed fold changes nothing") {
+    val s = spark
+    import s.implicits._
+    val k1 = corpusKeys.select(col("bk")).distinct()
+      .where(abs(hash(col("bk"))) % 2 === 0).localCheckpoint(true)
+    val k2 = corpusKeys.select(col("bk")).distinct()
+      .where(abs(hash(col("bk"))) % 2 =!= 0).localCheckpoint(true)
+    assert(k1.count() > 0 && k2.count() > 0)
+    def keyRows(root: String): Set[(String, Long)] =
+      spark.read.schema(BandStore.KeysSchema).parquet(s"$root/keys")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val inc = tmp("addkeys")
+    val full = tmp("addkeys-full")
+    try {
+      BandStore.build(spark, k1, inc)
+      BandStore.addKeys(spark, k2, inc)
+      BandStore.build(spark, k1.union(k2), full)
+      assert(keyRows(inc) == keyRows(full))
+      BandStore.addKeys(spark, k2, inc) // replay: set semantics
+      assert(keyRows(inc) == keyRows(full))
+      val sample = k2.limit(3).collect().map(_.getString(0)).toSeq
+      assert(BandStore.probe(spark, inc, sample) == sample.toSet)
+    } finally { rm(inc); rm(full) }
+  }
+
+  test("lshScreenUpsertSink closes the ingest loop: an accepted novel " +
+    "doc's keys enter the store, so its later near-dup is flagged") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val root = tmp("loop")
+    val out = tmp("loop-out")
+    val ckpt = tmp("loop-ckpt")
+    try {
+      val mini = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today")
+      ).toDF("doc_id", "text")
+      BandStore.build(spark, Dedup.bandKeys(
+        Dedup.minhashSigs(mini, "doc_id", "text", 3, seeds),
+        "doc_id", bands = 4, rowsPerBand = 2).select(col("bk")), root)
+      val input = MemoryStream[(Long, String)]
+      val q = BandStore.lshScreenUpsertSink(
+        input.toDF().toDF("doc_id", "text"), root, "doc_id", "text", 3,
+        seeds, bands = 4, rowsPerBand = 2, out, ckpt)
+      try {
+        // batch 1: novel doc — accepted, its keys fold into the store
+        input.addData(
+          (20L, "zebras graze quietly beside the wide muddy river bank"))
+        q.processAllAvailable()
+        // batch 2: exact text twin of the batch-1 arrival (id differs) +
+        // a build-corpus dup + a fresh novel doc
+        input.addData(
+          (21L, "zebras graze quietly beside the wide muddy river bank"),
+          (22L, "the quick brown fox jumps over the lazy dog today"),
+          (23L, "glaciers carve steep valleys under pale morning light"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.read.parquet(out)
+        .select(col("doc_id"), col("flagged"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!rows(20L), rows)  // novel at arrival time
+      assert(rows(21L), rows)   // caught by the UPDATED store
+      assert(rows(22L), rows)   // caught by the build-time corpus
+      assert(!rows(23L), rows)  // still novel
+    } finally { rm(root); rm(out); rm(ckpt) }
+  }
+
   test("lshScreenSink tags micro-batches against the store end to end " +
     "(exact dup flags all bands, novel and shingle-less docs pass)") {
     val s = spark
