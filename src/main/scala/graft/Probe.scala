@@ -976,6 +976,27 @@ object Probe {
             s"INPUT_RECORDS=${m.inputRecords} " +
             s"SEC=${(System.nanoTime() - t0) / 1e9}")
         }
+        // incremental fold: a serving-batch's worth of NEW keys merges
+        // into its touched shards only — read volume ∝ batch, never
+        // the vocabulary
+        Seq(5L, 100L).foreach { bsz =>
+          val newKeys = docs.where(col("source") =!= "src0")
+            .where(pmod(graft.ops.Core.md5Hash64(concat(
+              lit(s"addk$bsz|"), col("doc_id").cast("string"))),
+              lit(math.max(1L, nArr / bsz))) === 0)
+            .select(explode(array_distinct(
+              graft.llm.TextOps.shingles(col("text"), 3))).as("g"))
+            .select(concat(lit("nk|"), col("g")).as("bk"))
+            .localCheckpoint(true)
+          val nk = newKeys.distinct().count()
+          val t0 = System.nanoTime()
+          val (_, m) = org.apache.spark.sql.graft.RunMetrics.measure(s) {
+            graft.streaming.BandStore.addKeys(s, newKeys, root)
+          }
+          println(s"STATS=bandstore_addkeys NEWKEYS=$nk TASKS=${m.tasks} " +
+            s"INPUT_RECORDS=${m.inputRecords} " +
+            s"SEC=${(System.nanoTime() - t0) / 1e9}")
+        }
         scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
