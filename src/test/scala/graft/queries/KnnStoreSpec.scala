@@ -300,6 +300,38 @@ class KnnStoreSpec extends SparkSpec {
       "a removed id was served from the walk")
   }
 
+  test("BATCH walk under churn: beamSearchBatch drops stale seeds and " +
+    "non-member query exclusions exactly like the single walk") {
+    // beamSearchBatch's member fetch is its own code path (union-keyed
+    // point reads, Spark-side scoring), so the churn contract is pinned
+    // separately from beamSearch's
+    val root = tmpRoot("churnbatch")
+    KnnStore.build(spark, corpus, cents, root, K)
+    val allSeeds = KnnStore.readDir(spark, root).select(col("vec_id"))
+      .where(col("vec_id") > 2).orderBy(col("vec_id")).limit(6)
+      .collect().map(_.getLong(0)).toSeq
+    val removed = allSeeds.take(2)
+    val qs = SimSearch.normEmbeds(spark, dir)
+      .where(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id"), col("vn"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(qs.size == 2)
+    KnnStore.removeVectors(spark,
+      corpus.where(col("vec_id").isin(removed: _*)).select(col("vec_id")),
+      root, K)
+    def rows(seeds: Seq[Long]) =
+      KnnStore.beamSearchBatch(spark, root, qs, 8, 2, seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val stale = rows(allSeeds)
+    val pruned = rows(allSeeds.filterNot(removed.contains))
+    assert(stale == pruned,
+      "stale seed set did not walk as its surviving subset")
+    assert(stale.nonEmpty)
+    assert(stale.forall(r => !removed.contains(r._3)),
+      "a removed id was served from the batch walk")
+  }
+
   test("an arrival batch rewrites ONLY the graph partitions it touches — " +
     "every other cell directory stays byte-stable") {
     val root = tmpRoot("touch")
