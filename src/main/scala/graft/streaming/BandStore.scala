@@ -103,6 +103,13 @@ object BandStore {
     * clustered write; rebuildable from the corpus like any index.
     */
   def build(s: SparkSession, keys: DataFrame, root: String): Unit = {
+    // from-scratch means FROM SCRATCH (the KnnStore fresh-root rule):
+    // dynamic partition overwrite keeps any shard dirs a crashed prior
+    // build at this root wrote — ghost keys that break the build ≡
+    // vocabulary identity. Dynamic mode is for addKeys only.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(rootPath, true)
     val distinctKeys = keys.select(col("bk")).distinct()
       .localCheckpoint(true)
     val nKeys = distinctKeys.count()

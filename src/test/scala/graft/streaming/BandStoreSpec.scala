@@ -138,6 +138,26 @@ class BandStoreSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("build is from-scratch: rebuilding a smaller vocabulary at the " +
+    "same root leaves no ghost keys from the previous store") {
+    val s = spark
+    import s.implicits._
+    val kAll = corpusKeys.select(col("bk")).distinct().localCheckpoint(true)
+    val kSub = kAll.where(abs(hash(col("bk"))) % 3 === 0).localCheckpoint(true)
+    assert(kSub.count() > 0 && kSub.count() < kAll.count())
+    def keyRows(root: String): Set[(String, Long)] =
+      spark.read.schema(BandStore.KeysSchema).parquet(s"$root/keys")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val reused = tmp("freshroot")
+    val clean = tmp("freshroot-clean")
+    try {
+      BandStore.build(spark, kAll, reused)
+      BandStore.build(spark, kSub, reused) // same root, smaller vocab
+      BandStore.build(spark, kSub, clean)
+      assert(keyRows(reused) == keyRows(clean))
+    } finally { rm(reused); rm(clean) }
+  }
+
   test("addKeys is exact and idempotent: build(K1) + addKeys(K2) ≡ " +
     "build(K1 ∪ K2), and a replayed fold changes nothing") {
     val s = spark
