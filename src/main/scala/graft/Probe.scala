@@ -432,6 +432,108 @@ object Probe {
         Seq(root, s"${root}_full").foreach { p =>
           scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
         }
+      case "deconform" =>
+        // r15 A/B: decon_sized OLD shape (three shingle passes over src0,
+        // bloom over per-doc grams) vs the shipped distinct-gram cached
+        // form — alternating in one JVM after untimed warmups.
+        val docs = graft.ops.Core.table(s, d, "documents")
+        def gramHashes(df: DataFrame): DataFrame = df
+          .select(col("doc_id"),
+            explode(array_distinct(
+              graft.llm.TextOps.shingles(col("text"), 5))).as("g"))
+          .select(col("doc_id"), col("g"),
+            graft.ops.Core.md5Hash64(col("g")).as("h1"),
+            graft.ops.Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
+        def oldForm(): DataFrame = {
+          val ref = docs.where(col("source") === "src0")
+          val refGrams = ref.select(explode(array_distinct(
+              graft.llm.TextOps.shingles(col("text"), 5))).as("g")).distinct()
+          val nn = refGrams.count()
+          val m = graft.ops.Bloom.bitsFor(nn, 0.01)
+          val kk = graft.ops.Bloom.hashesFor(m, nn)
+          val bits = gramHashes(ref)
+            .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, kk)
+              .as("bloom_bits"))
+          gramHashes(docs.where(col("source") =!= "src0"))
+            .crossJoin(broadcast(bits))
+            .where(graft.ops.Bloom.mightContainHashes(
+              col("bloom_bits"), col("h1"), col("h2"), m, kk))
+            .select(col("doc_id"), col("g"))
+            .join(broadcast(refGrams.withColumn("v", lit(1L))), Seq("g"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bloom_hits"),
+              sum(coalesce(col("v"), lit(0L))).as("n_verified"))
+        }
+        def newForm(): DataFrame =
+          SparkEntry.queries("q_dedup_decon_sized")(s, d)
+        noop(newForm()); s.catalog.clearCache()
+        noop(oldForm()); s.catalog.clearCache()
+        timed("decon_old1") { noop(oldForm()) }
+        timed("decon_new1") { noop(newForm()) }
+        timed("decon_old2") { noop(oldForm()) }
+        timed("decon_new2") { noop(newForm()) }
+      case "shinglespread" =>
+        // r15 A/B: the dedup family's shingle+md5+minhash pipeline over a
+        // spread (round-robin repartitioned) docs frame vs the raw 1-task
+        // scan — alternating in one JVM after an untimed warmup.
+        val docs = graft.ops.Core.table(s, d, "documents")
+        def sigs(df: DataFrame): DataFrame = {
+          val sh = df.select(col("doc_id"),
+            explode(array_distinct(
+              graft.llm.TextOps.shingles(col("text"), 3))).as("w"))
+          val mins = (0 until 8).map(i =>
+            min((lit(graft.llm.Dedup.hashA(i)) * col("hw") +
+              lit(graft.llm.Dedup.hashB(i))) % graft.llm.Dedup.P).as(s"mh$i"))
+          sh.select(col("doc_id"),
+              (graft.ops.Core.md5Hash64(col("w")) % graft.llm.Dedup.P).as("hw"))
+            .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        }
+        def rawForm = sigs(docs)
+        def spreadForm = sigs(graft.ops.Core.spread(docs))
+        noop(rawForm); noop(spreadForm)
+        timed("shingle_raw1") { noop(rawForm) }
+        timed("shingle_spread1") { noop(spreadForm) }
+        timed("shingle_raw2") { noop(rawForm) }
+        timed("shingle_spread2") { noop(spreadForm) }
+        timed("shingle_raw3") { noop(rawForm) }
+        timed("shingle_spread3") { noop(spreadForm) }
+      case "nndfetch" =>
+        // r15 A/B: the nndRound candidate-cosine step as the old two
+        // broadcast vector-fetch joins vs the CosBetween lookup against
+        // the broadcast CosIndex — same base, same JVM, alternating runs
+        // after an untimed warmup (the fixed-order premium rule).
+        val base0 = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
+          .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
+        val en = SimSearch.normEmbeds(s, d)
+        val bc = SimSearch.cosIndex(s, d)
+        def und0 = base0.select(col("vec_id").as("v"), col("nbr").as("u"))
+          .union(base0.select(col("nbr").as("v"), col("vec_id").as("u")))
+          .distinct()
+        def cand0 = und0.as("a").join(und0.as("b"),
+            col("a.u") === col("b.u") && col("a.v") =!= col("b.v"))
+          .select(col("a.v").as("v1"), col("b.v").as("v2"))
+        def tail(hop: DataFrame): DataFrame = hop.union(base0)
+          .groupBy(col("vec_id"))
+          .agg(graft.functions.TopKPairDistinctAgg
+            .topK(col("cos"), col("nbr"), 3).as("t"))
+          .select(col("vec_id"), posexplode(col("t")))
+        def oldForm = tail(cand0
+          .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
+            Seq("v1"))
+          .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
+            Seq("v2"))
+          .select(col("v1").as("vec_id"), col("v2").as("nbr"),
+            round(graft.llm.Vectors.dotFast(col("a"), col("b")), 6).as("cos")))
+        def newForm = tail(cand0
+          .select(col("v1").as("vec_id"), col("v2").as("nbr"),
+            org.apache.spark.sql.graft.GraftSql
+              .cosBetween(col("v1"), col("v2"), bc).as("cos"))
+          .where(col("cos").isNotNull))
+        noop(newForm); noop(oldForm) // untimed warmup, both shapes
+        timed("fetch_new1") { noop(newForm) }
+        timed("fetch_old1") { noop(oldForm) }
+        timed("fetch_new2") { noop(newForm) }
+        timed("fetch_old2") { noop(oldForm) }
       case "nnd2form" =>
         // lazy two-round composition (registered) vs localCheckpoint-per-
         // round (nndGraphAfter): the lazy plan is ~170 exchanges analyzed

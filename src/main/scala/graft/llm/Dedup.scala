@@ -17,10 +17,17 @@ import graft.ops.Core
 object Dedup {
 
   /** Exploded distinct-shingle table: (id, w). The shared input of MinHash
-    * signatures and exact Jaccard.
+    * signatures and exact Jaccard. Core.spread first (r15): the shingle
+    * split + per-gram md5 the consumers hang off this explode are the
+    * dominant per-row work of the whole dedup family, and they run in the
+    * SCAN stage — one task over the fixture's one-row-group files
+    * (Core.spread doc); a narrow exchange of the raw docs parallelizes
+    * every downstream gram hash. The streaming row-sig path
+    * (rowMinhashSigs) deliberately stays shuffle-free — its statelessness
+    * IS the contract there.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
+    Core.spread(docs).select(
       col(idCol),
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("w")
     )

@@ -48,4 +48,23 @@ object Core {
     */
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Parallelism floor for compute-heavy map folds over UNSPLITTABLE
+    * inputs (opt guide §2.5: a one-file/one-row-group table scans as ONE
+    * task regardless of split config — exactly how the fixture tables
+    * ship, so every pre-exchange fold otherwise runs single-threaded).
+    * Round-robin repartition with an EXPLICIT partition count: AQE's
+    * coalescer skips user-specified repartition-by-num, where a keyed
+    * repartition(col) would be coalesced straight back to ~1 partition
+    * at small byte sizes. defaultParallelism tracks the session's core
+    * count (local[k] → k; cluster → executor cores), never a constant.
+    * Cost: one narrow exchange of the input rows — apply ONLY where
+    * per-row compute ≫ row width (n²-fold expressions, centroid-argmax
+    * assigns, per-gram hashing, codec decodes); a cheap-per-row scan
+    * would pay the exchange for nothing. On splittable multi-file
+    * inputs at cluster scale the same call is a cores-sized rebalance
+    * of an already-parallel scan — harmless, but measure before adding.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -1851,19 +1851,28 @@ object LlmOps {
           Core.md5Hash64(col("g")).as("h1"),
           Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
       val docs = table(s, d, "documents")
-      val bits = gramHashes(docs.where(col("source") === "src0"))
-        .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, k)
-          .as("bloom_bits"))
-      val refGrams = docs.where(col("source") === "src0")
+      // r15: the bitset builds from the DISTINCT gram table — bloom
+      // insertion is idempotent (set bits), so per-doc multiplicity never
+      // changed a bit and the oracle's bitset is reproduced exactly.
+      // One cached distinct pass over src0 (spread: the shingle split is
+      // the scan-side cost, Core.spread doc) now feeds BOTH the bloom agg
+      // and the exact-verify broadcast, where the old form shingled src0
+      // twice and md5'd every per-doc duplicate gram.
+      val refGrams = Core.spread(docs.where(col("source") === "src0"))
         .select(explode(array_distinct(TextOps.shingles(col("text"), 5))).as("g"))
         .distinct()
-        .withColumn("v", lit(1L))
-      gramHashes(docs.where(col("source") =!= "src0"))
+        .cache()
+      val bits = refGrams
+        .select(Core.md5Hash64(col("g")).as("h1"),
+          Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
+        .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, k)
+          .as("bloom_bits"))
+      gramHashes(Core.spread(docs.where(col("source") =!= "src0")))
         .crossJoin(broadcast(bits))
         .where(graft.ops.Bloom.mightContainHashes(
           col("bloom_bits"), col("h1"), col("h2"), m, k))
         .select(col("doc_id"), col("g"))
-        .join(broadcast(refGrams), Seq("g"), "left")
+        .join(broadcast(refGrams.withColumn("v", lit(1L))), Seq("g"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bloom_hits"),
           sum(coalesce(col("v"), lit(0L))).as("n_verified"))
@@ -2002,17 +2011,23 @@ object LlmOps {
           Core.md5Hash64(col("g")).as("h1"),
           Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
       val docs = table(s, d, "documents")
-      val ref = docs.where(col("source") === "src0")
-      val refGrams = ref
+      // r15: ONE cached distinct-gram pass over src0 feeds the sizing
+      // count, the bloom agg (insertion is idempotent — identical bitset
+      // from distinct grams), and the exact-verify broadcast; the old
+      // form shingled src0 three times. spread per the Core.spread doc.
+      val refGrams = Core.spread(docs.where(col("source") === "src0"))
         .select(explode(array_distinct(TextOps.shingles(col("text"), 5))).as("g"))
         .distinct()
+        .cache()
       val n = refGrams.count()
       val m = graft.ops.Bloom.bitsFor(n, 0.01)
       val k = graft.ops.Bloom.hashesFor(m, n)
-      val bits = gramHashes(ref)
+      val bits = refGrams
+        .select(Core.md5Hash64(col("g")).as("h1"),
+          Core.md5Hash64(concat(lit("bl|"), col("g"))).as("h2"))
         .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, k)
           .as("bloom_bits"))
-      gramHashes(docs.where(col("source") =!= "src0"))
+      gramHashes(Core.spread(docs.where(col("source") =!= "src0")))
         .crossJoin(broadcast(bits))
         .where(graft.ops.Bloom.mightContainHashes(
           col("bloom_bits"), col("h1"), col("h2"), m, k))

@@ -615,7 +615,9 @@ object SimSearch {
 
   private[graft] def nndRound(s: SparkSession, d: String,
       baseEdges: DataFrame, k: Int,
-      shardThreshold: Long = -1L): DataFrame = {
+      shardThreshold: Long = -1L,
+      bcIdx: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.CosIndex]] = None): DataFrame = {
     val base = baseEdges
       .select(col("vec_id"), col("nbr"), col("cos")).cache()
     val und = base.select(col("vec_id").as("v"), col("nbr").as("u"))
@@ -641,15 +643,21 @@ object SimSearch {
       if (shardThreshold > 0) shardThreshold
       else broadcastCeiling(s, d)
     val hopScored =
-      if (nVec <= threshold)
+      if (nVec <= threshold) {
+        // r15: one CosBetween lookup per candidate against the broadcast
+        // CosIndex — the SAME broadcast relation the two vector-fetch
+        // hash joins built, minus both joins and both per-pair array
+        // attachments (2 BroadcastExchanges + 2 BHJs → 0; candidates
+        // never widen past 16 B/row). isNotNull filter ≡ the old inner
+        // joins dropping ids absent from the table (none arise here —
+        // every candidate id comes from edges over the table itself).
+        val bc = bcIdx.getOrElse(cosIndex(s, d))
         cand
-          .join(broadcast(en.select(col("vec_id").as("v1"), col("vn").as("a"))),
-            Seq("v1"))
-          .join(broadcast(en.select(col("vec_id").as("v2"), col("vn").as("b"))),
-            Seq("v2"))
           .select(col("v1").as("vec_id"), col("v2").as("nbr"),
-            round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-      else {
+            org.apache.spark.sql.graft.GraftSql
+              .cosBetween(col("v1"), col("v2"), bc).as("cos"))
+          .where(col("cos").isNotNull)
+      } else {
         val shards = math.ceil(nVec.toDouble / threshold).toInt
         shardedCosVerify(en, cand.localCheckpoint(), shards)
           .select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cos"))
@@ -688,8 +696,11 @@ object SimSearch {
     var r = 1
     var newEdges = -1L
     val ceiling = broadcastCeiling(s, d) // once per loop, not per round
+    // one collect+broadcast per LOOP for the pair-cosine index too (the
+    // ceiling precedent) — but only when the broadcast path applies
+    val idx = if (embeds(s, d).count() <= ceiling) Some(cosIndex(s, d)) else None
     while (r <= maxRounds && newEdges != 0L) {
-      val next = nndRound(s, d, g, k, ceiling)
+      val next = nndRound(s, d, g, k, ceiling, idx)
         .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
       newEdges = next
         .join(g.select(col("vec_id"), col("nbr")),
@@ -712,39 +723,67 @@ object SimSearch {
       .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
       .localCheckpoint()
     val ceiling = broadcastCeiling(s, d) // once per loop, not per round
+    val idx = if (embeds(s, d).count() <= ceiling) Some(cosIndex(s, d)) else None
     (1 to rounds).foreach { _ =>
-      g = nndRound(s, d, g, k, ceiling).localCheckpoint()
+      g = nndRound(s, d, g, k, ceiling, idx).localCheckpoint()
     }
     g
+  }
+
+  /** Driver-decoded broadcast image of the WHOLE normalized embedding
+    * table — the brute-force-cosine index behind the truth sides of the
+    * recall gates and q_dedup_embed_cosine (see CosIndex's scaladoc for
+    * the plan-shape argument and the unchanged broadcast-scale domain).
+    * One collect job; the collected vn doubles are the frame's own
+    * values, so expression cosines are FP-identical to the relational
+    * form's.
+    */
+  private[graft] def cosIndex(s: SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.CosIndex] = {
+    val rows = normEmbeds(s, d).select(col("vec_id"), col("vn")).collect()
+    val ids = new Array[Long](rows.length)
+    val vecs = new Array[Array[Double]](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      vecs(i) = rows(i).getSeq[Double](1).toArray
+      i += 1
+    }
+    s.sparkContext.broadcast(new org.apache.spark.sql.graft.CosIndex(ids, vecs))
   }
 
   /** Shared exact-recall gate behind the four kNN ladder points
     * (probe-1, probe-2, +1 NND round, +2 rounds) — one implementation,
     * per the r12 ADVICE factoring. Truth is the brute-force global top-3
-    * via the BOUNDED pair aggregator, not a window: the window form
-    * shuffles and sorts all n² scored pairs per vector; TopKPairAgg
-    * map-side-combines to 3 pairs per (vector, partition) — the same
-    * output by the aggregator's (score DESC, id ASC) contract.
+    * as ONE map-only fold per vector over the broadcast CosIndex
+    * (r15 optimization): the prior BNL-join + TopKPairAgg form
+    * broadcast the same table but materialized all n² joined pair rows
+    * (two 64-double arrays each) and paid a groupBy exchange; CosTopK
+    * emits the identical (cos DESC, id ASC) top-3 with 0 Joins and
+    * 0 Exchanges on the truth side (CosIndexSpec pins row equality).
     */
   private def recallGate(s: SparkSession, d: String,
       found0: DataFrame): DataFrame = {
-    val en = normEmbeds(s, d)
-    val truth = en.select(col("vec_id"), col("vn").as("a"))
-      .join(en.select(col("vec_id").as("nbr"), col("vn").as("b")),
-        col("vec_id") =!= col("nbr"))
-      .select(col("vec_id"), col("nbr"),
-        round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopKPairAgg
-        .topK(col("cos"), col("nbr"), 3).as("t"))
-      .select(col("vec_id"), explode(col("t")).as("p"))
+    // spread: the n-per-row fold is the whole truth cost and the fixture
+    // scan is one task (Core.spread doc) — parallelize it to the session
+    val truth = Core.spread(normEmbeds(s, d))
+      .select(col("vec_id"),
+        explode(org.apache.spark.sql.graft.GraftSql
+          .cosTopK(col("vn"), col("vec_id"), 3, cosIndex(s, d))).as("p"))
       .select(col("vec_id"), col("p._2").as("nbr"))
     val found = found0.select(col("vec_id"), col("nbr"))
-    val nT = truth.agg(count(lit(1)).as("n_true"))
-    val nF = found.agg(count(lit(1)).as("n_found"))
-    val nH = truth.join(found, Seq("vec_id", "nbr"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nT.crossJoin(nF).crossJoin(nH)
+    // ONE pass over each side (r15): the old three-branch form (count
+    // truth, count found, semi-join count) planned the expensive found
+    // graph lineage TWICE (count + semi-join sides share no exchange)
+    // and the truth twice. Both edge sets are unique on (vec_id, nbr)
+    // by their top-k constructions, so a full-outer join counts
+    // n_true / n_found / n_hit exactly, with each lineage computed once
+    // — shuffle ∝ the edge sets (n·k rows), never the corpus.
+    truth.withColumn("t", lit(1))
+      .join(found.withColumn("f", lit(1)), Seq("vec_id", "nbr"), "full_outer")
+      .agg(count(col("t")).as("n_true"),
+        count(col("f")).as("n_found"),
+        count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("n_hit"))
       .select(col("n_true"), col("n_found"), col("n_hit"),
         when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true"), 4))
@@ -754,16 +793,17 @@ object SimSearch {
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-dup, brute force: all pairs >= threshold. The
     // O(n^2) ground truth the LSH variant must approximate — small-input /
-    // verification path only; at scale use q_sim_ann_lsh. Native DotProduct
-    // expression keeps the 12.5M-pair loop inside whole-stage codegen.
+    // verification path only; at scale use q_sim_ann_lsh. r15: the n²
+    // loop folds into ONE map-only expression over the broadcast
+    // CosIndex (same broadcast relation the old BNL join built, minus
+    // the n² pair-row materialization and the filter pass) — 0 Joins,
+    // 0 Exchanges; row set identical (CosIndexSpec).
     "q_dedup_embed_cosine" -> ((s, d) => {
-      val e = normEmbeds(s, d)
-      e.select(col("vec_id").as("v1"), col("vn").as("a"))
-        .join(e.select(col("vec_id").as("v2"), col("vn").as("b")),
-          col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          round(Vectors.dotFast(col("a"), col("b")), 6).as("cos"))
-        .where(col("cos") >= NearDupThreshold)
+      Core.spread(normEmbeds(s, d))
+        .select(col("vec_id").as("v1"),
+          explode(org.apache.spark.sql.graft.GraftSql.cosPairsAbove(
+            col("vn"), col("vec_id"), NearDupThreshold, cosIndex(s, d))).as("p"))
+        .select(col("v1"), col("p.v2").as("v2"), col("p.cos").as("cos"))
     }),
 
     // Sign-LSH near-dup: 16 hash-derived hyperplanes -> 16 sign bits ->

@@ -91,4 +91,26 @@ object GraftSql {
   def twoLevelAssign(v: Column,
       bc: org.apache.spark.broadcast.Broadcast[TwoLevelIndex]): Column =
     column(TwoLevelAssign(expression(v), bc))
+
+  /** Per-row top-k cosine neighbours (excluding selfId) against a
+    * broadcast CosIndex — output ≡ TopKPairAgg.topK over the all-pairs
+    * cosine relation (see CosTopK).
+    */
+  def cosTopK(v: Column, selfId: Column, k: Int,
+      bc: org.apache.spark.broadcast.Broadcast[CosIndex]): Column =
+    column(CosTopK(expression(v), expression(selfId), k, bc))
+
+  /** Per-row (id > selfId, cos >= threshold) neighbour list against a
+    * broadcast CosIndex (see CosPairsAbove).
+    */
+  def cosPairsAbove(v: Column, selfId: Column, threshold: Double,
+      bc: org.apache.spark.broadcast.Broadcast[CosIndex]): Column =
+    column(CosPairsAbove(expression(v), expression(selfId), threshold, bc))
+
+  /** round6 cosine between two stored ids (null when either is absent)
+    * against a broadcast CosIndex (see CosBetween).
+    */
+  def cosBetween(id1: Column, id2: Column,
+      bc: org.apache.spark.broadcast.Broadcast[CosIndex]): Column =
+    column(CosBetween(expression(id1), expression(id2), bc))
 }
