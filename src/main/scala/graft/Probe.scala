@@ -432,6 +432,25 @@ object Probe {
         Seq(root, s"${root}_full").foreach { p =>
           scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
         }
+      case "corpussig" =>
+        // r15 A/B: minhash sigs + LSH pairs over a doc_id-layout
+        // checkpointed frame (the corpus_prepare survivors shape):
+        // spread (round-robin + gram-sized agg exchange) vs the
+        // exchange-free doc_id-preserving form — alternating, one JVM.
+        val docs0 = graft.ops.Core.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id")).localCheckpoint()
+        def pairsOf(spreadInput: Boolean): DataFrame = {
+          val sigs = graft.llm.Dedup.minhashSigs(
+            docs0, "doc_id", "text", 3, 0 until 8, spreadInput)
+          graft.llm.Dedup.lshCandidatePairs(sigs, "doc_id",
+            bands = 4, rowsPerBand = 2)
+        }
+        noop(pairsOf(true)); noop(pairsOf(false))
+        timed("corpussig_spread1") { noop(pairsOf(true)) }
+        timed("corpussig_plain1") { noop(pairsOf(false)) }
+        timed("corpussig_spread2") { noop(pairsOf(true)) }
+        timed("corpussig_plain2") { noop(pairsOf(false)) }
       case "deconform" =>
         // r15 A/B: decon_sized OLD shape (three shingle passes over src0,
         // bloom over per-doc grams) vs the shipped distinct-gram cached

@@ -26,8 +26,9 @@ object Dedup {
     * (rowMinhashSigs) deliberately stays shuffle-free — its statelessness
     * IS the contract there.
     */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    Core.spread(docs).select(
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   spreadInput: Boolean = true): DataFrame =
+    (if (spreadInput) Core.spread(docs) else docs).select(
       col(idCol),
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("w")
     )
@@ -48,8 +49,10 @@ object Dedup {
     * engine can reproduce signatures bit-for-bit.
     */
   def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, seeds: Seq[Int]): DataFrame =
-    minhashSigsFromShingles(shingleTable(docs, idCol, textCol, n), idCol, seeds)
+                  n: Int, seeds: Seq[Int],
+                  spreadInput: Boolean = true): DataFrame =
+    minhashSigsFromShingles(
+      shingleTable(docs, idCol, textCol, n, spreadInput), idCol, seeds)
 
   /** Signature aggregation over an existing (id, w) shingle table — lets a
     * pipeline share one (possibly cached) shingle explode between the
@@ -503,9 +506,10 @@ object Dedup {
     * 100 TB shape: two shingle-table shuffles (dup-set agg + semi-join
     * back, the decontaminate pattern) + one doc-local window.
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+  def duplicatedSpans(docs0: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docs = Core.spread(docs0) // per-window md5 folds dominate (Core.spread doc)
     val sh = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
@@ -551,8 +555,9 @@ object Dedup {
     * explode (Σ tokens × k rows, linear) and one doc-keyed rebuild agg;
     * nothing is corpus-quadratic.
     */
-  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+  def scrubSpans(docs0: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
+    val docs = Core.spread(docs0) // per-window md5 folds dominate (Core.spread doc)
     val sh = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)

@@ -65,6 +65,14 @@ object Core {
     * inputs at cluster scale the same call is a cores-sized rebalance
     * of an already-parallel scan — harmless, but measure before adding.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // No-op when the scan already splits to the session's cores — the
+    // many-file cluster case pays nothing here. getNumPartitions is only
+    // safe on SCAN-STAGE frames (no exchange upstream): under AQE, .rdd
+    // on a post-shuffle frame would execute its query stages to finalize
+    // the plan. Callers keep spread at the read, before the first
+    // exchange.
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }

@@ -46,7 +46,9 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val stride = 192
     val sz = 256
-    val docs = table(s, d, "documents")
+    // spread: every branch below re-splits ptext into trigrams — the
+    // fixture scan is one task (Core.spread doc; no-op on wide inputs)
+    val docs = Core.spread(table(s, d, "documents"))
     val passages = docs.where(col("n_chars") > 0)
       .withColumn("k", explode(sequence(lit(0L),
         expr(s"(n_chars + ${stride - 1}) div $stride") - 1)))
@@ -116,7 +118,9 @@ object LlmOps {
     * distinct tokens; scoring is all-BIGINT floor division (see
     * q_text_bm25's rationale). Returns (query_id, doc_id, score_fp).
     */
-  private def bm25Pairs(docs: DataFrame, qids: DataFrame): DataFrame = {
+  private def bm25Pairs(docs0: DataFrame, qids: DataFrame): DataFrame = {
+    // spread: four branches below re-tokenize the text (Core.spread doc)
+    val docs = Core.spread(docs0)
     val toks = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w"))
@@ -152,7 +156,9 @@ object LlmOps {
     * exchange between the df branch and the candidate join, and the
     * columnar fill measured +1.4 s at sf0.1.
     */
-  private def dfcapPairs(docs: DataFrame, qids: DataFrame): DataFrame = {
+  private def dfcapPairs(docs0: DataFrame, qids: DataFrame): DataFrame = {
+    // spread: four branches below re-shingle the text (Core.spread doc)
+    val docs = Core.spread(docs0)
     val grams = docs
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("w"))
     val tf = grams.groupBy(col("doc_id"), col("w"))
@@ -239,7 +245,7 @@ object LlmOps {
     // symmetric Jaccard misses. Same candidate-bounded cost as the
     // Jaccard verify, same shared shingle table.
     "q_dedup_containment" -> ((s, d) => {
-      val docs = table(s, d, "documents")
+      val docs = Core.spread(table(s, d, "documents"))
       val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
       val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", MinhashSeeds)
       val pairs = Dedup
@@ -478,7 +484,7 @@ object LlmOps {
     // marks boilerplate loops and keyboard-mash. Two hash aggregations,
     // both partial-aggregated map-side.
     "q_text_repetition" -> ((s, d) => {
-      val bi = table(s, d, "documents")
+      val bi = Core.spread(table(s, d, "documents"))
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
       bi.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -672,7 +678,7 @@ object LlmOps {
     // micronats (round(ln·1e6) → bigint), the nb_classifier contract:
     // identical integers on both engines, then one exact division out.
     "q_text_pmi" -> ((s, d) => {
-      val big = table(s, d, "documents")
+      val big = Core.spread(table(s, d, "documents"))
         .select(explode(TextOps.shingles(col("text"), 2)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("c12"))
         .select(
@@ -743,7 +749,7 @@ object LlmOps {
     // the scalable argmax shape.
     "q_dedup_canonical" -> ((s, d) => {
       val sigs = Dedup
-        .minhashSigs(table(s, d, "documents"), "doc_id", "text", 3, MinhashSeeds)
+        .minhashSigs(Core.spread(table(s, d, "documents")), "doc_id", "text", 3, MinhashSeeds)
         .cache()
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
         .where(col("est_jaccard") >= 0.5)
@@ -969,7 +975,7 @@ object LlmOps {
     // Lossless at its radius, never all-pairs; the wide fingerprint build
     // is one explode + one 60-sum grouped agg (Dedup.simhashGrouped).
     "q_dedup_simhash_hamming" -> ((s, d) => {
-      val sigs = Dedup.simhashGrouped(table(s, d, "documents"), "doc_id", "text", 60)
+      val sigs = Dedup.simhashGrouped(Core.spread(table(s, d, "documents")), "doc_id", "text", 60)
       Dedup.simhashHammingPairs(sigs, "doc_id", blocks = 4, blockBits = 15, maxDist = 3)
     }),
 
@@ -986,7 +992,7 @@ object LlmOps {
     // its savings. n_copies rides along so downstream weighting still
     // sees family mass.
     "q_dedup_simhash_canonical" -> ((s, d) => {
-      val docs = table(s, d, "documents")
+      val docs = Core.spread(table(s, d, "documents"))
       val canon = docs
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
@@ -1124,7 +1130,7 @@ object LlmOps {
     "q_text_fingerprint" -> ((s, d) => {
       // hashes and the sampled selection materialize as columns so the
       // md5-per-shingle work runs once, not once per consuming aggregate
-      table(s, d, "documents")
+      Core.spread(table(s, d, "documents"))
         .where(size(split(col("text"), " ")) >= 5)
         .select(col("doc_id"),
           transform(TextOps.shingles(col("text"), 5), w => Core.md5Hash64(w)).as("hashes"))
@@ -1486,7 +1492,7 @@ object LlmOps {
     // is map-side partial.
     "q_dedup_substring" -> ((s, d) => {
       import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
-      table(s, d, "documents")
+      Core.spread(table(s, d, "documents"))
         // tokenization materializes behind its own select: both hash
         // streams read the attribute instead of re-splitting the text
         // (Catalyst re-evaluates repeated non-attribute subexpressions)
@@ -1517,7 +1523,7 @@ object LlmOps {
     "q_dedup_winnow" -> ((s, d) => {
       import org.apache.spark.sql.graft.RollingHash.{rollingHash, P}
       val w = 4
-      table(s, d, "documents")
+      Core.spread(table(s, d, "documents"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           transform(col("toks"), t => Core.md5Hash64(t) % P).as("th1"),
@@ -1547,7 +1553,7 @@ object LlmOps {
     // O(n) RollingHash. Per-row narrow compute; only (chunk_md5, doc_id)
     // shuffles for the map-side-partial count.
     "q_dedup_cdc_chunks" -> ((s, d) => {
-      TextOps.cdcChunks(table(s, d, "documents"), "doc_id", "text",
+      TextOps.cdcChunks(Core.spread(table(s, d, "documents")), "doc_id", "text",
           k = 4, modulus = 64, target = 8)
         .groupBy(col("chunk_md5"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -1693,7 +1699,7 @@ object LlmOps {
       // MEMORY_AND_DISK like q_text_bigram_lm's precedent: at corpus
       // scale the exploded table spills like a shuffle write instead of
       // silently vanishing.
-      val terms = table(s, d, "documents")
+      val terms = Core.spread(table(s, d, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(col("text"), 2))).as("term"))
         .cache()
@@ -1717,7 +1723,7 @@ object LlmOps {
       // uncached, the shingle explode re-runs per consumer. cache() is
       // MEMORY_AND_DISK: at corpus scale the exploded table spills like a
       // shuffle write instead of silently vanishing.
-      val bi = table(s, d, "documents")
+      val bi = Core.spread(table(s, d, "documents"))
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
         .select(col("doc_id"), col("g"),
           element_at(split(col("g"), " "), 1).as("w1"))
@@ -1810,7 +1816,7 @@ object LlmOps {
     // no all-pairs; reassembly buffers are doc-bounded, never corpus-wide.
     "q_dedup_lines" -> ((s, d) => {
       val L = 10
-      val segs = table(s, d, "documents")
+      val segs = Core.spread(table(s, d, "documents"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), posexplode(transform(
           sequence(lit(0L), floor((size(col("toks")) - 1) / lit(L.toDouble))),
@@ -1918,13 +1924,21 @@ object LlmOps {
     "q_stream_lsh_sized" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val sigs = Dedup.minhashSigs(docs.where(col("source") === "src0"),
-        "doc_id", "text", 3, MinhashSeeds).cache()
-      val nKeys = Dedup.bandKeys(sigs, "doc_id", bands = 4, rowsPerBand = 2)
-        .select(col("bk")).distinct().count()
+        "doc_id", "text", 3, MinhashSeeds)
+      // r15: ONE cached distinct band-key pass feeds the sizing count AND
+      // the bloom agg (insertion is idempotent — the bitset from distinct
+      // keys is bit-identical, the decon_bloom argument); the old form
+      // cached the sigs and still re-derived the band keys twice.
+      val keys = Dedup.bandKeys(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .select(col("bk")).distinct().cache()
+      val nKeys = keys.count()
       val m = graft.ops.Bloom.bitsFor(nKeys, 0.01)
       val kh = graft.ops.Bloom.hashesFor(m, nKeys)
-      val bits = Dedup.lshBandBloom(sigs, "doc_id",
-        bands = 4, rowsPerBand = 2, mBits = m, k = kh)
+      val bits = keys
+        .select(Core.md5Hash64(col("bk")).as("h1"),
+          Core.md5Hash64(concat(lit("bl|"), col("bk"))).as("h2"))
+        .agg(graft.functions.BloomAgg.bloom(col("h1"), col("h2"), m, kh)
+          .as("bloom_bits"))
       graft.streaming.Streams.lshNearDupTagStream(
           docs.where(col("source") =!= "src0"), bits,
           "text", 3, MinhashSeeds, bands = 4, rowsPerBand = 2,

@@ -61,7 +61,7 @@ object Media {
     // the one media stage the text-payload fixtures can't exercise.
     "q_media_codec_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val specs = table(s, d, "documents").select(
+      val specs = Core.spread(table(s, d, "documents")).select(
         col("doc_id").as("media_id"),
         (lit(16) + col("doc_id") % 16).cast("int").as("width"),
         (lit(16) + col("n_chars") % 16).cast("int").as("height"),
@@ -85,7 +85,7 @@ object Media {
     // lossless), so DuckDB hash-checks a genuine audio encoder/decoder.
     "q_media_wav_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val specs = table(s, d, "documents").select(
+      val specs = Core.spread(table(s, d, "documents")).select(
         col("doc_id").as("media_id"),
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
         (lit(64) + col("n_chars") % 192).cast("int").as("n_samples")
@@ -101,7 +101,7 @@ object Media {
     // pixel phash).
     "q_media_wav_features" -> ((s, d) => {
       import s.implicits._
-      val specs = table(s, d, "documents").select(
+      val specs = Core.spread(table(s, d, "documents")).select(
         col("doc_id").as("media_id"),
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
         (lit(64) + col("n_chars") % 192).cast("int").as("n_samples")
@@ -118,7 +118,7 @@ object Media {
     // encode + frame extraction.
     "q_media_gif_frames" -> ((s, d) => {
       import s.implicits._
-      val specs = table(s, d, "documents").select(
+      val specs = Core.spread(table(s, d, "documents")).select(
         col("doc_id").as("media_id"),
         (lit(2) + col("doc_id") % 6).cast("int").as("width"),
         (lit(2) + col("n_chars") % 4).cast("int").as("height"),
@@ -139,7 +139,7 @@ object Media {
     // codec's losslessness pixel-for-pixel AND the join.
     "q_media_phash_dedup" -> ((s, d) => {
       import s.implicits._
-      val specs = table(s, d, "documents").select(
+      val specs = Core.spread(table(s, d, "documents")).select(
         col("doc_id").as("media_id"),
         graft.ops.Core.md5Hash64(
           expr("(doc_id div 8)").cast("string")).as("pat"),
@@ -161,7 +161,7 @@ object Media {
     // kernel in one hash row.
     "q_media_resize_codec" -> ((s, d) => {
       import s.implicits._
-      val specs = table(s, d, "documents").select(
+      val specs = Core.spread(table(s, d, "documents")).select(
         col("doc_id").as("media_id"),
         graft.ops.Core.md5Hash64(col("doc_id").cast("string")).as("pat"),
         ((col("doc_id") * 7) % 60).cast("int").as("flip_pos")

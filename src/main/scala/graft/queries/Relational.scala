@@ -259,7 +259,10 @@ object Relational {
     // exact→sketch trade documented for the percentile family.
     "q_stats_profile" -> ((s, d) => {
       def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-      val wide = table(s, d, "orders")
+      // spread: the 5 exact NDVs Expand this scan 6× before the partial
+      // agg — single-task on the fixture's one-row-group file
+      // (Core.spread doc; no-op on wide inputs)
+      val wide = Core.spread(table(s, d, "orders"))
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice") * 100).cast("long").as("price_cents"),
           col("o_orderstatus"), col("o_orderpriority"))

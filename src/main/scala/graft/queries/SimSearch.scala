@@ -1154,18 +1154,23 @@ object SimSearch {
       val R = 3
       val en = normEmbeds(s, d)
       val nVec = embeds(s, d).count()
-      val qvArr = en.where(col("vec_id") === 0)
-        .select(col("vn")).head().getSeq[Double](0)
-      val qvCol = array(qvArr.map(lit): _*)
       val baseG = queries("q_sim_knn_graph_trained2")(s, d)
         .select(col("vec_id"), col("nbr")).localCheckpoint()
       val und = baseG.select(col("vec_id").as("v"), col("nbr").as("u"))
         .union(baseG.select(col("nbr").as("v"), col("vec_id").as("u")))
         .distinct().localCheckpoint()
+      // r15: scoring via CosBetween against the broadcast CosIndex — the
+      // old form re-joined the frontier against the embeddings table
+      // EVERY round (a corpus-sized scan per round at scale); now each
+      // round is a frontier-sized map, the inline-walk analogue of the
+      // stored walk's point reads. Values identical (round6 of the same
+      // ascending dot; the query vector IS vec 0's stored vn).
+      val bc = cosIndex(s, d)
       def score(ids: DataFrame): DataFrame = ids
-        .join(en, Seq("vec_id"))
         .select(col("vec_id"),
-          round(Vectors.dotFast(col("vn"), qvCol), 6).as("cos"))
+          org.apache.spark.sql.graft.GraftSql
+            .cosBetween(col("vec_id"), lit(0L), bc).as("cos"))
+        .where(col("cos").isNotNull)
       // per-round top-B under (cos DESC, id ASC): orderBy+limit plans
       // TakeOrderedAndProject (bounded heaps); the seed round's scored
       // frame reads the embeddings parquet through a join, so a global
@@ -1217,11 +1222,16 @@ object SimSearch {
       val und = baseG.select(col("vec_id").as("v"), col("nbr").as("u"))
         .union(baseG.select(col("nbr").as("v"), col("vec_id").as("u")))
         .distinct().localCheckpoint()
+      // r15: per-round scoring is one CosBetween per (qid, candidate)
+      // against the broadcast CosIndex — replaces a corpus-scan join plus
+      // a broadcast query join PER ROUND with a frontier-sized map (both
+      // the query vector and the candidate vector are stored rows).
+      val bc = cosIndex(s, d)
       def score(ids: DataFrame): DataFrame = ids
-        .join(en.select(col("vec_id"), col("vn")), Seq("vec_id"))
-        .join(broadcast(qs), Seq("qid"))
         .select(col("qid"), col("vec_id"),
-          round(Vectors.dotFast(col("vn"), col("qv")), 6).as("cos"))
+          org.apache.spark.sql.graft.GraftSql
+            .cosBetween(col("vec_id"), col("qid"), bc).as("cos"))
+        .where(col("cos").isNotNull)
       def topB(sc0: DataFrame, b: Int): DataFrame = sc0
         .groupBy(col("qid"))
         .agg(graft.functions.TopKPairAgg
