@@ -432,6 +432,64 @@ object Probe {
         Seq(root, s"${root}_full").foreach { p =>
           scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
         }
+      case "refspread" =>
+        // r15 A/B: q_ref_associations with/without a spread of the fact
+        // side before the broadcast join + TopKAgg partial agg (all of
+        // which run in the single scan task on the fixture layout).
+        def refForm(spread: Boolean): DataFrame = {
+          val li0 = graft.ops.Core.table(s, d, "lineitem")
+          val li = if (spread) graft.ops.Core.spread(li0) else li0
+          val o = graft.ops.Core.table(s, d, "orders")
+          val evs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select(
+              col("l_suppkey").as("target_id"),
+              col("o_orderpriority").as("disease_id"),
+              when(col("l_returnflag") === "R", col("l_discount"))
+                .otherwise(lit(0.0)).as("genetics"),
+              when(col("l_returnflag") =!= "R", col("l_discount"))
+                .otherwise(lit(0.0)).as("europepmc"))
+          evs.groupBy(col("target_id"), col("disease_id"))
+            .agg(count(lit(1)).as("evidence_count"),
+              graft.functions.TopKAgg.topK(col("genetics"), 100).as("g_topk"),
+              graft.functions.TopKAgg.topK(col("europepmc"), 100).as("l_topk"))
+            .select(col("target_id"), col("disease_id"), col("evidence_count"),
+              graft.ops.Scoring.harmonicFold(col("g_topk")).as("g_h"),
+              graft.ops.Scoring.harmonicFold(col("l_topk")).as("l_h"))
+            .select(col("target_id"), col("disease_id"), col("evidence_count"),
+              round(graft.ops.Scoring.harmonicCombine(col("g_h"), col("l_h")), 6)
+                .as("harmonic"))
+            .where(col("harmonic") > 0.1)
+        }
+        noop(refForm(true)); noop(refForm(false))
+        timed("ref_spread1") { noop(refForm(true)) }
+        timed("ref_plain1") { noop(refForm(false)) }
+        timed("ref_spread2") { noop(refForm(true)) }
+        timed("ref_plain2") { noop(refForm(false)) }
+      case "trained2split" =>
+        // r15: stage attribution of q_sim_knn_graph_trained2 at fixture
+        // scale — (a) full query, (b) assign only (train + collect +
+        // static assign scan), (c) the knn probe-2 tail alone over a
+        // cached assign. Alternating after a warmup.
+        def fullQ = SparkEntry.queries("q_sim_knn_graph_trained2")(s, d)
+        def assignOnly = SimSearch.trainedAssign(e)
+          .select(col("vec_id"), col("bucket"), col("bucket2"))
+        noop(fullQ); s.catalog.clearCache()
+        timed("t2_full1") { noop(fullQ) }
+        timed("t2_assign1") { noop(assignOnly) }
+        val asg = SimSearch.trainedAssign(e)
+          .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
+        noop(asg)
+        // alternating A/B of the two tail forms over the same cached
+        // assign: CosBetween ids-only join vs the carry-vn shape
+        // (ceilingOverride = 1 forces the carry-vn branch)
+        noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3))
+        noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3, 1L))
+        timed("t2_tail_bc1") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3)) }
+        timed("t2_tail_vn1") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3, 1L)) }
+        timed("t2_tail_bc2") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3)) }
+        timed("t2_tail_vn2") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3, 1L)) }
+        s.catalog.clearCache()
+        timed("t2_full2") { noop(fullQ) }
       case "corpussig" =>
         // r15 A/B: minhash sigs + LSH pairs over a doc_id-layout
         // checkpointed frame (the corpus_prepare survivors shape):

@@ -281,19 +281,25 @@ object LlmOps {
       val sh = Dedup
         .shingleTable(table(s, d, "documents"), "doc_id", "text", 3).cache()
       val truth = Dedup.exactSimilarPairs(sh, "doc_id", 1, 2)
-        .select(col("doc1"), col("doc2"))
+        .select(col("doc1"), col("doc2"), lit(1).as("t"))
       val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", MinhashSeeds)
       val cand = Dedup
         .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
-        .cache()
-      val flagged = cand.where(col("est_jaccard") >= 0.5)
-        .select(col("doc1"), col("doc2"))
-      val hit = flagged.join(truth, Seq("doc1", "doc2"))
-        .agg(count(lit(1)).as("n_hit"))
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-        .crossJoin(broadcast(flagged.agg(count(lit(1)).as("n_flag"))))
-        .crossJoin(broadcast(hit))
+        .select(col("doc1"), col("doc2"), col("est_jaccard"), lit(1).as("c"))
+      // ONE pass over each side (r15, the recallGate shape): the old
+      // four-branch crossJoin planned the exactSimilarPairs truth TWICE
+      // (n_true + n_hit) and the candidate set three times (89-Exchange
+      // plan); both pair sets are unique on (doc1, doc2), so a full-outer
+      // join + one agg computes all four counts with each lineage planned
+      // once. A null est_jaccard (truth-only row) fails the >= filter in
+      // both engines, so n_flag/n_hit are unchanged.
+      cand.join(truth, Seq("doc1", "doc2"), "full_outer")
+        .agg(
+          count(col("t")).as("n_true"),
+          count(col("c")).as("n_cand"),
+          count(when(col("est_jaccard") >= 0.5, 1)).as("n_flag"),
+          count(when(col("est_jaccard") >= 0.5 && col("t").isNotNull, 1))
+            .as("n_hit"))
         .select(col("n_true"), col("n_cand"), col("n_flag"), col("n_hit"),
           when(col("n_flag") > 0,
             round(col("n_hit") / col("n_flag").cast("double"), 4)).as("prec"),
@@ -1752,7 +1758,9 @@ object LlmOps {
       // size()s, the length fold, the stopword filter) read the attribute
       // instead of re-splitting the text per reference (Catalyst
       // re-evaluates repeated non-attribute subexpressions)
-      val survivors = table(s, d, "documents")
+      // spread: the quality gate's token folds + the exact-dedup md5 run
+      // scan-side (Core.spread doc; no-op on wide inputs)
+      val survivors = Core.spread(table(s, d, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),

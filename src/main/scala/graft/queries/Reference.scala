@@ -23,7 +23,10 @@ object Reference {
     // shuffle carries K doubles per (group, partition) — not every evidence
     // row (collect_list+slice would truncate only AFTER the exchange).
     "q_ref_associations" -> ((s, d) => {
-      val li = table(s, d, "lineitem")
+      // spread: the broadcast join + the two TopKAgg-100 partial aggs all
+      // run in the fact scan's single task on the fixture layout
+      // (Core.spread doc; no-op on wide inputs; probe refspread ~1.25×)
+      val li = Core.spread(table(s, d, "lineitem"))
       val o = table(s, d, "orders")
       val evs = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(
@@ -577,6 +580,12 @@ object Reference {
       s: SparkSession, d: String,
       stageRows: Long = 10000000L,
       minPairEvidence: Option[Long] = None): DataFrame = {
+    // NOT spread (r15, measured): a spread of the fact side cost +1.5-2 s
+    // here — the five linesBase consumers each pay the round-robin
+    // exchange and its sort-before-repartition over 600k rows, which
+    // beats nothing because each consumer's own first aggregation
+    // already map-side-combines in the scan task. Counter-case to the
+    // ref_associations win (whose per-row TopKAgg work is ~10× heavier).
     val li = table(s, d, "lineitem")
     val o = table(s, d, "orders")
     val linesBase = li.join(o, li("l_orderkey") === o("o_orderkey"))
