@@ -479,15 +479,7 @@ object Probe {
         val asg = SimSearch.trainedAssign(e)
           .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
         noop(asg)
-        // alternating A/B of the two tail forms over the same cached
-        // assign: CosBetween ids-only join vs the carry-vn shape
-        // (ceilingOverride = 1 forces the carry-vn branch)
-        noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3))
-        noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3, 1L))
-        timed("t2_tail_bc1") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3)) }
-        timed("t2_tail_vn1") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3, 1L)) }
-        timed("t2_tail_bc2") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3)) }
-        timed("t2_tail_vn2") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3, 1L)) }
+        timed("t2_tail1") { noop(SimSearch.knnWithinBucketsProbe2(s, d, asg, 3)) }
         s.catalog.clearCache()
         timed("t2_full2") { noop(fullQ) }
       case "corpussig" =>

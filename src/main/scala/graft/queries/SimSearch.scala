@@ -496,38 +496,8 @@ object SimSearch {
     * `spark.catalog.clearCache()` (or track and unpersist) between them,
     * or the caches accumulate at n-rows-of-vectors each.
     */
-  private[graft] def knnWithinBuckets(s: SparkSession, d: String,
-      assigned: DataFrame, k: Int,
-      ceilingOverride: Long = -1L): DataFrame = {
-    // r15 terminal form BELOW the broadcast ceiling (the r13 hop-first +
-    // broadcast-fetch rule applied to the bucket tail): the self-join
-    // runs on the NARROW (vec_id, bucket) assign and each candidate pair
-    // pays one CosBetween lookup against the broadcast CosIndex — no
-    // vector column ever reaches the bucket SMJ's sorts, and the vn join
-    // + its n-row vector cache disappear. PAST the ceiling the r10
-    // carry-vn shape below remains the only sort-safe plan (the id-only
-    // join + pair-sized re-fetch SMJs disk-killed at 2M, r10) — same
-    // fork and threshold as nndRound.
-    val ceiling =
-      if (ceilingOverride > 0) ceilingOverride else broadcastCeiling(s, d)
-    if (embeds(s, d).count() <= ceiling) {
-      val bc = cosIndex(s, d)
-      val a = assigned.where(col("bucket").isNotNull)
-        .select(col("vec_id"), col("bucket"))
-      return a.as("x")
-        .join(a.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
-          org.apache.spark.sql.graft.GraftSql
-            .cosBetween(col("x.vec_id"), col("y.vec_id"), bc).as("cos"))
-        .where(col("cos").isNotNull)
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), k).as("t"))
-        .select(col("vec_id"), posexplode(col("t")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("col._2").as("nbr"), col("col._1").as("cos"))
-    }
+  private def knnWithinBuckets(s: SparkSession, d: String,
+      assigned: DataFrame, k: Int): DataFrame = {
     // vn rides INTO the bucket self-join (the semdedup pair-stage shape,
     // r10): the old ids-only self-join + two vector re-fetch joins
     // sorted the PAIR-sized frame (occupancy·n ≈ 126M rows at 2M
@@ -568,33 +538,7 @@ object SimSearch {
     * knnWithinBuckets.
     */
   private[graft] def knnWithinBucketsProbe2(s: SparkSession, d: String,
-      assigned2: DataFrame, k: Int,
-      ceilingOverride: Long = -1L): DataFrame = {
-    // r15: same below-ceiling terminal form as knnWithinBuckets — the
-    // probe join runs on the narrow assign columns and the pair cosine
-    // is one CosBetween lookup; the carry-vn shape stays past the
-    // ceiling (fork rationale in knnWithinBuckets).
-    val ceiling =
-      if (ceilingOverride > 0) ceilingOverride else broadcastCeiling(s, d)
-    if (embeds(s, d).count() <= ceiling) {
-      val bc = cosIndex(s, d)
-      val members = assigned2.where(col("bucket").isNotNull)
-        .select(col("vec_id"), col("bucket"))
-      val probes = assigned2.select(col("vec_id"),
-        explode(array_compact(array(col("bucket"), col("bucket2")))).as("pb"))
-      return probes.as("x")
-        .join(members.as("y"),
-          col("x.pb") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
-          org.apache.spark.sql.graft.GraftSql
-            .cosBetween(col("x.vec_id"), col("y.vec_id"), bc).as("cos"))
-        .where(col("cos").isNotNull)
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKPairAgg.topK(col("cos"), col("nbr"), k).as("t"))
-        .select(col("vec_id"), posexplode(col("t")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("col._2").as("nbr"), col("col._1").as("cos"))
-    }
+      assigned2: DataFrame, k: Int): DataFrame = {
     val mvn = assigned2.join(normEmbeds(s, d), Seq("vec_id")).cache()
     val members = mvn.where(col("bucket").isNotNull)
       .select(col("vec_id"), col("bucket"), col("vn"))

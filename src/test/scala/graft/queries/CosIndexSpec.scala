@@ -38,28 +38,6 @@ class CosIndexSpec extends SparkSpec {
     assert(expr == relational)
   }
 
-  test("knn tails: below-ceiling CosBetween branch ≡ carry-vn branch " +
-    "(probe-1 AND probe-2, exact rows)") {
-    val e = SimSearch.embeds(spark, dir)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toSet
-    val a1 = SimSearch.trainedAssign(e)
-      .select(col("vec_id"), col("bucket")).cache()
-    assert(rows(SimSearch.knnWithinBuckets(spark, dir, a1, 3)) ==
-      rows(SimSearch.knnWithinBuckets(spark, dir, a1, 3,
-        ceilingOverride = 1L)))
-    spark.catalog.clearCache()
-    val a2 = SimSearch.trainedAssign(e)
-      .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
-    val bcForm = rows(SimSearch.knnWithinBucketsProbe2(spark, dir, a2, 3))
-    assert(bcForm.nonEmpty)
-    assert(bcForm ==
-      rows(SimSearch.knnWithinBucketsProbe2(spark, dir, a2, 3,
-        ceilingOverride = 1L)))
-    spark.catalog.clearCache()
-  }
-
   test("CosPairsAbove ≡ v1<v2 BNL join + threshold filter (exact rows)") {
     val en = SimSearch.normEmbeds(spark, dir)
     val relational = en.select(col("vec_id").as("v1"), col("vn").as("a"))
