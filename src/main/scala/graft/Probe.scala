@@ -1169,6 +1169,192 @@ object Probe {
             s"SEC=${(System.nanoTime() - t0) / 1e9}")
         }
         scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "kcoreform" =>
+        // r15 opt A/B: persist the node-sized `alive` (read 3× per peel
+        // round) vs recomputing it per consumer — alternating same-JVM
+        // over a checkpointed copy of q_graph_kcore's edge graph.
+        import org.apache.spark.storage.StorageLevel
+        val occ = graft.ops.Core.table(s, d, "events")
+          .select(expr("unix_timestamp(ts) div 300").as("win"),
+            col("event_type"), col("user_id"))
+          .distinct()
+        val eG = occ.as("a")
+          .join(occ.as("b"),
+            col("a.win") === col("b.win") &&
+              col("a.event_type") === col("b.event_type") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+          .distinct()
+        val und = eG.union(eG.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+        def rounds(persistAlive: Boolean): DataFrame = {
+          var edges = und.repartition(col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val kf = edges
+            .agg(count(lit(1)).as("m"), countDistinct(col("src")).as("nv"))
+            .select(expr("CAST(m DIV nv AS BIGINT)").as("k"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val rws = (1 to 3).map { r =>
+            val (alive0, nextRaw) = graft.ops.Graph.kcorePeel(edges, kf)
+            val alive = if (persistAlive)
+              alive0.persist(StorageLevel.MEMORY_AND_DISK) else alive0
+            val next = nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
+            val row = alive.agg(count(lit(1)).as("n_alive"))
+              .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
+              .crossJoin(broadcast(kf))
+              .select(lit(r.toLong).as("round"), col("k"),
+                col("n_alive"), col("n_edges"))
+              .localCheckpoint()
+            edges.unpersist(blocking = false)
+            if (persistAlive) alive.unpersist(blocking = false)
+            edges = next
+            row
+          }
+          edges.unpersist(blocking = false)
+          kf.unpersist(blocking = false)
+          rws.reduce(_ unionByName _)
+        }
+        noop(rounds(false)); noop(rounds(true))
+        (1 to 3).foreach { i =>
+          timed(s"kcore_raw$i") { noop(rounds(false)) }
+          timed(s"kcore_persist$i") { noop(rounds(true)) }
+        }
+      case "qjobs" =>
+        // per-JOB attribution for one query (second arg via env
+        // GRAFT_QJOBS_QUERY, default nnd_converge): callsite + wall per
+        // job, warm run — finds where a driver-job-bound query's jobs
+        // come from.
+        val qn = sys.env.getOrElse("GRAFT_QJOBS_QUERY", "q_sim_knn_nnd_converge")
+        noop(SparkEntry.queries(qn)(s, d)); s.catalog.clearCache()
+        val jobsLog =
+          new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+        val jl = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val cs = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?")
+            jobsLog.put(j.jobId, (cs, j.time))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = jobsLog.get(j.jobId)
+            if (st != null)
+              println(f"STATS=qjobs JOB=${j.jobId} MS=${j.time - st._2} " +
+                s"SITE=${st._1}")
+          }
+        }
+        s.sparkContext.addSparkListener(jl)
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(qn)(s, d))
+        println(f"STATS=qjobs TOTALSEC=${(System.nanoTime() - t0) / 1e9}%.2f")
+        s.sparkContext.removeSparkListener(jl)
+        s.catalog.clearCache()
+      case "qprofile" =>
+        // r15 opt-round attribution pass (guide §1): for each residual
+        // top-cost bench query, JOBS (driver-scheduled actions), TASKS,
+        // and total executor task time vs wall — many-jobs/low-task-time
+        // = driver/scheduling-bound (iterative structure), few-jobs/high-
+        // task-time = compute-bound (operator work). Second run timed
+        // (JIT premium rule); cache cleared like the bench.
+        val profiled = Seq(
+          "q_dedup_lsh_quality", "q_corpus_prepare", "q_graph_kcore",
+          "q_graph_bfs", "q_sim_knn_recall_nnd3", "q_sim_knn_nnd_converge",
+          "q_sim_graph_beam_recall", "q_sim_graph_beam_batch_stored",
+          "q_stream_lsh_sized", "q_stream_lsh_batch",
+          "q_text_retrieval_eval", "q_stats_profile", "q_ref_associations",
+          "q_pipeline_drug_disease", "q_sim_knn_graph_nnd",
+          "q_sim_graph_beam_batch", "q_media_phash_dedup",
+          "q_dedup_multipass", "q_sample_cluster_split")
+        profiled.foreach { qn =>
+          noop(SparkEntry.queries(qn)(s, d)); s.catalog.clearCache()
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val tasks = new java.util.concurrent.atomic.AtomicLong
+          val taskMs = new java.util.concurrent.atomic.AtomicLong
+          val jl = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              tasks.incrementAndGet()
+              if (t.taskInfo != null)
+                taskMs.addAndGet(t.taskInfo.duration)
+            }
+          }
+          s.sparkContext.addSparkListener(jl)
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(qn)(s, d))
+          val sec = (System.nanoTime() - t0) / 1e9
+          s.sparkContext.removeSparkListener(jl)
+          s.catalog.clearCache()
+          println(f"STATS=qprofile Q=$qn SEC=$sec%.2f JOBS=${jobs.get} " +
+            s"TASKS=${tasks.get} TASKSEC=${taskMs.get / 1000.0}")
+        }
+      case "mediaspread" =>
+        // r15 opt-round A/B: is Core.spread worth it on each media codec
+        // spec frame? Per-row codec cost spans ~3 orders of magnitude
+        // across the family (WAV header+PCM synth ~µs/row vs PNG
+        // encode+decode+NN-resize+re-encode ~100s of µs/row), so the
+        // §2.5 "per-row compute ≫ row width" test may pass for some and
+        // fail for others. Alternating same-JVM runs, untimed warmups of
+        // BOTH arms first (fixed-order premium rule).
+        import s.implicits._
+        val docs = graft.ops.Core.table(s, d, "documents")
+        def specBase(raw: Boolean) =
+          if (raw) docs else graft.ops.Core.spread(docs)
+        def arm(nm: String, raw: Boolean): DataFrame = nm match {
+          case "png" => graft.llm.Multimodal.pngRoundTrip(
+            specBase(raw).select(
+              col("doc_id").as("media_id"),
+              (lit(16) + col("doc_id") % 16).cast("int").as("width"),
+              (lit(16) + col("n_chars") % 16).cast("int").as("height"),
+              (((col("doc_id") % lit(16777216L)) * lit(2654435761L)) %
+                lit(16777216L)).cast("int").as("rgb"))
+              .as[graft.llm.Multimodal.ImageSpec]).toDF()
+          case "wavrt" => graft.llm.Multimodal.wavRoundTrip(
+            specBase(raw).select(
+              col("doc_id").as("media_id"),
+              (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+                .as("sample_rate"),
+              (lit(64) + col("n_chars") % 192).cast("int").as("n_samples"))
+              .as[graft.llm.Multimodal.AudioSpec]).toDF()
+          case "wavf" => graft.llm.Multimodal.wavFeatures(
+            specBase(raw).select(
+              col("doc_id").as("media_id"),
+              (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+                .as("sample_rate"),
+              (lit(64) + col("n_chars") % 192).cast("int").as("n_samples"))
+              .as[graft.llm.Multimodal.AudioSpec]).toDF()
+          case "gif" => graft.llm.Multimodal.gifFramesRoundTrip(
+            specBase(raw).select(
+              col("doc_id").as("media_id"),
+              (lit(2) + col("doc_id") % 6).cast("int").as("width"),
+              (lit(2) + col("n_chars") % 4).cast("int").as("height"),
+              (lit(2) + col("doc_id") % 3).cast("int").as("n_frames"))
+              .as[graft.llm.Multimodal.VideoSpec]).toDF()
+          case "phash" => graft.llm.Multimodal.phashRoundTrip(
+            specBase(raw).select(
+              col("doc_id").as("media_id"),
+              graft.ops.Core.md5Hash64(
+                expr("(doc_id div 8)").cast("string")).as("pat"),
+              ((col("doc_id") % 8) * 7 % 60).cast("int").as("flip_pos"))
+              .as[graft.llm.Multimodal.PhashSpec]).toDF()
+          case "resize" => graft.llm.Multimodal.resizeRoundTrip(
+            specBase(raw).select(
+              col("doc_id").as("media_id"),
+              graft.ops.Core.md5Hash64(col("doc_id").cast("string"))
+                .as("pat"),
+              ((col("doc_id") * 7) % 60).cast("int").as("flip_pos"))
+              .as[graft.llm.Multimodal.PhashSpec], k = 3).toDF()
+        }
+        Seq("png", "wavrt", "wavf", "gif", "phash", "resize").foreach { nm =>
+          noop(arm(nm, raw = true)); noop(arm(nm, raw = false))
+          (1 to 3).foreach { i =>
+            timed(s"${nm}_raw$i") { noop(arm(nm, raw = true)) }
+            timed(s"${nm}_spread$i") { noop(arm(nm, raw = false)) }
+          }
+        }
       case other => println(s"PROBE=$other SKIPPED=unknown")
     }
     s.stop()

@@ -96,6 +96,34 @@ object Multimodal {
   case class DecodedImage(media_id: Long, width: Int, height: Int,
                           png_bytes: Long, rgb0: Long)
 
+  /** PNG encode/decode through EXPLICIT MemoryCache image streams.
+    * The convenience overloads `ImageIO.write(img, fmt, OutputStream)` /
+    * `ImageIO.read(InputStream)` consult `ImageIO.getUseCache()` (JDK
+    * default TRUE) and back EVERY call with a FileCache stream — a temp
+    * FILE created, written, read and deleted per encode and per decode.
+    * At 32 concurrent codec tasks that is thousands of tmpfs syscalls
+    * plus contention per pass (r15 opt round: the phash fold's task-time
+    * read ~44 ms/row; the codec arithmetic is ~100 µs). MemoryCache
+    * streams produce BYTE-IDENTICAL codec output (same writer plugin,
+    * same bytes — only the spool target changes), so every oracle hash
+    * is untouched.
+    */
+  private def pngEncode(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def pngDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    // no explicit close: ImageIO.read(ImageInputStream) closes the
+    // stream itself on completion (javadoc'd; a second close throws)
+    javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+  }
+
   /** REAL codec round-trip — javax.imageio, pure JVM, zero new
     * dependencies: render each row's deterministic solid-RGB image, encode
     * it to PNG, and DECODE the bytes back inside the same partition loop.
@@ -117,11 +145,8 @@ object Multimodal {
         g.setColor(new java.awt.Color(sp.rgb))
         g.fillRect(0, 0, sp.width, sp.height)
         g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val bytes = bos.toByteArray
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val bytes = pngEncode(img)
+        val back = pngDecode(bytes)
         DecodedImage(sp.media_id, back.getWidth, back.getHeight,
           bytes.length.toLong, (back.getRGB(0, 0) & 0xffffff).toLong)
       }
@@ -248,7 +273,10 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        // MemoryCache, not createImageOutputStream: the factory consults
+        // ImageIO.useCache and spools through a temp FILE per call (see
+        // pngEncode) — identical bytes, no filesystem traffic
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         (0 until sp.n_frames).foreach { f =>
@@ -268,7 +296,7 @@ object Multimodal {
         val bytes = bos.toByteArray
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         reader.setInput(iis)
         val n = reader.getNumImages(true)
@@ -322,10 +350,7 @@ object Multimodal {
           img.setRGB(p % 8, p / 8, if (white) 0xffffff else 0x000000)
           p += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val back = pngDecode(pngEncode(img))
         var hash = 0L
         var q = 0
         while (q < 60) {
@@ -371,10 +396,7 @@ object Multimodal {
           img.setRGB(p % 8, p / 8, if (white) 0xffffff else 0x000000)
           p += 1
         }
-        val bos1 = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos1)
-        val dec1 = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos1.toByteArray))
+        val dec1 = pngDecode(pngEncode(img))
         // NN upscale from DECODED pixels (not the spec bits)
         val up = new java.awt.image.BufferedImage(
           8 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -387,10 +409,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos2 = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(up, "png", bos2)
-        val dec2 = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos2.toByteArray))
+        val dec2 = pngDecode(pngEncode(up))
         var nWhite = 0L
         var fp = 0L
         var cy = 0

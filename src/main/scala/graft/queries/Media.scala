@@ -83,9 +83,14 @@ object Media {
     // Decoded sample count, header sample rate, and the first/last
     // samples are pure functions of the doc row (PCM16-in-WAV is
     // lossless), so DuckDB hash-checks a genuine audio encoder/decoder.
+    // NOT spread (r15 opt A/B, Probe mediaspread): WAV synth is ~µs/row —
+    // header + PCM16 buffer, no pixel loops — so the §2.5 "per-row
+    // compute ≫ row width" test FAILS here; the spread arm measured
+    // 2.5× SLOWER (raw 0.56-0.65 s vs spread 1.4-1.8 s, same JVM,
+    // alternating ×3) where the png/gif/resize codecs' spread won.
     "q_media_wav_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val specs = Core.spread(table(s, d, "documents")).select(
+      val specs = table(s, d, "documents").select(
         col("doc_id").as("media_id"),
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
         (lit(64) + col("n_chars") % 192).cast("int").as("n_samples")
@@ -99,9 +104,12 @@ object Media {
     // the oracle's arithmetic replication pins codec losslessness AND the
     // feature extraction together (the audio analogue of the decoded-
     // pixel phash).
+    // NOT spread — same measured verdict as q_media_wav_roundtrip (raw
+    // 0.47-0.56 s vs spread 1.25-1.38 s; the DSP fold is integer sums
+    // over ≤255 samples, still ~µs/row).
     "q_media_wav_features" -> ((s, d) => {
       import s.implicits._
-      val specs = Core.spread(table(s, d, "documents")).select(
+      val specs = table(s, d, "documents").select(
         col("doc_id").as("media_id"),
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
         (lit(64) + col("n_chars") % 192).cast("int").as("n_samples")

@@ -631,7 +631,14 @@ object SimSearch {
         col("a.u") === col("b.u") && col("a.v") =!= col("b.v"))
       .select(col("a.v").as("v1"), col("b.v").as("v2"))
     val en = normEmbeds(s, d)
-    val nVec = embeds(s, d).count() // parquet-footer count — plan-time
+    // a caller-provided index IS the broadcast-path decision: driver
+    // loops build it once per loop exactly when n fits the ceiling, so
+    // re-counting the table per round here was one job per round for a
+    // question the caller already answered (r15 opt round — the converge
+    // family is driver-job-bound: 81 jobs / 3.9 task-seconds).
+    val nVec =
+      if (bcIdx.isDefined) -1L
+      else embeds(s, d).count() // parquet-footer count — plan-time
     // default threshold derives from a BYTE budget, not a fixed row
     // count (r13 ADVICE: the old 4M-row default shipped ~2 GB per
     // broadcast right below the cutover at 0.5 KB/vector): ~1 GiB per
@@ -640,10 +647,11 @@ object SimSearch {
     // |table|/R (SCALE.md r14 nndshard) — engaging it early is safe;
     // overshooting the driver/executor broadcast ceiling is not.
     val threshold =
-      if (shardThreshold > 0) shardThreshold
+      if (bcIdx.isDefined) Long.MaxValue
+      else if (shardThreshold > 0) shardThreshold
       else broadcastCeiling(s, d)
     val hopScored =
-      if (nVec <= threshold) {
+      if (bcIdx.isDefined || nVec <= threshold) {
         // r15: one CosBetween lookup per candidate against the broadcast
         // CosIndex — the SAME broadcast relation the two vector-fetch
         // hash joins built, minus both joins and both per-pair array
@@ -702,11 +710,19 @@ object SimSearch {
     while (r <= maxRounds && newEdges != 0L) {
       val next = nndRound(s, d, g, k, ceiling, idx)
         .select(col("vec_id"), col("nbr"), col("cos")).localCheckpoint()
-      newEdges = next
-        .join(g.select(col("vec_id"), col("nbr")),
-          Seq("vec_id", "nbr"), "left_anti")
-        .count()
-      cert += ((r.toLong, newEdges, next.count()))
+      // ONE counting job per round (r15 opt): n_new and n_edges from a
+      // single left join + agg — the old left_anti count + count() pair
+      // scanned `next` twice and ran two job sets per round on a query
+      // whose wall is driver-job-bound. g is unique on (vec_id, nbr)
+      // (top-k graph), so the left join multiplies no rows and
+      // count(o IS NULL) ≡ the anti-join count exactly.
+      val stats = next
+        .join(g.select(col("vec_id"), col("nbr")).withColumn("o", lit(1)),
+          Seq("vec_id", "nbr"), "left")
+        .agg(count(when(col("o").isNull, 1)).as("n_new"),
+          count(lit(1)).as("n_edges")).head()
+      newEdges = stats.getLong(0)
+      cert += ((r.toLong, newEdges, stats.getLong(1)))
       g = next
       r += 1
     }
