@@ -80,12 +80,23 @@ object Dedup {
     */
   def rowMinhashSigs(df: DataFrame, textCol: String, seeds: Seq[Int],
                      n: Int): DataFrame = {
-    val withHw = df.withColumn("hws",
-      transform(array_distinct(TextOps.shingles(col(textCol), n)),
-        w => Core.md5Hash64(w) % P))
-    withHw.select(df.columns.map(col) ++ seeds.map(i =>
-      array_min(transform(col("hws"),
-        h => (lit(hashA(i)) * h + lit(hashB(i))) % P)).as(s"mh$i")): _*)
+    // ONE compiled pass per row (r15 opt, guide §4): the old
+    // transform/array_min lambda pipeline was interpreted per element
+    // (HOFs sit outside whole-stage codegen) and, pinned to the stream
+    // side's single scan task by the zero-shuffle contract, WAS the
+    // stream screens' wall (~4.5 task-seconds of a 3.3 s q_stream_lsh_batch).
+    // RowMinhash replicates the value contract exactly — split-with-
+    // empties, n-token windows, md5Hash64 % P, per-family (A·h+B) % P
+    // mins, null when no shingles (RowMinhashSpec pins row equality
+    // against the lambda form; the dedup-vs-grouped DedupSpec pin holds
+    // end-to-end). Materialized behind its own column so the k
+    // element_at projections never re-run the kernel.
+    val withM = df.withColumn("__mhs",
+      org.apache.spark.sql.graft.RowMinhash.rowMinhash(
+        col(textCol), n, seeds.map(hashA), seeds.map(hashB)))
+    withM.select(df.columns.map(col) ++ seeds.zipWithIndex.map {
+      case (s, j) => element_at(col("__mhs"), j + 1).as(s"mh$s")
+    }: _*)
   }
 
   /** Band-bucket key strings of a signature table: (id, bk) with

@@ -1248,9 +1248,18 @@ object SimSearch {
           org.apache.spark.sql.graft.GraftSql
             .cosBetween(col("vec_id"), col("qid"), bc).as("cos"))
         .where(col("cos").isNotNull)
+      // per-round top-B through the DISTINCT variant (r15 opt): candidate
+      // multiplicity (a node reachable from several frontier members, or
+      // frontier ∪ expansion overlap) dies in the aggregator's
+      // dedup-on-insert — cos is a deterministic function of (qid,
+      // vec_id), the contract — so the per-round relational .distinct()
+      // and its exchange disappear (the query is driver-job-bound:
+      // 48 jobs / 1.9 task-seconds before the change). Multiplicity is
+      // ≤ B per candidate and scoring is one broadcast-index lookup, so
+      // re-scoring duplicates is cheaper than shuffling them away.
       def topB(sc0: DataFrame, b: Int): DataFrame = sc0
         .groupBy(col("qid"))
-        .agg(graft.functions.TopKPairAgg
+        .agg(graft.functions.TopKPairDistinctAgg
           .topK(col("cos"), col("vec_id"), b).as("t"))
         .select(col("qid"), posexplode(col("t")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
@@ -1265,7 +1274,7 @@ object SimSearch {
         val expand = frontier.select(col("qid"), col("vec_id").as("v"))
           .join(und, Seq("v")).select(col("qid"), col("u").as("vec_id"))
           .union(frontier.select(col("qid"), col("vec_id")))
-          .where(col("vec_id") =!= col("qid")).distinct()
+          .where(col("vec_id") =!= col("qid"))
         frontier = topB(score(expand), B)
           .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
       }
