@@ -1169,6 +1169,113 @@ object Probe {
             s"SEC=${(System.nanoTime() - t0) / 1e9}")
         }
         scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      case "spreadrel" =>
+        // r15 opt A/B: spread vs raw for the two single-scan-task
+        // relational folds (countmin's 4 md5s/row, stats_corr's 14
+        // decimal partial sums) — alternating same-JVM, both arms warmed.
+        val li = graft.ops.Core.table(s, d, "lineitem")
+        def countminForm(base: DataFrame): DataFrame = {
+          val W = 256L
+          val rowBuckets = explode(array((0 until 4).map(i =>
+            struct(lit(i).as("r"), col(s"b$i").as("b"))): _*)).as("rb")
+          val hashed = base.select(
+            col("l_partkey") +: (0 until 4).map(i =>
+              pmod(graft.ops.Core.md5Hash64(
+                concat(lit(s"cms$i|"), col("l_partkey").cast("string"))),
+                lit(W)).as(s"b$i")): _*)
+            .persist()
+          val counters = hashed.select(rowBuckets)
+            .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+            .agg(count(lit(1)).as("c"))
+          val keys = hashed
+            .groupBy(col("l_partkey"), col("b0"), col("b1"), col("b2"),
+              col("b3"))
+            .agg(count(lit(1)).as("n_true"))
+          keys.select(col("l_partkey"), col("n_true"), rowBuckets)
+            .select(col("l_partkey"), col("n_true"),
+              col("rb.r").as("r"), col("rb.b").as("b"))
+            .join(broadcast(counters), Seq("r", "b"))
+            .groupBy(col("l_partkey"))
+            .agg(min(col("n_true")).as("n_true"), min(col("c")).as("est_cms"))
+        }
+        def corrForm(base: DataFrame): DataFrame = {
+          val b = base.select(
+            round(col("l_quantity")).cast("long").as("q"),
+            round(col("l_extendedprice") * 100).cast("long").as("p"),
+            round(col("l_discount") * 10000).cast("long").as("dd"),
+            round(col("l_tax") * 10000).cast("long").as("t"))
+          def dec(c: String) = col(c).cast("decimal(19,0)")
+          val cols = Seq("q", "p", "dd", "t")
+          val sums = cols.map(c => sum(dec(c)).as(s"s_$c"))
+          val sqs = cols.map(c => sum(dec(c) * dec(c)).as(s"ss_$c"))
+          val crosses = cols.combinations(2).toSeq.map { case Seq(x, y) =>
+            sum(dec(x) * dec(y)).as(s"sx_${x}_$y")
+          }
+          b.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            (sums ++ sqs ++ crosses): _*)
+        }
+        def run(nm: String, mk: DataFrame => DataFrame): Unit = {
+          noop(mk(li)); s.catalog.clearCache()
+          noop(mk(graft.ops.Core.spread(li))); s.catalog.clearCache()
+          (1 to 3).foreach { i =>
+            timed(s"${nm}_raw$i") { noop(mk(li)) }
+            timed(s"${nm}_spread$i") { noop(mk(graft.ops.Core.spread(li))) }
+          }
+        }
+        run("cms", countminForm)
+        run("corr", corrForm)
+        def pctForm(base: DataFrame): DataFrame = base
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"),
+            count(lit(1)).as("n_rows"))
+        run("pct", pctForm)
+        val ord = graft.ops.Core.table(s, d, "orders")
+        def diffForm(base: DataFrame): DataFrame = {
+          val buckets = 64L
+          val a = base
+          val b = a.where(col("o_orderkey") % 101 =!= 0L)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 97 === 0L, col("o_totalprice") + 1.0)
+                .otherwise(col("o_totalprice")))
+          def fp(df: DataFrame) = df.select(
+            col("o_orderkey"),
+            (graft.ops.Core.md5Hash64(concat(lit("td|"),
+              col("o_orderkey").cast("string"))) % buckets).as("bucket"),
+            graft.ops.Core.md5Hash64(concat_ws("|", col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long"),
+              col("o_orderstatus"))).as("rh"))
+          val fa = fp(a)
+          val fb = fp(b)
+          def sketch(df: DataFrame) = df.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("n"),
+              call_function("bit_xor", col("rh")).as("x"))
+          val dif = sketch(fa).as("sa")
+            .join(sketch(fb).as("sb"), Seq("bucket"), "full_outer")
+            .where(coalesce(col("sa.n"), lit(-1L)) =!=
+                coalesce(col("sb.n"), lit(-1L)) ||
+              coalesce(col("sa.x"), lit(0L)) =!= coalesce(col("sb.x"), lit(0L)))
+            .select(col("bucket"))
+          val da = fa.join(broadcast(dif), Seq("bucket"))
+            .select(col("o_orderkey"), col("rh").as("rh_a"))
+          val db = fb.join(broadcast(dif), Seq("bucket"))
+            .select(col("o_orderkey"), col("rh").as("rh_b"))
+          da.join(db, Seq("o_orderkey"), "full_outer")
+            .where(col("rh_a").isNull || col("rh_b").isNull ||
+              col("rh_a") =!= col("rh_b"))
+            .select(col("o_orderkey"),
+              when(col("rh_b").isNull, "deleted")
+                .when(col("rh_a").isNull, "inserted")
+                .otherwise("changed").as("change_type"))
+        }
+        def runOrd(nm: String, mk: DataFrame => DataFrame): Unit = {
+          noop(mk(ord)); s.catalog.clearCache()
+          noop(mk(graft.ops.Core.spread(ord))); s.catalog.clearCache()
+          (1 to 3).foreach { i =>
+            timed(s"${nm}_raw$i") { noop(mk(ord)) }
+            timed(s"${nm}_spread$i") { noop(mk(graft.ops.Core.spread(ord))) }
+          }
+        }
+        runOrd("tdiff", diffForm)
       case "kcoreform" =>
         // r15 opt A/B: persist the node-sized `alive` (read 3× per peel
         // round) vs recomputing it per consumer — alternating same-JVM
@@ -1257,15 +1364,19 @@ object Probe {
         // = driver/scheduling-bound (iterative structure), few-jobs/high-
         // task-time = compute-bound (operator work). Second run timed
         // (JIT premium rule); cache cleared like the bench.
-        val profiled = Seq(
-          "q_dedup_lsh_quality", "q_corpus_prepare", "q_graph_kcore",
-          "q_graph_bfs", "q_sim_knn_recall_nnd3", "q_sim_knn_nnd_converge",
-          "q_sim_graph_beam_recall", "q_sim_graph_beam_batch_stored",
-          "q_stream_lsh_sized", "q_stream_lsh_batch",
-          "q_text_retrieval_eval", "q_stats_profile", "q_ref_associations",
-          "q_pipeline_drug_disease", "q_sim_knn_graph_nnd",
-          "q_sim_graph_beam_batch", "q_media_phash_dedup",
-          "q_dedup_multipass", "q_sample_cluster_split")
+        // default set = the r15 opt round's residual top tier; override
+        // with GRAFT_QPROFILE (comma-separated query names)
+        val profiled = sys.env.get("GRAFT_QPROFILE")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(
+            "q_dedup_lsh_quality", "q_corpus_prepare", "q_graph_kcore",
+            "q_graph_bfs", "q_sim_knn_recall_nnd3", "q_sim_knn_nnd_converge",
+            "q_sim_graph_beam_recall", "q_sim_graph_beam_batch_stored",
+            "q_stream_lsh_sized", "q_stream_lsh_batch",
+            "q_text_retrieval_eval", "q_stats_profile", "q_ref_associations",
+            "q_pipeline_drug_disease", "q_sim_knn_graph_nnd",
+            "q_sim_graph_beam_batch", "q_media_phash_dedup",
+            "q_dedup_multipass", "q_sample_cluster_split"))
         profiled.foreach { qn =>
           noop(SparkEntry.queries(qn)(s, d)); s.catalog.clearCache()
           val jobs = new java.util.concurrent.atomic.AtomicLong

@@ -102,6 +102,9 @@ object Relational {
       // Array form shares ONE value buffer across both quantiles — two
       // scalar percentile() calls each build their own per-group
       // value map, doubling agg memory for identical output.
+      // NOT spread (r15 opt, Probe spreadrel ×3 alternating): the
+      // value-map insert is too cheap per row — the spread arm was a
+      // wash-to-loss (raw 0.91-1.22 s vs spread 1.08-1.15 s).
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -1090,7 +1093,12 @@ object Relational {
     }),
 
     "q_stats_corr" -> ((s, d) => {
-      val b = table(s, d, "lineitem").select(
+      // spread: 14 decimal-product partial sums over every row run in the
+      // one-task fixture scan (global agg = partial in the scan task;
+      // qprofile: ~1.7 task-seconds ≈ the whole wall). Decimal sums are
+      // exact integers — identical under any partitioning. The exchange
+      // carries 4 narrow numeric columns.
+      val b = Core.spread(table(s, d, "lineitem")).select(
         round(col("l_quantity")).cast("long").as("q"),
         round(col("l_extendedprice") * 100).cast("long").as("p"),
         round(col("l_discount") * 10000).cast("long").as("dd"),
@@ -1170,7 +1178,11 @@ object Relational {
     // both engines derive identical replicas from one parquet.
     "q_etl_table_diff" -> ((s, d) => {
       val buckets = 64L
-      val a = table(s, d, "orders")
+      // spread: fp() below computes two md5s per row and runs once per
+      // version per consumer (sketch + re-fetch), all in the one-task
+      // fixture scan (Core.spread doc; Probe spreadrel ×3 alternating:
+      // raw 1.37-1.88 s vs spread 1.26-1.56 s — modest, consistent)
+      val a = Core.spread(table(s, d, "orders"))
       val b = a.where(col("o_orderkey") % 101 =!= 0L)
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 97 === 0L, col("o_totalprice") + 1.0)
@@ -1764,7 +1776,10 @@ object Relational {
       val W = 256L
       val rowBuckets = explode(array((0 until 4).map(i =>
         struct(lit(i).as("r"), col(s"b$i").as("b"))): _*)).as("rb")
-      val hashed = table(s, d, "lineitem").select(
+      // spread: 4 md5s per row, all in the one-task fixture scan before
+      // the persist fill (Core.spread doc — qprofile read the fill at
+      // ~8 task-seconds); the exchange carries one long per row
+      val hashed = Core.spread(table(s, d, "lineitem")).select(
         col("l_partkey") +: (0 until 4).map(i =>
           pmod(Core.md5Hash64(
             concat(lit(s"cms$i|"), col("l_partkey").cast("string"))),

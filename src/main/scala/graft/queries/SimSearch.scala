@@ -1301,10 +1301,13 @@ object SimSearch {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10).select(col("vec_id"))
       val found = queries("q_sim_graph_beam")(s, d).select(col("vec_id"))
-      val nT = truth.agg(count(lit(1)).as("n_true"))
-      val nH = truth.join(found, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      nT.crossJoin(nH)
+      // ONE pass over the truth lineage (r15 opt, the recallGate shape):
+      // the old n_true × n_hit crossJoin planned the corpus-scanning
+      // truth side twice (a count and a semi-join share no exchange).
+      // found is unique on vec_id (a top-10 under a total order), so the
+      // left join multiplies no rows and count(f) ≡ the semi-join count.
+      truth.join(found.withColumn("f", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("f")).as("n_hit"))
         .select(col("n_true"), col("n_hit"),
           when(col("n_true") > 0,
             round(col("n_hit").cast("double") / col("n_true"), 4))
