@@ -1276,7 +1276,13 @@ object LlmOps {
       val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
       val qsh = sh.join(broadcast(qids), col("doc_id") === col("query_id"))
         .select(col("query_id"), col("w"))
-      val rel = qsh.join(sh, Seq("w"))
+      // broadcast the QUERY side (r15 opt, guide §3.1): qsh is
+      // serving-load-bounded (the fixed ≤50-doc query budget's grams) but
+      // derives from the corpus-sized shingle table, so Catalyst's
+      // estimate read it as big and planned a sort-merge join that
+      // shuffled and sorted the WHOLE corpus gram table by trigram; the
+      // hint makes the corpus side map-only here.
+      val rel = sh.join(broadcast(qsh), Seq("w"))
         .where(col("doc_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("ni"))
@@ -1291,8 +1297,11 @@ object LlmOps {
           sum(element_at(wArr, col("rn").cast("int"))).as("dcg_fp"),
           count(lit(1)).as("n_hits"))
       val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-      qids.join(nrel, Seq("query_id"), "left")
-        .join(hits, Seq("query_id"), "left")
+      // both gate frames are query-budget-sized (≤50 rows) but their
+      // lineages read corpus-sized, so the planner sorted three ~50-row
+      // frames through SMJs; broadcast builds are the honest shape
+      qids.join(broadcast(nrel), Seq("query_id"), "left")
+        .join(broadcast(hits), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_rel"), lit(0L)).as("n_rel"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
