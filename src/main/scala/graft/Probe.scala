@@ -1277,34 +1277,46 @@ object Probe {
         }
         runOrd("tdiff", diffForm)
       case "kcoreform" =>
-        // r15 opt A/B: persist the node-sized `alive` (read 3× per peel
-        // round) vs recomputing it per consumer — alternating same-JVM
-        // over a checkpointed copy of q_graph_kcore's edge graph.
+        // r16 A/B: the OLD kcoreRounds (persist chain + per-round 1-row
+        // checkpoints; edge lineage re-analyzed 3^r-fold — the two-star
+        // trap) vs the NEW shape (localCheckpoint per edge generation +
+        // collected scalar summaries). Alternating same-JVM over the full
+        // q_graph_kcore input lineage (the planning cost under test IS
+        // the upstream co-occurrence self-join, so no pre-checkpoint).
         import org.apache.spark.storage.StorageLevel
-        val occ = graft.ops.Core.table(s, d, "events")
-          .select(expr("unix_timestamp(ts) div 300").as("win"),
-            col("event_type"), col("user_id"))
-          .distinct()
-        val eG = occ.as("a")
-          .join(occ.as("b"),
-            col("a.win") === col("b.win") &&
-              col("a.event_type") === col("b.event_type") &&
-              col("a.user_id") < col("b.user_id"))
-          .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
-          .distinct()
-        val und = eG.union(eG.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint()
-        def rounds(persistAlive: Boolean): DataFrame = {
-          var edges = und.repartition(col("src"))
+        def undK() = {
+          val occ = graft.ops.Core.table(s, d, "events")
+            .select(expr("unix_timestamp(ts) div 300").as("win"),
+              col("event_type"), col("user_id"))
+            .distinct()
+          val eG = occ.as("a")
+            .join(occ.as("b"),
+              col("a.win") === col("b.win") &&
+                col("a.event_type") === col("b.event_type") &&
+                col("a.user_id") < col("b.user_id"))
+            .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+            .distinct()
+          eG.union(eG.select(col("dst").as("src"), col("src").as("dst")))
+        }
+        def oldPeel(edges: DataFrame, kf: DataFrame): (DataFrame, DataFrame) = {
+          val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .crossJoin(broadcast(kf))
+            .where(col("deg") >= col("k"))
+            .select(col("src").as("node"))
+          val next = edges
+            .join(broadcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
+            .join(broadcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+          (alive, next)
+        }
+        def oldRounds(): DataFrame = {
+          var edges = undK().repartition(col("src"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           val kf = edges
             .agg(count(lit(1)).as("m"), countDistinct(col("src")).as("nv"))
             .select(expr("CAST(m DIV nv AS BIGINT)").as("k"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           val rws = (1 to 3).map { r =>
-            val (alive0, nextRaw) = graft.ops.Graph.kcorePeel(edges, kf)
-            val alive = if (persistAlive)
-              alive0.persist(StorageLevel.MEMORY_AND_DISK) else alive0
+            val (alive, nextRaw) = oldPeel(edges, kf)
             val next = nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
             val row = alive.agg(count(lit(1)).as("n_alive"))
               .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
@@ -1313,7 +1325,6 @@ object Probe {
                 col("n_alive"), col("n_edges"))
               .localCheckpoint()
             edges.unpersist(blocking = false)
-            if (persistAlive) alive.unpersist(blocking = false)
             edges = next
             row
           }
@@ -1321,10 +1332,11 @@ object Probe {
           kf.unpersist(blocking = false)
           rws.reduce(_ unionByName _)
         }
-        noop(rounds(false)); noop(rounds(true))
+        noop(oldRounds()); s.catalog.clearCache()
+        noop(graft.ops.Graph.kcoreRounds(undK(), 3)); s.catalog.clearCache()
         (1 to 3).foreach { i =>
-          timed(s"kcore_raw$i") { noop(rounds(false)) }
-          timed(s"kcore_persist$i") { noop(rounds(true)) }
+          timed(s"kcore_old$i") { noop(oldRounds()) }
+          timed(s"kcore_new$i") { noop(graft.ops.Graph.kcoreRounds(undK(), 3)) }
         }
       case "qjobs" =>
         // per-JOB attribution for one query (second arg via env
@@ -1401,6 +1413,265 @@ object Probe {
           s.catalog.clearCache()
           println(f"STATS=qprofile Q=$qn SEC=$sec%.2f JOBS=${jobs.get} " +
             s"TASKS=${tasks.get} TASKSEC=${taskMs.get / 1000.0}")
+        }
+      case "qstages" =>
+        // r16 per-STAGE attribution for compute-bound queries (guide §1.1
+        // "pick the slowest stage"): stage name/callsite, task count, total
+        // task-seconds, shuffle read/write bytes — finds the hot OPERATOR
+        // where qprofile only says "compute-bound". Warm run (discarded
+        // first pass), cache cleared like the bench.
+        val qsq = sys.env.getOrElse("GRAFT_QSTAGES_QUERY", "q_dedup_lsh_quality")
+        noop(SparkEntry.queries(qsq)(s, d)); s.catalog.clearCache()
+        val sl = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val tm = si.taskMetrics
+            if (tm != null)
+              println(f"STATS=qstages STAGE=${si.stageId} " +
+                f"TASKS=${si.numTasks} TASKSEC=${tm.executorRunTime / 1000.0}%.2f " +
+                f"SHR=${tm.shuffleReadMetrics.totalBytesRead / 1048576.0}%.1fM " +
+                f"SHW=${tm.shuffleWriteMetrics.bytesWritten / 1048576.0}%.1fM " +
+                s"NAME=${si.name.takeWhile(_ != '\n')} DETAILS=${si.details.linesIterator.drop(1).take(2).mkString("<-").take(180)}")
+          }
+        }
+        s.sparkContext.addSparkListener(sl)
+        val tq0 = System.nanoTime()
+        noop(SparkEntry.queries(qsq)(s, d))
+        println(f"STATS=qstages Q=$qsq TOTALSEC=${(System.nanoTime() - tq0) / 1e9}%.2f")
+        s.sparkContext.removeSparkListener(sl)
+        s.catalog.clearCache()
+      case "lshqsplit" =>
+        // r16: decompose q_dedup_lsh_quality's wall (VERDICT item 2) into
+        // its pipeline pieces — shingle build, prefix-filter candidates,
+        // exact verify tail, minhash+banded candidates — each timed over a
+        // fresh cache (comma-batch semantics), warmups discarded.
+        import graft.llm.Dedup
+        val docsL = graft.ops.Core.table(s, d, "documents")
+        def shL() = Dedup.shingleTable(docsL, "doc_id", "text", 3).cache()
+        // untimed warmup of the whole query once
+        noop(SparkEntry.queries("q_dedup_lsh_quality")(s, d)); s.catalog.clearCache()
+        (1 to 2).foreach { i =>
+          timed(s"sh_only_$i") { noop(shL()) }
+          timed(s"prefix_pairs_$i") {
+            val sh = shL()
+            noop(Dedup.prefixFilterPairs(sh, "doc_id", 1, 2))
+          }
+          timed(s"exact_truth_$i") {
+            val sh = shL()
+            noop(Dedup.exactSimilarPairs(sh, "doc_id", 1, 2))
+          }
+          timed(s"minhash_cand_$i") {
+            val sh = shL()
+            val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id", graft.queries.LlmOps.MinhashSeeds)
+            noop(Dedup.lshCandidatePairs(sigs, "doc_id", 4, 2))
+          }
+          timed(s"full_$i") {
+            noop(SparkEntry.queries("q_dedup_lsh_quality")(s, d))
+          }
+        }
+      case "prefixsplit" =>
+        // r16: inside exactSimilarPairs(τ=1/2) — windows vs prefix join vs
+        // verify tail. Replicates prefixFilterPairs' internals verbatim.
+        import graft.llm.Dedup
+        import org.apache.spark.sql.expressions.Window
+        val docsP = graft.ops.Core.table(s, d, "documents")
+        def shP() = Dedup.shingleTable(docsP, "doc_id", "text", 3).cache()
+        def preP(sh: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+          val withDf = sh.select(col("doc_id"), col("w"),
+            count(lit(1)).over(Window.partitionBy(col("w"))).as("df"))
+          withDf
+            .select(col("doc_id"), col("w"), col("df"),
+              row_number().over(
+                Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w")))
+                .cast("long").as("pos"),
+              count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+            .where(col("pos") <= col("n") + lit(1L) -
+              floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
+                .cast("long"))
+        }
+        noop(SparkEntry.queries("q_dedup_lsh_quality")(s, d)); s.catalog.clearCache()
+        (1 to 2).foreach { i =>
+          timed(s"windows_pre_$i") { noop(preP(shP(), 1, 2)) }
+          timed(s"prefix_join_$i") { noop(Dedup.prefixFilterPairs(shP(), "doc_id", 1, 2)) }
+          timed(s"verify_tail_$i") { noop(Dedup.exactSimilarPairs(shP(), "doc_id", 1, 2)) }
+          timed(s"count_pairs_$i") {
+            val n = Dedup.prefixFilterPairs(shP(), "doc_id", 1, 2).count()
+            val nsh = shP().count()
+            println(s"STATS=prefixsplit NPAIRS=$n NSH=$nsh")
+          }
+        }
+      case "exactsimform" =>
+        // r16 A/B over exactSimilarPairs' verify tail (τ=1/2, the
+        // lsh_quality truth): (a) shipped relational verify; (b) n carried
+        // out of the prefix join (sizes groupBy + 2 joins deleted);
+        // (c) b + broadcast-gram-array verify (array_intersect against
+        // sort_array(collect_list(w)) per doc — exact, map-only at
+        // broadcast scale). Alternating, both arms warmed.
+        import graft.llm.Dedup
+        import org.apache.spark.sql.expressions.Window
+        val docsE = graft.ops.Core.table(s, d, "documents")
+        def shE() = Dedup.shingleTable(docsE, "doc_id", "text", 3).cache()
+        def preE(sh: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+          val withDf = sh.select(col("doc_id"), col("w"),
+            count(lit(1)).over(Window.partitionBy(col("w"))).as("df"))
+          withDf
+            .select(col("doc_id"), col("w"), col("df"),
+              row_number().over(
+                Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w")))
+                .cast("long").as("pos"),
+              count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+            .where(col("pos") <= col("n") + lit(1L) -
+              floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
+                .cast("long"))
+        }
+        def pairsN(sh: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+          val pre = preE(sh, tauNum, tauDen)
+          val alpha = floor(
+            (lit(tauNum) * (col("a.n") + col("b.n")) + lit(tauNum + tauDen - 1)) /
+              lit(tauNum + tauDen)).cast("long")
+          pre.as("a").join(pre.as("b"),
+              col("a.w") === col("b.w") &&
+                col("a.doc_id") < col("b.doc_id") &&
+                lit(tauDen) * least(col("a.n"), col("b.n")) >=
+                  lit(tauNum) * greatest(col("a.n"), col("b.n")) &&
+                lit(1L) + least(col("a.n") - col("a.pos"),
+                  col("b.n") - col("b.pos")) >= alpha)
+            .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+              col("a.n").as("n_a"), col("b.n").as("n_b"))
+            .distinct()
+        }
+        def verifyB(sh: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+          val pairs = pairsN(sh, tauNum, tauDen)
+          val inter = pairs
+            .join(sh.as("x"), col("doc1") === col("x.doc_id"))
+            .join(sh.as("y"),
+              col("doc2") === col("y.doc_id") && col("x.w") === col("y.w"))
+            .groupBy(col("doc1"), col("doc2"), col("n_a"), col("n_b"))
+            .agg(count(lit(1)).as("n_inter"))
+          inter
+            .where(lit(tauDen) * col("n_inter") >=
+              lit(tauNum) * (col("n_a") + col("n_b") - col("n_inter")))
+            .select(col("doc1"), col("doc2"), col("n_a"), col("n_b"),
+              col("n_inter"),
+              round(col("n_inter").cast("double") /
+                (col("n_a") + col("n_b") - col("n_inter")), 6).as("jacc"))
+        }
+        def verifyC(sh: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+          val pairs = pairsN(sh, tauNum, tauDen)
+          val g = sh.groupBy(col("doc_id"))
+            .agg(sort_array(collect_list(col("w"))).as("ws"))
+          pairs
+            .join(broadcast(g.select(col("doc_id").as("doc1"), col("ws").as("wa"))), Seq("doc1"))
+            .join(broadcast(g.select(col("doc_id").as("doc2"), col("ws").as("wb"))), Seq("doc2"))
+            .select(col("doc1"), col("doc2"), col("n_a"), col("n_b"),
+              size(array_intersect(col("wa"), col("wb"))).cast("long").as("n_inter"))
+            .where(lit(tauDen) * col("n_inter") >=
+              lit(tauNum) * (col("n_a") + col("n_b") - col("n_inter")))
+            .select(col("doc1"), col("doc2"), col("n_a"), col("n_b"),
+              col("n_inter"),
+              round(col("n_inter").cast("double") /
+                (col("n_a") + col("n_b") - col("n_inter")), 6).as("jacc"))
+        }
+        // value check once: all three forms emit identical row sets
+        {
+          val sh = shE()
+          val a = Dedup.exactSimilarPairs(sh, "doc_id", 1, 2)
+          val b = verifyB(sh, 1, 2)
+          val c = verifyC(sh, 1, 2)
+          val ab = a.exceptAll(b).count() + b.exceptAll(a).count()
+          val ac = a.exceptAll(c).count() + c.exceptAll(a).count()
+          println(s"STATS=exactsimform AB_DIFF=$ab AC_DIFF=$ac NA=${a.count()}")
+          s.catalog.clearCache()
+        }
+        (1 to 3).foreach { i =>
+          timed(s"verify_a_$i") { noop(Dedup.exactSimilarPairs(shE(), "doc_id", 1, 2)) }
+          timed(s"verify_b_$i") { noop(verifyB(shE(), 1, 2)) }
+          timed(s"verify_c_$i") { noop(verifyC(shE(), 1, 2)) }
+        }
+        locally {
+          val sh = shE()
+          val pre = preE(sh, 1, 2)
+          val alpha = floor(
+            (lit(1L) * (col("a.n") + col("b.n")) + lit(1L + 2L - 1L)) /
+              lit(1L + 2L)).cast("long")
+          val raw = pre.as("a").join(pre.as("b"),
+              col("a.w") === col("b.w") &&
+                col("a.doc_id") < col("b.doc_id") &&
+                lit(2L) * least(col("a.n"), col("b.n")) >=
+                  lit(1L) * greatest(col("a.n"), col("b.n")) &&
+                lit(1L) + least(col("a.n") - col("a.pos"),
+                  col("b.n") - col("b.pos")) >= alpha)
+          println(s"STATS=exactsimform RAWJOIN=${raw.count()} PRE=${pre.count()}")
+          s.catalog.clearCache()
+        }
+      case "contspread" =>
+        // r16 (VERDICT item 4): q_dedup_containment rode the r15 13-query
+        // spread batch without an individual probe and the driver bench
+        // read it ×0.75. A/B the full containment pipeline with and
+        // without the spread (shingleTable's own spreadInput toggled too
+        // — the outer Core.spread was redundant with it). Alternating,
+        // both arms warmed.
+        import graft.llm.Dedup
+        val docsC = graft.ops.Core.table(s, d, "documents")
+        def contArm(spreadIn: Boolean): DataFrame = {
+          val sh = Dedup.shingleTable(docsC, "doc_id", "text", 3,
+            spreadInput = spreadIn).cache()
+          val sigs = Dedup.minhashSigsFromShingles(sh, "doc_id",
+            graft.queries.LlmOps.MinhashSeeds)
+          val pairs = Dedup
+            .lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+            .select(col("doc1"), col("doc2"))
+          Dedup.containmentForPairs(pairs, sh, "doc_id")
+        }
+        noop(contArm(false)); s.catalog.clearCache()
+        noop(contArm(true)); s.catalog.clearCache()
+        (1 to 3).foreach { i =>
+          timed(s"cont_raw$i") { noop(contArm(false)) }
+          timed(s"cont_spread$i") { noop(contArm(true)) }
+        }
+      case "mpsplit" =>
+        // r16: decompose q_dedup_multipass (the suite's largest task-sec
+        // number, 141) — shingle cache, LSH cand, SNM cand, union verify,
+        // components — each over a fresh cache, warmup discarded.
+        import graft.llm.Dedup
+        import org.apache.spark.sql.expressions.Window
+        val docsM = graft.ops.Core.table(s, d, "documents")
+        def shM() = Dedup.shingleTable(docsM, "doc_id", "text", 3).cache()
+        def lshM(sh: DataFrame) = Dedup.lshCandidatePairs(
+            Dedup.minhashSigsFromShingles(sh, "doc_id",
+              graft.queries.LlmOps.MinhashSeeds), "doc_id", 4, 2)
+          .select(col("doc1"), col("doc2"))
+        def snmM() = {
+          val rn = docsM.select(col("doc_id"), col("lang"),
+              substring(col("text"), 1, 8).as("blk"), col("text"))
+            .select(col("doc_id"), col("lang"), col("blk"),
+              row_number().over(Window.partitionBy(col("lang"), col("blk"))
+                .orderBy(col("text"), col("doc_id"))).cast("long").as("rn"))
+          rn.as("a").join(rn.as("b"),
+              col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+                col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + lit(3L))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"))
+        }
+        noop(SparkEntry.queries("q_dedup_multipass")(s, d)); s.catalog.clearCache()
+        (1 to 2).foreach { i =>
+          timed(s"mp_lsh_$i") { noop(lshM(shM())) }
+          timed(s"mp_snm_$i") { noop(snmM()) }
+          timed(s"mp_cand_count_$i") {
+            val sh = shM()
+            val n = lshM(sh).unionByName(snmM()).distinct().count()
+            println(s"STATS=mpsplit NCAND=$n")
+          }
+          timed(s"mp_verify_$i") {
+            val sh = shM()
+            val cand = lshM(sh).unionByName(snmM()).distinct()
+            noop(Dedup.jaccardForPairs(cand, sh, "doc_id")
+              .where(col("jaccard") >= 0.5).select(col("doc1"), col("doc2")))
+          }
+          timed(s"mp_full_$i") {
+            noop(SparkEntry.queries("q_dedup_multipass")(s, d))
+          }
         }
       case "mediaspread" =>
         // r15 opt-round A/B: is Core.spread worth it on each media codec

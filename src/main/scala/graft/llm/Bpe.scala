@@ -36,34 +36,22 @@ object Bpe {
     */
   def applyMerges(word: Column, merges: Seq[(String, String)]): Column = {
     val chars = filter(split(word, ""), c => length(c) > 0)
-    merges.foldLeft(chars) { case (syms, (a, b)) => mergeOnce(syms, a, b) }
+    // all rules in ONE compiled expression (r16, guide §4): the old
+    // foldLeft chained one interpreted aggregate-lambda pass per rule,
+    // each step copying the accumulator array (O(len²) allocations per
+    // word per rule — BpeMerge scaladoc has the full account; BpeSpec
+    // pins row equality against the verbatim lambda form).
+    if (merges.isEmpty) chars
+    else org.apache.spark.sql.graft.GraftSql.bpeMerge(chars, merges)
   }
 
   /** One merge rule applied over a symbol array: every adjacent (a, b)
-    * becomes a‖b, scanning left to right without overlap. Fold state is
-    * struct(acc array, prev symbol-or-null); a merged symbol is emitted
-    * immediately so it can't chain into the next match within this pass.
+    * becomes a‖b, scanning left to right without overlap — the compiled
+    * BpeMerge pass (a merged symbol is emitted immediately so it can't
+    * chain into the next match within this pass).
     */
-  private[llm] def mergeOnce(syms: Column, a: String, b: String): Column = {
-    val zero = struct(
-      array().cast("array<string>").as("acc"),
-      lit(null).cast("string").as("prev"))
-    val folded = aggregate(
-      syms,
-      zero,
-      (st, x) => {
-        val acc = st.getField("acc")
-        val prev = st.getField("prev")
-        when(prev.isNull, struct(acc.as("acc"), x.as("prev")))
-          .when(prev === lit(a) && x === lit(b),
-            struct(concat(acc, array(lit(a + b))).as("acc"),
-              lit(null).cast("string").as("prev")))
-          .otherwise(struct(concat(acc, array(prev)).as("acc"), x.as("prev")))
-      },
-      st => when(st.getField("prev").isNull, st.getField("acc"))
-        .otherwise(concat(st.getField("acc"), array(st.getField("prev")))))
-    folded
-  }
+  private[llm] def mergeOnce(syms: Column, a: String, b: String): Column =
+    org.apache.spark.sql.graft.GraftSql.bpeMerge(syms, Seq((a, b)))
 
   /** Learn `nMerges` merge rules from the corpus: per iteration, count
     * adjacent symbol pairs weighted by word frequency, take the most

@@ -91,6 +91,10 @@ object Dedup {
     // against the lambda form; the dedup-vs-grouped DedupSpec pin holds
     // end-to-end). Materialized behind its own column so the k
     // element_at projections never re-run the kernel.
+    // (r15 ADVICE) the internal column name must not collide with a
+    // caller column — withColumn would silently REPLACE it
+    require(!df.columns.contains("__mhs"),
+      "rowMinhashSigs: input already carries a __mhs column")
     val withM = df.withColumn("__mhs",
       org.apache.spark.sql.graft.RowMinhash.rowMinhash(
         col(textCol), n, seeds.map(hashA), seeds.map(hashB)))
@@ -696,6 +700,10 @@ object Dedup {
     val alpha = floor(
       (lit(tauNum) * (col("a.n") + col("b.n")) + lit(tauNum + tauDen - 1)) /
         lit(tauNum + tauDen)).cast("long")
+    // r16: the per-doc set sizes ride OUT of the join (n is functional on
+    // the doc id, so the distinct's cardinality is unchanged) — the exact
+    // verify downstream then needs no separate sizes groupBy + two joins
+    // back to it (§1.2 one pass; plan: 2 fewer joins, 1 fewer agg).
     pre.as("a").join(pre.as("b"),
         col("a.w") === col("b.w") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
@@ -703,7 +711,8 @@ object Dedup {
             lit(tauNum) * greatest(col("a.n"), col("b.n")) &&
           lit(1L) + least(col("a.n") - col("a.pos"),
             col("b.n") - col("b.pos")) >= alpha)
-      .select(col(s"a.$idCol").as("doc1"), col(s"b.$idCol").as("doc2"))
+      .select(col(s"a.$idCol").as("doc1"), col(s"b.$idCol").as("doc2"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()
   }
 
@@ -716,22 +725,25 @@ object Dedup {
     */
   def exactSimilarPairs(sh: DataFrame, idCol: String,
                         tauNum: Long, tauDen: Long): DataFrame = {
+    // r16: n_a/n_b arrive WITH the candidate pairs (prefixFilterPairs
+    // carries the per-doc window count through the join — n is functional
+    // on the doc id and the prefix windows already computed it), so the
+    // old sizes groupBy over sh and its two joins back are gone: the
+    // verify is now ONE candidate-bounded gram join chain + one agg.
+    // Values identical (same window count the sizes agg recomputed);
+    // probe exactsimform pinned row equality across the forms.
     val pairs = prefixFilterPairs(sh, idCol, tauNum, tauDen)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
+    pairs
       .join(sh.as("x"), col("doc1") === col(s"x.$idCol"))
       .join(sh.as("y"),
         col("doc2") === col(s"y.$idCol") && col("x.w") === col("y.w"))
-      .groupBy(col("doc1"), col("doc2"))
+      .groupBy(col("doc1"), col("doc2"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("s1"), col("doc1") === col(s"s1.$idCol"))
-      .join(sizes.as("s2"), col("doc2") === col(s"s2.$idCol"))
       .where(lit(tauDen) * col("n_inter") >=
-        lit(tauNum) * (col("s1.sz") + col("s2.sz") - col("n_inter")))
-      .select(col("doc1"), col("doc2"),
-        col("s1.sz").as("n_a"), col("s2.sz").as("n_b"), col("n_inter"),
+        lit(tauNum) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("doc1"), col("doc2"), col("n_a"), col("n_b"),
+        col("n_inter"),
         round(col("n_inter").cast("double") /
-          (col("s1.sz") + col("s2.sz") - col("n_inter")), 6).as("jacc"))
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jacc"))
   }
 }

@@ -198,17 +198,16 @@ object Graph {
     * the same layout for its two consumers (next round's degree agg and
     * its own summary count).
     */
-  /** One peel round against a broadcast 1-row `kf` frame (`k` column):
-    * (alive nodes, surviving edges). The surviving-edge frame meets the
-    * shrinking alive set as two broadcast semi-joins on the edges'
-    * existing layout — exposed so plan pins can assert that strategy
-    * directly (the round loop below is eager, so the plan of its RESULT
-    * is checkpoint scans, not the per-round joins).
+  /** One peel round at threshold `k` (a driver literal — kcoreRounds
+    * collects it once): (alive nodes, surviving edges). The surviving-edge
+    * frame meets the shrinking alive set as two broadcast semi-joins on
+    * the edges' existing layout — exposed so plan pins can assert that
+    * strategy directly (the round loop below is eager, so the plan of its
+    * RESULT is a LocalRelation of collected summary rows).
     */
-  def kcorePeel(edges: DataFrame, kf: DataFrame): (DataFrame, DataFrame) = {
+  def kcorePeel(edges: DataFrame, k: Long): (DataFrame, DataFrame) = {
     val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .crossJoin(broadcast(kf))
-      .where(col("deg") >= col("k"))
+      .where(col("deg") >= k)
       .select(col("src").as("node"))
     val next = edges
       .join(broadcast(alive.select(col("node").as("src"))),
@@ -219,38 +218,36 @@ object Graph {
   }
 
   def kcoreRounds(undirected: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    var edges = undirected.repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted 1-row frame: every round's alive filter reads it, and the
-    // round-0 edge cache it derives from is released after round 1.
-    val kf = edges
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    // Eager checkpoint of the edge set FIRST (r16 — the two-star rule's
+    // kcore instance): each round references its edge generation 3×
+    // (degree agg + two semi-join broadcast builds), so the old
+    // persist-only chain re-ANALYZED the whole upstream lineage (the
+    // events co-occurrence self-join) 3^r-fold every round — measured
+    // 5.0 s wall whose 39 job MS summed to 2.1 s: ~2.9 s was pure
+    // between-job planning. A localCheckpoint per generation keeps every
+    // round's plan a shallow LogicalRDD scan; old generations release on
+    // GC (ContextCleaner), and at most two are referenced at once.
+    var edges = undirected.repartition(col("src")).localCheckpoint()
+    // k is ONE scalar for the whole peel: collect it once — lit(k)
+    // replaces the persisted 1-row kf frame and the two broadcast
+    // crossJoins per round the old shape paid to read it.
+    val k = edges
       .agg(count(lit(1)).as("m"), countDistinct(col("src")).as("nv"))
-      .select(expr("CAST(m DIV nv AS BIGINT)").as("k"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Eager rounds (the components() discipline, llm/Dedup.scala): each
-    // round's 1-row summary localCheckpoints — which materializes that
-    // round's surviving-edge cache — and THEN generation r-1 unpersists.
-    // The lazy shape this replaces pinned every intermediate edge
-    // generation for the life of the session (a deep peel would hold
-    // rounds × |E| in cache); now at most two generations are live at
-    // once and nothing outlives the call.
+      .select(expr("CAST(m DIV nv AS BIGINT)").as("k")).head().getLong(0)
+    // Eager rounds: the summary counts collect as scalars per round (the
+    // nndConverge pattern), so the output frame is a LocalRelation — no
+    // per-round 1-row checkpoints, no final union of checkpointed frames.
     val rows = (1 to rounds).map { r =>
-      val (alive, nextRaw) = kcorePeel(edges, kf)
-      val next = nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
-      val row = alive.agg(count(lit(1)).as("n_alive"))
-        .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
-        .crossJoin(broadcast(kf))
-        .select(lit(r.toLong).as("round"), col("k"),
-          col("n_alive"), col("n_edges"))
-        .localCheckpoint()
-      edges.unpersist(blocking = false)
+      val (alive, nextRaw) = kcorePeel(edges, k)
+      val nAlive = alive.count()
+      val next = nextRaw.localCheckpoint()
+      val nEdges = next.count()
       edges = next
-      row
+      (r.toLong, k, nAlive, nEdges)
     }
-    edges.unpersist(blocking = false)
-    kf.unpersist(blocking = false)
-    rows.reduce(_ unionByName _)
+    rows.toDF("round", "k", "n_alive", "n_edges")
   }
 
   /** Fixed-round BFS from a deterministic seed (the minimum node id):

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Core
-import graft.llm.{Dedup, TextOps}
+import graft.llm.{Dedup, TextOps, Vectors}
 
 /** LLM training-data pipeline operators (builder-prompt extension set):
   * deduplication, text analysis, similarity search over `documents` /
@@ -1195,9 +1195,15 @@ object LlmOps {
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
-      val dot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
-      val n1 = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
-      val n2 = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x))
+      // r16 (guide §4, VERDICT item 6): the old zip_with/aggregate lambda
+      // dots were interpreted per corpus row — the repo's codegen'd
+      // DotProduct is FP-identical (same ascending-index sequential sum
+      // as the left fold; self-dot ≡ the x*x transform fold), so the
+      // rounded cosines are bit-equal. Cheap at sf0.1; this is the 100 TB
+      // hygiene fix — no interpreted HOF remains on the corpus side.
+      val dot = Vectors.dotFast(col("v"), col("qv"))
+      val n1 = sqrt(Vectors.dotFast(col("v"), col("v")))
+      val n2 = sqrt(Vectors.dotFast(col("qv"), col("qv")))
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), round(dot / (n1 * n2), 6).as("cos"))

@@ -734,17 +734,40 @@ object SimSearch {
     * the two-star rule). Shared by the round-3 ladder gate.
     */
   private[graft] def nndGraphAfter(s: SparkSession, d: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      sharedIdx: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.CosIndex]] = None): DataFrame = {
     var g = queries("q_sim_knn_graph_trained2")(s, d)
       .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
       .localCheckpoint()
-    val ceiling = broadcastCeiling(s, d) // once per loop, not per round
-    val idx = if (embeds(s, d).count() <= ceiling) Some(cosIndex(s, d)) else None
+    // r16: a ladder caller that already owns the broadcast index passes
+    // it in — the broadcast-path decision AND the index collect then cost
+    // zero jobs here (the broadcastCeiling precedent, one level up).
+    val (ceiling, idx) = sharedIdx match {
+      case some @ Some(_) => (Long.MaxValue, some)
+      case None =>
+        val c = broadcastCeiling(s, d) // once per loop, not per round
+        (c, if (embeds(s, d).count() <= c) Some(cosIndex(s, d)) else None)
+    }
     (1 to rounds).foreach { _ =>
       g = nndRound(s, d, g, k, ceiling, idx).localCheckpoint()
     }
     g
   }
+
+  /** One broadcast-path decision + index build for a whole recall-ladder
+    * query (r16): count, ceiling, and collect run ONCE and the result is
+    * shared by the NND rounds and the gate truth — each ladder gate
+    * previously collected the index twice (rounds + truth) and re-ran the
+    * count/ceiling probes. None past the ceiling (rounds shard; the gate
+    * truth still builds its own index — brute-force truth is
+    * broadcast-domain by contract, SCALE.md recallsampled).
+    */
+  private def ladderIdx(s: SparkSession, d: String)
+      : Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.CosIndex]] =
+    if (embeds(s, d).count() <= broadcastCeiling(s, d)) Some(cosIndex(s, d))
+    else None
 
   /** Driver-decoded broadcast image of the WHOLE normalized embedding
     * table — the brute-force-cosine index behind the truth sides of the
@@ -779,13 +802,19 @@ object SimSearch {
     * 0 Exchanges on the truth side (CosIndexSpec pins row equality).
     */
   private def recallGate(s: SparkSession, d: String,
-      found0: DataFrame): DataFrame = {
+      found0: DataFrame,
+      sharedIdx: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.CosIndex]] = None): DataFrame = {
     // spread: the n-per-row fold is the whole truth cost and the fixture
-    // scan is one task (Core.spread doc) — parallelize it to the session
+    // scan is one task (Core.spread doc) — parallelize it to the session.
+    // r16: ladder callers whose found side already built the broadcast
+    // CosIndex pass it in — the truth fold reuses it instead of paying a
+    // second collect+broadcast per gate query (§1.2 don't compute twice).
+    val idx = sharedIdx.getOrElse(cosIndex(s, d))
     val truth = Core.spread(normEmbeds(s, d))
       .select(col("vec_id"),
         explode(org.apache.spark.sql.graft.GraftSql
-          .cosTopK(col("vn"), col("vec_id"), 3, cosIndex(s, d))).as("p"))
+          .cosTopK(col("vn"), col("vec_id"), 3, idx)).as("p"))
       .select(col("vec_id"), col("p._2").as("nbr"))
     val found = found0.select(col("vec_id"), col("nbr"))
     // ONE pass over each side (r15): the old three-branch form (count
@@ -1140,14 +1169,22 @@ object SimSearch {
     "q_sim_knn_graph_nnd2" -> ((s, d) => nndGraphAfter(s, d, 3, 2)),
 
     // Recall gate for the two-round variant — fourth point on the exact
-    // recall ladder (probe-1, probe-2, +1 round, +2 rounds).
-    "q_sim_knn_recall_nnd2" -> ((s, d) =>
-      recallGate(s, d, queries("q_sim_knn_graph_nnd2")(s, d))),
+    // recall ladder (probe-1, probe-2, +1 round, +2 rounds). One shared
+    // index per query (r16): rounds and gate truth reuse ONE
+    // collect+broadcast instead of two (ladderIdx doc).
+    "q_sim_knn_recall_nnd2" -> ((s, d) => {
+      val idx = ladderIdx(s, d)
+      recallGate(s, d, nndGraphAfter(s, d, 3, 2, idx), idx)
+    }),
 
     // Recall gate for the NND round — same shape as the trained/trained2
-    // gates so the ladder rows A/B directly.
-    "q_sim_knn_recall_nnd" -> ((s, d) =>
-      recallGate(s, d, queries("q_sim_knn_graph_nnd")(s, d))),
+    // gates so the ladder rows A/B directly (shared index, ladderIdx doc).
+    "q_sim_knn_recall_nnd" -> ((s, d) => {
+      val idx = ladderIdx(s, d)
+      val g = nndRound(s, d, queries("q_sim_knn_graph_trained2")(s, d), 3,
+        -1L, idx)
+      recallGate(s, d, g, idx)
+    }),
 
     // Graph-based beam search — the HNSW-style SERVING path over the kNN
     // graph the build/refine/store family produces (the third classic ANN
@@ -1166,6 +1203,7 @@ object SimSearch {
     // (KnnStore's read path); rounds, beam, and seeds are the
     // latency/recall knobs.
     "q_sim_graph_beam" -> ((s, d) => {
+      import s.implicits._
       val B = 8
       val R = 3
       val en = normEmbeds(s, d)
@@ -1188,29 +1226,38 @@ object SimSearch {
             .cosBetween(col("vec_id"), lit(0L), bc).as("cos"))
         .where(col("cos").isNotNull)
       // per-round top-B under (cos DESC, id ASC): orderBy+limit plans
-      // TakeOrderedAndProject (bounded heaps); the seed round's scored
-      // frame reads the embeddings parquet through a join, so a global
-      // row_number window here would be the r14-outlawed single-task sort
-      def topB(sc0: DataFrame, b: Int): DataFrame =
+      // TakeOrderedAndProject (bounded heaps) and the COLLECT returns the
+      // rows in that order — the frontier is ≤ B = 8 rows, so it lives on
+      // the driver between rounds (r16; the serving shape — the stored
+      // walk already drives on collected ids). Each round is then ONE
+      // driver job (the ordered collect) over an isin-literal edge filter
+      // instead of a broadcast-join + localCheckpoint pair; the old shape
+      // paid ~15 driver-scheduled jobs for 1.3 task-seconds of work.
+      def topB(sc0: DataFrame, b: Int): Array[(Long, Double)] =
         sc0.orderBy(col("cos").desc, col("vec_id")).limit(b)
+          .select(col("vec_id"), col("cos"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
       val every = math.max(1L, nVec / 8)
       val seeds = en
         .where(pmod(Core.md5Hash64(concat(lit("beam|"),
           col("vec_id").cast("string"))), lit(every)) === 0 &&
           col("vec_id") =!= 0)
         .select(col("vec_id"))
-      var frontier = topB(score(seeds), B).localCheckpoint()
+      var frontier = topB(score(seeds), B)
       (1 to R).foreach { _ =>
-        val expand = frontier.select(col("vec_id").as("v"))
-          .join(und, Seq("v")).select(col("u").as("vec_id"))
-          .union(frontier.select(col("vec_id")))
+        val fIds = frontier.map(_._1)
+        val expand = und.where(col("v").isin(fIds: _*))
+          .select(col("u").as("vec_id"))
+          .union(fIds.toSeq.toDF("vec_id"))
           .where(col("vec_id") =!= 0).distinct()
-        frontier = topB(score(expand), B).localCheckpoint()
+        frontier = topB(score(expand), B)
       }
-      topB(frontier, 10)
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .select(col("rank"), col("vec_id"), col("cos"))
+      // final top-10 + rank: the frontier is already in (cos DESC, id ASC)
+      // order from the bounded-heap collect; rank = position (≤ B ≤ 10
+      // rows — same rows, same order as the old orderBy+limit+window)
+      frontier.take(10).zipWithIndex
+        .map { case ((id, c), i) => (i + 1L, id, c) }.toSeq
+        .toDF("rank", "vec_id", "cos")
     }),
 
     // BATCH beam search — the Spark-first serving shape: the per-query
@@ -1224,6 +1271,7 @@ object SimSearch {
     // scales with serving demand, never the corpus). Per-round work is
     // Q·B·2K edge lookups + dots — linear in the BATCH.
     "q_sim_graph_beam_batch" -> ((s, d) => {
+      import s.implicits._
       val B = 8
       val R = 3
       val en = normEmbeds(s, d)
@@ -1253,10 +1301,9 @@ object SimSearch {
       // frontier ∪ expansion overlap) dies in the aggregator's
       // dedup-on-insert — cos is a deterministic function of (qid,
       // vec_id), the contract — so the per-round relational .distinct()
-      // and its exchange disappear (the query is driver-job-bound:
-      // 48 jobs / 1.9 task-seconds before the change). Multiplicity is
-      // ≤ B per candidate and scoring is one broadcast-index lookup, so
-      // re-scoring duplicates is cheaper than shuffling them away.
+      // and its exchange disappear. Multiplicity is ≤ B per candidate and
+      // scoring is one broadcast-index lookup, so re-scoring duplicates
+      // is cheaper than shuffling them away.
       def topB(sc0: DataFrame, b: Int): DataFrame = sc0
         .groupBy(col("qid"))
         .agg(graft.functions.TopKPairDistinctAgg
@@ -1264,21 +1311,31 @@ object SimSearch {
         .select(col("qid"), posexplode(col("t")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
           col("col._2").as("vec_id"), col("col._1").as("cos"))
+      // r16: the frontier is Q·B rows — bounded by the SERVING batch,
+      // never the corpus (the stored twin already collects the query
+      // batch itself), so it lives on the driver between rounds as a
+      // LocalRelation: each round is ONE collect job, the expansion join
+      // broadcasts local rows with no exchange job, and the per-round
+      // localCheckpoint barriers disappear (the walk was driver-job-
+      // bound: 45 jobs / 1.4 task-seconds).
+      def topBCollect(sc0: DataFrame, b: Int): Array[(Long, Long, Double)] =
+        topB(sc0, b).select(col("qid"), col("vec_id"), col("cos"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val seeds = en.where(pmod(h("beam|"), lit(math.max(1L, nVec / 8))) === 0)
         .select(col("vec_id"))
       val seeded = qs.select(col("qid")).crossJoin(seeds)
         .where(col("vec_id") =!= col("qid"))
-      var frontier = topB(score(seeded), B)
-        .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
+      var frontier = topBCollect(score(seeded), B)
       (1 to R).foreach { _ =>
-        val expand = frontier.select(col("qid"), col("vec_id").as("v"))
+        val f = frontier.toSeq.toDF("qid", "vec_id", "cos")
+        val expand = f.select(col("qid"), col("vec_id").as("v"))
           .join(und, Seq("v")).select(col("qid"), col("u").as("vec_id"))
-          .union(frontier.select(col("qid"), col("vec_id")))
+          .union(f.select(col("qid"), col("vec_id")))
           .where(col("vec_id") =!= col("qid"))
-        frontier = topB(score(expand), B)
-          .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
+        frontier = topBCollect(score(expand), B)
       }
-      topB(frontier, 10)
+      topB(frontier.toSeq.toDF("qid", "vec_id", "cos")
+        .select(col("qid"), col("vec_id"), col("cos")), 10)
     }),
 
     // Recall gate for the beam search: brute-force top-10 for the same
@@ -1375,9 +1432,12 @@ object SimSearch {
     "q_sim_knn_nnd_converge" -> ((s, d) => nndConverge(s, d, 3, 3)),
 
     // Fifth point on the exact recall ladder (probe-1, probe-2, +1, +2,
-    // +3 rounds) — the round-3 graph under the same shared gate.
-    "q_sim_knn_recall_nnd3" -> ((s, d) =>
-      recallGate(s, d, nndGraphAfter(s, d, 3, 3))),
+    // +3 rounds) — the round-3 graph under the same shared gate (one
+    // shared index per query, ladderIdx doc).
+    "q_sim_knn_recall_nnd3" -> ((s, d) => {
+      val idx = ladderIdx(s, d)
+      recallGate(s, d, nndGraphAfter(s, d, 3, 3, idx), idx)
+    }),
 
     // The best MEASURED kNN configuration, registered under the oracle
     // gate (r12 verdict task 4): occupancy 128 + probe-2 + one NND
@@ -1395,9 +1455,17 @@ object SimSearch {
     }),
 
     // Recall gate for the tuned configuration — the ladder's measured
-    // optimum under the same exact-truth gate as every other point.
-    "q_sim_knn_recall_tuned" -> ((s, d) =>
-      recallGate(s, d, queries("q_sim_knn_graph_tuned")(s, d))),
+    // optimum under the same exact-truth gate as every other point (one
+    // shared index per query, ladderIdx doc).
+    "q_sim_knn_recall_tuned" -> ((s, d) => {
+      val idx = ladderIdx(s, d)
+      val K = 3
+      val assigned2 = trainedAssign(embeds(s, d), occupancy = 128)
+        .select(col("vec_id"), col("bucket"), col("bucket2")).cache()
+      val g = nndRound(s, d, knnWithinBucketsProbe2(s, d, assigned2, K), K,
+        -1L, idx)
+      recallGate(s, d, g, idx)
+    }),
 
     // Batch twin of Streams.ivfRouteStream — the streaming-ANN ingest
     // router under the oracle gate: a 1-in-8 hash-sampled "arriving"

@@ -113,4 +113,11 @@ object GraftSql {
   def cosBetween(id1: Column, id2: Column,
       bc: org.apache.spark.broadcast.Broadcast[CosIndex]): Column =
     column(CosBetween(expression(id1), expression(id2), bc))
+
+  /** BPE merge rules applied in order over a symbol array — one compiled
+    * pass per rule (see BpeMerge; ≡ the foldLeft of aggregate-lambda
+    * mergeOnce passes it replaces).
+    */
+  def bpeMerge(syms: Column, rules: Seq[(String, String)]): Column =
+    column(BpeMerge(expression(syms), rules))
 }

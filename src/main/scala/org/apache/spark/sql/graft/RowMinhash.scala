@@ -101,6 +101,12 @@ object RowMinhash {
       a: Array[Long], b: Array[Long]): GenericArrayData = {
     // Spark's split(text, " ") keeps empty tokens (Pattern.split with
     // limit -1) — String.split(regex, -1) matches exactly.
+    // Valid-UTF-8 assumption (r15 ADVICE): the UTF8String→String→UTF-8
+    // round-trip below re-encodes invalid byte sequences with replacement
+    // chars, so such inputs would hash differently from the old
+    // byte-level Spark md5 path. Valid UTF-8 (all fixture and any
+    // well-formed text) round-trips byte-exactly; parquet string columns
+    // are UTF-8 by spec, so the assumption holds for every table source.
     val toks = text.toString.split(" ", -1)
     val m = toks.length - n + 1
     if (m <= 0) return null

@@ -34,7 +34,8 @@ class RowMinhashSpec extends SparkSpec {
 
   test("equals the lambda pipeline on real fixture text") {
     val docs = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .parquet(sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+        "/root/testdata/sf0.001") + "/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
     val a = rows(lambdaForm(docs, "text"))
     val b = rows(Dedup.rowMinhashSigs(docs, "text", seeds, n))

@@ -218,6 +218,7 @@ class DedupSpec extends SparkSpec {
   test("prefix-filter candidates are a superset of true pairs and pruned vs all-pairs") {
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
     val cand = Dedup.prefixFilterPairs(sh, "doc_id", 3, 5)
+      .select(col("doc1"), col("doc2"))
       .as[(Long, Long)].collect().toSet
     // true τ ≥ 0.6 pairs on the fixture: (1,2) at 0.75 and (1,4) at 1.0
     assert(Set((1L, 2L), (1L, 4L)).subsetOf(cand))

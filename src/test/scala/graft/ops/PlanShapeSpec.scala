@@ -341,8 +341,7 @@ class PlanShapeSpec extends SparkSpec {
     val edges = Graph.undirect(
       (1L to 200L).map(l => (0L, l)).toDF("src", "dst"))
       .repartition(col("src"))
-    val kf = Seq(2L).toDF("k")
-    val (_, next) = Graph.kcorePeel(edges, kf)
+    val (_, next) = Graph.kcorePeel(edges, 2L)
     val plan = next.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)

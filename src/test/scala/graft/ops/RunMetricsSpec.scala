@@ -67,7 +67,17 @@ class RunMetricsSpec extends SparkSpec {
       Graph.kcoreRounds(edges, rounds = 3).collect()
     }
     assert(rows.length == 3)
-    assert(m.shuffleWriteRecords < 3L * 2000L,
+    // budget (r16 shape): undirect distinct (~2000) + one edge
+    // repartition (2000) + NODE-sized degree partials — the k
+    // countDistinct, the standalone n_alive count job, and the round's
+    // (exchange-reused) broadcast pair each shuffle ~1001 partial rows in
+    // round 1 (rounds 2-3 peel to empty). The n_alive count runs as its
+    // own job, so it no longer shares the old single-plan exchange reuse
+    // — one extra node-sized shuffle per round, the measured trade for
+    // checkpointed generations (kcore wall 4.9-5.4 → 1.6-2.3 s; Probe
+    // kcoreform r16). Edge-sized would be ≥2000/round; the pinned failure
+    // stays "a round re-shuffles the EDGE frame".
+    assert(m.shuffleWriteRecords < 2L * 2000L + 4L * 1001L + 200L,
       s"a peel round appears to re-shuffle the edge frame: $m")
   }
 
