@@ -1673,6 +1673,110 @@ object Probe {
             noop(SparkEntry.queries("q_dedup_multipass")(s, d))
           }
         }
+      case "cpsplit" =>
+        // r16 (VERDICT item 5): decompose q_corpus_prepare — quality gate
+        // + exact dedup (the survivors checkpoint), minhash+LSH pairs,
+        // components, keeper resolution + final agg.
+        import graft.llm.{Dedup, TextOps}
+        import graft.queries.LlmOps.{MinhashSeeds, Stopwords}
+        def survivorsCp(): DataFrame = graft.ops.Core
+          .spread(graft.ops.Core.table(s, d, "documents"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+            TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            round((length(col("text")) - size(col("toks")) + 1).cast("double")
+              / size(col("toks")), 4).as("avg_token_len"),
+            round(size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+              .cast("double") / size(col("toks")), 6).as("stopword_ratio"))
+          .where(col("n_tokens").between(10, 1000) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stopword_ratio") > 0.0)
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(expr("min_by(struct(doc_id, lang, n_chars, text), doc_id)").as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+            col("r.n_chars").as("n_chars"), col("r.text").as("text"))
+          .repartition(col("doc_id"))
+          .localCheckpoint()
+        noop(SparkEntry.queries("q_corpus_prepare")(s, d)); s.catalog.clearCache()
+        (1 to 2).foreach { i =>
+          timed(s"cp_survivors_$i") { survivorsCp() }
+          timed(s"cp_pairs_$i") {
+            val sv = survivorsCp()
+            val sigs = Dedup.minhashSigs(sv, "doc_id", "text", 3, MinhashSeeds)
+            noop(Dedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+              .where(col("est_jaccard") >= 0.5)
+              .select(col("doc1"), col("doc2")))
+          }
+          timed(s"cp_components_$i") {
+            val sv = survivorsCp()
+            val sigs = Dedup.minhashSigs(sv, "doc_id", "text", 3, MinhashSeeds)
+            val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+              .where(col("est_jaccard") >= 0.5)
+              .select(col("doc1"), col("doc2")).cache()
+            noop(Dedup.components(pairs, iters = 4))
+          }
+          timed(s"cp_full_$i") {
+            noop(SparkEntry.queries("q_corpus_prepare")(s, d))
+          }
+        }
+      case "iterpersist" =>
+        // r16: persist vs localCheckpoint for the iterated edge cache of
+        // pagerank and label_prop (the kcore fix generalized — but these
+        // two loops reference the edge frame only ONCE per round, so the
+        // re-analysis saving may not pay the eager checkpoint write).
+        // Alternating same-JVM, both arms warmed, full query lineage.
+        import org.apache.spark.storage.StorageLevel
+        def prEdges() = {
+          val li = graft.ops.Core.table(s, d, "lineitem")
+            .select(col("l_suppkey").as("src"),
+              (col("l_partkey") + 1000000L).as("dst"))
+          li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+        }
+        def lpEdges() = {
+          val occ = graft.ops.Core.table(s, d, "events")
+            .select(expr("unix_timestamp(ts) div 300").as("win"),
+              col("event_type"), col("user_id"))
+            .distinct()
+          val eG = occ.as("a")
+            .join(occ.as("b"),
+              col("a.win") === col("b.win") &&
+                col("a.event_type") === col("b.event_type") &&
+                col("a.user_id") < col("b.user_id"))
+            .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+            .distinct()
+          eG.union(eG.select(col("dst").as("src"), col("src").as("dst")))
+        }
+        def prPersist(): DataFrame = {
+          val e = prEdges().select(col("src"), col("dst"))
+            .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+          val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          val consts = deg.agg(count(lit(1)).as("n"))
+            .select(expr("CAST(150000000 DIV n AS BIGINT)").as("base"),
+              expr("CAST(1000000000 DIV n AS BIGINT)").as("s0"))
+          val degc = deg.crossJoin(broadcast(consts))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          var score = degc
+            .select(col("node"), col("deg"), col("base"), col("s0").as("score"))
+          for (_ <- 1 to 3) {
+            val m = score.join(e, score("node") === e("src"))
+              .select(col("dst").as("node"), expr("score DIV deg").as("c"))
+              .groupBy(col("node")).agg(sum(col("c")).as("m"))
+            score = m.join(degc, Seq("node"))
+              .select(col("node"), col("deg"), col("base"),
+                (col("base") + expr("85 * m DIV 100")).as("score"))
+          }
+          score.select(col("node"), col("score").as("pr_fixed"))
+        }
+        (1 to 3).foreach { i =>
+          if (i > 1) timed(s"pr_persist$i") { noop(prPersist()) }
+          else { noop(prPersist()); s.catalog.clearCache() }
+          if (i > 1) timed(s"pr_ckpt$i") { noop(graft.ops.Graph.pagerankFixed(prEdges(), 3)) }
+          else { noop(graft.ops.Graph.pagerankFixed(prEdges(), 3)); s.catalog.clearCache() }
+          if (i > 1) timed(s"lp_ckpt$i") { noop(graft.ops.Graph.labelPropagation(lpEdges(), 3)) }
+          else { noop(graft.ops.Graph.labelPropagation(lpEdges(), 3)); s.catalog.clearCache() }
+        }
       case "mediaspread" =>
         // r15 opt-round A/B: is Core.spread worth it on each media codec
         // spec frame? Per-row codec cost spans ~3 orders of magnitude

@@ -318,23 +318,30 @@ object Dedup {
                  checkpointEvery: Int = 0): DataFrame = {
     val vertices = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2").as("doc_id"))).distinct()
-    // undirected edges + self-loops: one join+groupBy per iteration.
-    // Cached pre-partitioned on the join key: the edge table is the BIG
-    // side at scale and every iteration joins it on t — hash-partitioning
-    // it once means iterations shuffle only the (smaller) label frame, the
-    // same discipline GraphX applies. The final labels materialize via
-    // localCheckpoint so the edge cache can be RELEASED here instead of
-    // leaking into sessions that never clear it (Verify, the shared test
-    // session) — which makes this function eager, like componentsFixpoint.
-    // Deliberate trade-off: plan-only consumers (PlanAudit, executedPlan
-    // tests) pay the clustering jobs just to build the frame; the leak the
-    // eager shape prevents costs every long-lived session memory instead.
+    // undirected edges + self-loops: one join+groupBy per iteration,
+    // materialized pre-partitioned on the join key so iterations shuffle
+    // only the (smaller) label frame — the GraphX discipline. The
+    // function is eager (the checkpoint runs its jobs at call time);
+    // plan-only consumers pay those jobs to build the frame, the
+    // documented trade since the old eager-cache shape.
     val edges = pairs.select(col("doc1").as("s"), col("doc2").as("t"))
       .union(pairs.select(col("doc2").as("s"), col("doc1").as("t")))
       .union(vertices.select(col("doc_id").as("s"), col("doc_id").as("t")))
       .repartition(col("t"))
-      .cache()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      // localCheckpoint, not cache (r16): the lazy round chain references
+      // this frame once per round, and under cache() Catalyst re-ANALYZES
+      // the full upstream PAIR lineage (shingles + LSH + verify joins —
+      // enormous trees for callers like multipass/corpus_prepare) at
+      // every reference — multipass's components step measured ~2.9 s
+      // over a 4.7k-pair set, nearly all driver-side (the kcore planning
+      // profile). The checkpoint truncates every round's plan to a
+      // LogicalRDD scan; the label seed reads the self-loops back out of
+      // it (exactly one per vertex — the same rows as the old vertices
+      // seed, no distinct), so the caller's pair lineage is analyzed and
+      // executed exactly ONCE.
+      .localCheckpoint()
+    var labels = edges.where(col("s") === col("t"))
+      .select(col("s").as("doc_id"), col("s").as("label"))
     for (i <- 1 to iters) {
       labels = edges
         .join(labels.withColumnRenamed("doc_id", "t"), Seq("t"))
@@ -353,7 +360,6 @@ object Dedup {
       }
     }
     val out = labels.withColumnRenamed("label", "cluster").localCheckpoint()
-    edges.unpersist(blocking = false)
     out
   }
 
@@ -379,8 +385,12 @@ object Dedup {
       .union(pairs.select(col("doc2").as("s"), col("doc1").as("t")))
       .union(vertices.select(col("doc_id").as("s"), col("doc_id").as("t")))
       .repartition(col("t"))
-      .cache()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      // localCheckpoint, not cache (r16) — same reasoning as components():
+      // every fixpoint iteration's step plan otherwise re-analyzes the
+      // caller's whole pair lineage through the cached-but-deep edge frame
+      .localCheckpoint()
+    var labels = edges.where(col("s") === col("t"))
+      .select(col("s").as("doc_id"), col("s").as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .select(coalesce(sum(col("label").cast("decimal(38,0)")),
@@ -404,7 +414,6 @@ object Dedup {
       labels.unpersist(blocking = false)
       labels = next
     }
-    edges.unpersist(blocking = false)
     // always hand back a lineage-cut frame: when convergence lands off the
     // checkpointEvery boundary, `labels` is a cache()d frame whose plan
     // still carries the trailing iteration chain — consumers would re-plan

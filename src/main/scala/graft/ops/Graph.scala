@@ -106,12 +106,16 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val Array(a, b) = edges.columns
-    // repartition on the join key BEFORE caching (r6 pagerank lesson): the
-    // label join reads e by d every round; caching the upstream layout
-    // would re-shuffle the edge side per iteration
+    // repartition on the join key BEFORE materializing (r6 pagerank
+    // lesson): the label join reads e by d every round; the upstream
+    // layout would re-shuffle the edge side per iteration.
+    // localCheckpoint, not persist (r16, the kcore finding): every
+    // round's plan otherwise re-ANALYZES the full upstream co-occurrence
+    // lineage through the cached-but-deep frame — the per-round join is
+    // now a shallow LogicalRDD scan.
     val e = edges.select(col(a).as("s"), col(b).as("d"))
       .repartition(col("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = e.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     (1 to rounds).foreach { _ =>
@@ -128,9 +132,7 @@ object Graph {
     }
     val out = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
-    val materialized = out.localCheckpoint()
-    e.unpersist(blocking = false)
-    materialized
+    out.localCheckpoint()
   }
 
   /** Fixed-point PageRank (damping 0.85, scores in billionths): every
@@ -150,13 +152,15 @@ object Graph {
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val Array(a, b) = edges.columns
-    // repartition on src BEFORE caching: upstream ops (distinct) leave the
-    // frame partitioned by (src, dst), and a cache in that layout forces a
+    // repartition on src BEFORE materializing: upstream ops (distinct)
+    // leave the frame partitioned by (src, dst), and that layout forces a
     // fresh edge-side exchange in EVERY iteration's join — pre-hashing on
-    // the join key makes the per-iteration shuffle the score frame only
+    // the join key makes the per-iteration shuffle the score frame only.
+    // localCheckpoint, not persist (r16, the kcore finding): each
+    // iteration otherwise re-analyzes the whole upstream edge lineage.
     val e = edges.select(col(a).as("src"), col(b).as("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val consts = deg.agg(count(lit(1)).as("n"))
       .select(expr("CAST(150000000 DIV n AS BIGINT)").as("base"),
@@ -270,8 +274,11 @@ object Graph {
     */
   def bfsRounds(undirected: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // localCheckpoint, not persist (r16, the kcore finding): each round's
+    // frontier expansion otherwise re-analyzes the whole upstream edge
+    // lineage through the cached-but-deep frame.
     val e = undirected.repartition(col("src")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val seed = e.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     // Chunked materialization (r8 bench lesson): an eager action EVERY
@@ -316,7 +323,6 @@ object Graph {
     }
     val out = visited.localCheckpoint()
     pending.foreach(_.unpersist(blocking = false))
-    e.unpersist(blocking = false)
     out
   }
 }
