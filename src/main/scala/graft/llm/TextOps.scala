@@ -17,19 +17,16 @@ object TextOps {
   /** Distinct token set (shingle set for 1-gram MinHash / Jaccard). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles: sliding windows of n tokens joined by space.
-    * Empty (not [1,0]-descending — Spark sequence() flips direction when
-    * start > stop) for texts shorter than n tokens.
+  /** Word n-gram shingles: sliding windows of n tokens joined by space;
+    * empty for texts shorter than n tokens (and for null texts — the old
+    * lambda's when(size(null) >= n) fell to otherwise). ONE compiled pass
+    * (r16, guide §4): the transform/slice/concat_ws lambda this wraps ran
+    * interpreted per window at 25 call sites — see Shingles for the
+    * pinned value contract (ShinglesSpec: lambda ≡ compiled, interpreted
+    * ≡ codegen).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))
-      )
-    ).otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftSql.shingles(text, n)
 
   /** MinHash value for one seeded hash family member over a token array:
     * min over tokens of portable_hash64(seed || '|' || token).

@@ -120,4 +120,10 @@ object GraftSql {
     */
   def bpeMerge(syms: Column, rules: Seq[(String, String)]): Column =
     column(BpeMerge(expression(syms), rules))
+
+  /** Word n-gram shingles of a text column in one compiled pass (see
+    * Shingles; ≡ the transform/slice/concat_ws lambda it replaces).
+    */
+  def shingles(text: Column, n: Int): Column =
+    column(Shingles(expression(text), n))
 }
