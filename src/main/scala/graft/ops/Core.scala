@@ -47,7 +47,11 @@ object Core {
     * are codegen'd and faster.
     */
   def md5Hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // ONE compiled digest (r16, guide §4): the old spelling
+    // conv(substring(md5(c), 1, 15), 16, 10) hex-encoded the digest and
+    // re-parsed 15 chars per call — pure overhead at the per-gram /
+    // per-row hash sites. Values identical (Md5Hash64 scaladoc + spec).
+    org.apache.spark.sql.graft.GraftSql.md5Hash64(c)
 
   /** Parallelism floor for compute-heavy map folds over UNSPLITTABLE
     * inputs (opt guide §2.5: a one-file/one-row-group table scans as ONE

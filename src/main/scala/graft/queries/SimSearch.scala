@@ -88,21 +88,22 @@ object SimSearch {
     val bits = scaledBits(n)
     val bands = ScaledNPlanes / bits
     val used = bands * bits
-    val bitCols = (0 until used).map { i =>
-      (Vectors.dotConst(col("v"), AllPlanes(i)) >= 0).cast("long").as(s"b$i")
-    }
-    // sig is its own select so the band packing below reads ATTRIBUTES —
-    // Catalyst would otherwise re-evaluate each plane dot per consumer.
-    val sig = e.select(col("vec_id") +: bitCols: _*)
-    val bandStructs = array((0 until bands).map { b =>
-      val bucket = (0 until bits)
-        .map(r => col(s"b${b * bits + r}") * lit(1L << (bits - 1 - r)))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }: _*)
-    val banded = sig
-      .select(col("vec_id"), explode(bandStructs).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // ONE compiled pass over the plane matrix (r16, guide §4/§7.3): the
+    // old shape projected `used` separate dotConst sign bits — each a
+    // 64-double ARRAY LITERAL in the plan — then re-packed them into
+    // band buckets; at 96 planes the ANALYZED tree alone cost ~1.5 s of
+    // driver time per run (q_sim_ann_lsh_scaled: 2.07 s wall, 1.5
+    // task-seconds). SignBuckets holds the matrix as one reference
+    // object and emits the bucket-per-band array; band = position
+    // (SignBucketsSpec pins row equality against the literal form).
+    val planeArr = AllPlanes.take(used)
+      .map(_.map(_.toDouble).toArray).toArray
+    val banded = e
+      .select(col("vec_id"),
+        org.apache.spark.sql.graft.GraftSql
+          .signBuckets(col("v"), planeArr, bits).as("bk"))
+      .select(col("vec_id"), posexplode(col("bk")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     (banded, n, bits, bands)
   }
 
@@ -865,20 +866,16 @@ object SimSearch {
     // the skew-prone bucket shuffle narrow, so the join form stays.
     "q_sim_ann_lsh" -> ((s, d) => {
       val e = embeds(s, d)
-      val bits = Planes.zipWithIndex.map { case (p, i) =>
-        (Vectors.dotConst(col("v"), p) >= 0).cast("long").as(s"b$i")
-      }
-      val sig = e.select(col("vec_id") +: bits: _*)
-      val bandStructs = array((0 until Bands).map { b =>
-        val bucket = (0 until NPlanes / Bands)
-          .map(r => col(s"b${b * (NPlanes / Bands) + r}") *
-            lit(1L << (NPlanes / Bands - 1 - r)))
-          .reduce(_ + _)
-        struct(lit(b).as("band"), bucket.as("bucket"))
-      }: _*)
-      val banded = sig
-        .select(col("vec_id"), explode(bandStructs).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // one compiled pass over the 16-plane matrix (r16 — the
+      // scaledLshBanded SignBuckets change applied to the fixed config;
+      // band = array position, SignBucketsSpec pins ≡ the literal form)
+      val planeArr = Planes.map(_.map(_.toDouble).toArray).toArray
+      val banded = e
+        .select(col("vec_id"),
+          org.apache.spark.sql.graft.GraftSql
+            .signBuckets(col("v"), planeArr, NPlanes / Bands).as("bk"))
+        .select(col("vec_id"), posexplode(col("bk")))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
       val pairs = banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

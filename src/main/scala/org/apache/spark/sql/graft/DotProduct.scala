@@ -126,4 +126,17 @@ object GraftSql {
     */
   def shingles(text: Column, n: Int): Column =
     column(Shingles(expression(text), n))
+
+  /** The portable 60-bit md5 hash as one compiled digest (see Md5Hash64;
+    * ≡ conv(substring(md5(c), 1, 15), 16, 10) cast long).
+    */
+  def md5Hash64(c: Column): Column =
+    column(Md5Hash64(expression(c)))
+
+  /** All sign-LSH band buckets of a vector in one compiled pass (see
+    * SignBuckets; ≡ the per-plane dotConst sign-bit projection + band
+    * packing it replaces).
+    */
+  def signBuckets(v: Column, planes: Array[Array[Double]], bits: Int): Column =
+    column(SignBuckets(expression(v), planes, bits))
 }
